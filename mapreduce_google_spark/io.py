@@ -1,0 +1,120 @@
+"""Sources and sinks.
+
+The reference's only source is "directory of text files" (reference
+``mapreduce/manager/__main__.py:320-327`` lists + sorts filenames) and its
+only sink is "part-NNNNN files in an output directory" (reference
+``mapreduce/worker/__main__.py:237-250``). Spark's DataFrameReader/Writer
+generalize both; this module adds the star-schema loaders for the test
+tables plus thin text-dir helpers that reproduce the reference surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Every table materialized by the driver (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one star-schema table.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps full pushdown/pruning
+    freedom — callers filter/select and the scan narrows itself.
+    """
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the tables as temp views so ``spark.sql`` can use them."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text_dir(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Reference-compatible source: a directory of text files → lines.
+
+    Mirrors reference F1 (``manager/__main__.py:320-327``): every regular
+    file is input, one row per line, column ``value: string``. Spark's
+    FileSourceScanExec handles listing, splitting and ordering; file
+    grouping replaces the reference's round-robin `i % num_mappers` split
+    (F2) with size-based bin-packing, which balances better at scale.
+    """
+    return spark.read.text(input_dir)
+
+
+def read_kv_text_dir(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Reference intermediate format: ``key\\tvalue`` lines → 2 columns.
+
+    The key is everything before the FIRST tab (reference
+    ``worker/__main__.py:183`` — ``line.partition("\\t")[0]``); the value is
+    the rest, possibly containing further tabs. Empty keys are data, not
+    errors (reference ``tests/test_worker_08.py:249``).
+    """
+    lines = read_text_dir(spark, input_dir)
+    return lines.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).alias("key"),
+        # value = remainder after first tab ('' when no tab present)
+        F.when(
+            F.instr("value", "\t") > 0,
+            F.expr("substring(value, instr(value, '\t') + 1)"),
+        )
+        .otherwise(F.lit(""))
+        .alias("value"),
+    )
+
+
+def write_text_dir(df: DataFrame, output_dir: str, num_files: int | None = None) -> None:
+    """Reference-compatible sink (F9): ``part-*`` text files, overwrite.
+
+    The reference deletes a pre-existing output dir before writing
+    (``manager/__main__.py:345-355``); ``mode('overwrite')`` matches that.
+    """
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    df.write.mode("overwrite").text(output_dir)
+
+
+def write_parquet(
+    df: DataFrame,
+    output_dir: str,
+    partition_by: list[str] | None = None,
+    bucket_table: str | None = None,
+    bucket_cols: list[str] | None = None,
+    num_buckets: int = 0,
+) -> None:
+    """Parquet sink with optional hive-style partitioning or bucketing.
+
+    ``partition_by`` enables partition pruning for downstream readers;
+    bucketing pre-shuffles on join keys so co-located joins skip the
+    exchange entirely — the two levers that matter at 100 TB.
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_table is not None and bucket_cols:
+        writer.bucketBy(num_buckets, *bucket_cols).sortBy(*bucket_cols).option(
+            "path", output_dir
+        ).saveAsTable(bucket_table)
+    else:
+        writer.parquet(output_dir)

@@ -1,0 +1,85 @@
+"""SparkSession factory.
+
+The reference engine hand-rolls its runtime: a Manager process schedules
+tasks over TCP and Workers heartbeat over UDP (reference
+``mapreduce/manager/__main__.py:36-47``, ``mapreduce/worker/__main__.py:128-141``).
+Spark's driver/executor model provides all of that (scheduling, shuffle,
+heartbeats, retry, speculative execution), so the only engine-level code we
+need is a session factory with scale-appropriate defaults.
+
+Defaults are chosen for correctness-determinism locally AND sane behavior on
+a large cluster:
+
+* UTC session timezone — deterministic timestamp semantics vs the oracle.
+* AQE on (+ coalesce + skew join) — runtime re-planning is the main lever
+  that keeps a static plan viable at 100 TB (partition coalescing after
+  filters, skew-join splitting for hot keys).
+* ``spark.sql.shuffle.partitions`` defaults to 4× local cores; on a real
+  cluster this should be ~2-3× total executor cores — AQE coalesces down,
+  so erring high is safe.
+* Arrow enabled — every Python-side exchange (Pandas UDF, toPandas) is
+  batched, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return f"local[{cpus}]"
+
+
+def get_spark(
+    app_name: str = "mapreduce_google_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    Any explicitly-passed ``extra_conf`` wins over the defaults, so callers
+    (tests, bench, CLI) can override without editing this file.
+    """
+    master = master or _default_master()
+    if shuffle_partitions is None:
+        # local[N] → parse N; 2× gives headroom for skew, AQE coalesces back.
+        try:
+            n = int(master.split("[", 1)[1].rstrip("]").replace("*", str(os.cpu_count() or 8)))
+        except (IndexError, ValueError):
+            n = os.cpu_count() or 8
+        shuffle_partitions = max(n * 2, 8)
+
+    conf: dict[str, str] = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Parquet scan behavior: pushdown + pruning are the free wins that
+        # matter most at 100 TB; both default on, pinned here as contract.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.enableVectorizedReader": "true",
+        # Keep partition sizes bounded so a 100 TB scan yields ~800k tasks
+        # of ~128 MB rather than a few giant ones.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+        "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",
+        "spark.executor.extraJavaOptions": "-Djava.security.manager=allow",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
