@@ -1,0 +1,214 @@
+"""Relational operators — the families absent from the reference.
+
+The reference has no joins, aggregations (beyond user-exe group-reduce),
+windows, set ops, or scalar functions (SURVEY.md §2c gap table); here they
+are expressed declaratively so Catalyst supplies pushdown, partial
+aggregation, broadcast joins and AQE for free.
+
+Scale notes (100 TB discipline):
+* dimension tables (region/nation, and customer relative to orders) are
+  broadcast explicitly — the fact-side shuffle disappears;
+* fact-fact joins shuffle on their keys and rely on AQE skew-split;
+* every aggregation is a hash-agg with map-side partial aggregation —
+  the combiner the reference never had;
+* top-k = orderBy+limit compiles to TakeOrderedAndProject (per-partition
+  heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.io import load_table
+
+
+def filter_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T07 — TPC-H Q6-shaped σ+π+agg: predicates reach the parquet scan
+    (PushedFilters), a single global sum comes back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T08 — TPC-H Q1-shaped pricing summary per (returnflag, linestatus).
+
+    One shuffle on a 6-value grouping key; partial aggregation collapses
+    ~everything map-side, so the exchange is tiny at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T09 — orders ⋈ customer ⋈ nation ⋈ region, revenue per region.
+
+    nation/region are broadcast (tiny, fixed-size); customer⋈orders is the
+    one real shuffle. At 100 TB customer may outgrow broadcast — that join
+    keys both sides on custkey, so bucketing customer and orders on
+    custkey at write time (io.write_parquet) removes the exchange too.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def customers_with_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — left-semi and left-anti joins, labeled and unioned.
+
+    Semi/anti need only the join key from the right side; Spark builds a
+    broadcast/shuffled hash of distinct o_custkey — no row explosion.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select(F.lit("with_orders").alias("kind"), F.col("c_custkey"))
+    )
+    without_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.lit("without_orders").alias("kind"), F.col("c_custkey"))
+    )
+    return with_orders.unionAll(without_orders).orderBy("kind", "c_custkey")
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """T11 — top-k orders per customer by totalprice (window row_number).
+
+    One shuffle on o_custkey; ties broken by o_orderkey so ranking is
+    total. At scale, a per-partition pre-filter (rank within partition)
+    isn't needed: Spark's WindowExec streams each key group.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — revenue by (region, nation) with ROLLUP subtotals.
+
+    lineitem→orders is the heavy join (fact-fact, shuffled, AQE-skew
+    handled); customer is mid-size (broadcast at test sf, bucketed join at
+    scale); nation/region broadcast. Rollup adds grouping-set expansion
+    after aggregation — no extra scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 6).alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 — union/intersect/except of customer keys from two segments,
+    labeled with the op that produced them."""
+    customer = load_table(spark, sf_dir, "customer")
+    seg_a = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    seg_b = customer.where(F.col("c_acctbal") > 0).select("c_custkey")
+    return (
+        seg_a.union(seg_b).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionAll(
+            seg_a.intersect(seg_b).select(F.lit("intersect").alias("op"), "c_custkey")
+        )
+        .unionAll(
+            seg_a.exceptAll(seg_b).distinct().select(
+                F.lit("except").alias("op"), "c_custkey"
+            )
+        )
+        .orderBy("op", "c_custkey")
+    )
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 — string/date/math scalar expressions over lineitem.
+
+    Pure per-row project: whole-stage codegen, zero shuffle (the final
+    orderBy is the only exchange, required for deterministic comparison).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+        F.dayofmonth("l_shipdate").cast("long").alias("ship_day"),
+        F.substring("l_returnflag", 1, 1).alias("flag1"),
+        F.concat_ws("|", "l_returnflag", "l_linestatus").alias("flag_status"),
+        F.upper("l_linestatus").alias("status_uc"),
+        F.length(F.col("l_returnflag")).cast("long").alias("flag_len"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "net_price"
+        ),
+        F.round(F.sqrt(F.abs(F.col("l_quantity"))), 6).alias("qty_sqrt"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("price_floor"),
+        (F.col("l_quantity") % 5).alias("qty_mod5"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduce_google_spark.operators import relational as rel_ops
 from mapreduce_google_spark.operators import text as text_ops
 
 Builder = Callable[[SparkSession, str], DataFrame]
@@ -184,5 +185,193 @@ register(
         """,
         doc="top-20 tokens, tie-break token asc (TakeOrderedAndProject)",
         tags=("text", "topk"),
+    )
+)
+
+# --------------------------------------------------------------------------
+# Relational core (gap-table families: joins/aggs/windows/set ops/scalars)
+# --------------------------------------------------------------------------
+
+register(
+    QuerySpec(
+        name="t07_filter_agg_revenue",
+        builder=rel_ops.filter_agg_revenue,
+        oracle="""
+            SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.08
+              AND l_quantity < 24
+        """,
+        doc="TPC-H Q6 shape: pushed-down filter + global agg",
+        tags=("relational", "agg"),
+        headline=True,
+    )
+)
+
+register(
+    QuerySpec(
+        name="t08_pricing_summary",
+        builder=rel_ops.pricing_summary,
+        oracle="""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+                       AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        doc="TPC-H Q1 shape: grouped pricing summary",
+        tags=("relational", "agg"),
+        headline=True,
+    )
+)
+
+register(
+    QuerySpec(
+        name="t09_revenue_per_region",
+        builder=rel_ops.revenue_per_region,
+        oracle="""
+            SELECT r_name,
+                   round(sum(o_totalprice), 6) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name
+        """,
+        doc="4-way equi-join (broadcast dims) + agg",
+        tags=("relational", "join"),
+        headline=True,
+    )
+)
+
+register(
+    QuerySpec(
+        name="t10_semi_anti_join",
+        builder=rel_ops.customers_with_without_orders,
+        oracle="""
+            SELECT 'with_orders' AS kind, c_custkey
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            SELECT 'without_orders' AS kind, c_custkey
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY kind, c_custkey
+        """,
+        doc="left-semi / left-anti joins, labeled union",
+        tags=("relational", "join"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t11_top_orders_per_customer",
+        builder=rel_ops.top_orders_per_customer,
+        oracle="""
+            SELECT o_custkey, o_orderkey, o_totalprice, rn
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS INTEGER) AS rn
+                FROM orders
+            )
+            WHERE rn <= 3
+            ORDER BY o_custkey, rn
+        """,
+        doc="window row_number top-3 per customer, total tie-break",
+        tags=("relational", "window"),
+        headline=True,
+    )
+)
+
+register(
+    QuerySpec(
+        name="t12_revenue_rollup",
+        builder=rel_ops.revenue_rollup,
+        oracle="""
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+        """,
+        doc="rollup subtotals over a 5-way join",
+        tags=("relational", "rollup"),
+        headline=True,
+    )
+)
+
+register(
+    QuerySpec(
+        name="t13_segment_set_ops",
+        builder=rel_ops.segment_set_ops,
+        oracle="""
+            WITH seg_a AS (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ),
+            seg_b AS (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 0
+            )
+            SELECT 'union' AS op, c_custkey FROM (
+                SELECT c_custkey FROM seg_a UNION SELECT c_custkey FROM seg_b
+            )
+            UNION ALL
+            SELECT 'intersect' AS op, c_custkey FROM (
+                SELECT c_custkey FROM seg_a INTERSECT SELECT c_custkey FROM seg_b
+            )
+            UNION ALL
+            SELECT 'except' AS op, c_custkey FROM (
+                SELECT c_custkey FROM seg_a EXCEPT SELECT c_custkey FROM seg_b
+            )
+            ORDER BY op, c_custkey
+        """,
+        doc="union/intersect/except of two customer segments",
+        tags=("relational", "setop"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t14_scalar_functions",
+        builder=rel_ops.scalar_functions,
+        oracle="""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+                   CAST(day(l_shipdate) AS BIGINT) AS ship_day,
+                   substr(l_returnflag, 1, 1) AS flag1,
+                   concat_ws('|', l_returnflag, l_linestatus) AS flag_status,
+                   upper(l_linestatus) AS status_uc,
+                   CAST(length(l_returnflag) AS BIGINT) AS flag_len,
+                   round(l_extendedprice * (1 - l_discount), 6) AS net_price,
+                   round(sqrt(abs(l_quantity)), 6) AS qty_sqrt,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                   l_quantity % 5 AS qty_mod5
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        doc="string/date/math scalar expressions (codegen, no shuffle)",
+        tags=("relational", "scalar"),
     )
 )
