@@ -36,7 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain ``spark.read.parquet`` so Catalyst keeps full pushdown/pruning
     freedom — callers filter/select and the scan narrows itself.
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as long (spark.sql.legacy.parquet.
+    # nanosAsLong); convert to µs timestamps with exact integer division —
+    # `/ 1000` in double would lose precision above 2^53 nanos (~1970+104d).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

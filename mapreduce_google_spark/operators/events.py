@@ -1,0 +1,125 @@
+"""Event-time operators over the ``events`` table — batch semantics that
+are 1:1 replayable as Structured Streaming jobs (see
+:mod:`mapreduce_google_spark.streaming.jobs`, which runs the same logic
+with ``readStream`` + watermark + ``availableNow`` and asserts parity).
+
+The reference has no streaming at all (SURVEY.md §2c); these are the
+batch-verifiable halves of the streaming surface. Window buckets are
+emitted as formatted UTC strings so Spark and DuckDB stringify
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.io import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 — events per 1-hour event-time bucket per event_type.
+
+    ``date_trunc`` + hash-agg: one shuffle on (bucket, type). In streaming
+    form this is ``F.window(ts, '1 hour')`` with a watermark; the batch
+    bucket function is chosen to match window-start exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT).alias(
+                "bucket_start"
+            ),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15b — 1-hour windows sliding every 30 minutes.
+
+    Uses Spark's native ``F.window(ts, '1 hour', '30 minutes')`` (each
+    event lands in exactly two windows). The oracle reproduces the window
+    assignment arithmetically, which pins Spark's window-start alignment
+    semantics rather than trusting them.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def session_window_stats(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """T16 — sessionization: per-user sessions with a 30-minute gap.
+
+    Classic gaps-and-islands: lag over (user, ts) marks session starts, a
+    running sum numbers sessions, then two aggregations roll up to
+    (user, session) and user level. Two shuffles, both on user_id — Spark
+    reuses the partitioning between the window and the groupBy.
+
+    The streaming equivalent is ``F.session_window(ts, gap)``; this batch
+    formulation is oracle-checkable SQL with identical semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    # microsecond precision on both engine and oracle side — second-level
+    # truncation would disagree with the oracle at exact-gap boundaries
+    sessions = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.coalesce(
+                (F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us, F.lit(True)
+            )
+            .cast("int")
+            .alias("is_start"),
+        )
+        .select(
+            "user_id",
+            "ts_us",
+            F.sum("is_start")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("session_id"),
+        )
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("duration_us").cast("long").alias("max_session_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -375,3 +375,99 @@ register(
         tags=("relational", "scalar"),
     )
 )
+
+# --------------------------------------------------------------------------
+# Event-time family (batch halves of the streaming surface)
+# --------------------------------------------------------------------------
+
+from mapreduce_google_spark.operators import events as event_ops  # noqa: E402
+
+register(
+    QuerySpec(
+        name="t15_tumbling_window",
+        builder=event_ops.tumbling_window_counts,
+        oracle="""
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS bucket_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        doc="1-hour tumbling event-time windows (batch parity of streaming)",
+        tags=("events", "window"),
+        headline=True,
+    )
+)
+
+register(
+    QuerySpec(
+        name="t15b_sliding_window",
+        builder=event_ops.sliding_window_counts,
+        oracle="""
+            SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM (
+                SELECT unnest([
+                           (epoch_us(ts) // 1800000000) * 1800000000,
+                           (epoch_us(ts) // 1800000000) * 1800000000
+                               - 1800000000
+                       ]) AS ws,
+                       event_type, value
+                FROM events
+            )
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        doc="1h/30min sliding windows; oracle re-derives Spark's window alignment",
+        tags=("events", "window"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t16_session_window",
+        builder=event_ops.session_window_stats,
+        oracle="""
+            WITH flagged AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            numbered AS (
+                SELECT user_id, ts_us,
+                       sum(is_start) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM flagged
+            ),
+            per_session AS (
+                SELECT user_id, session_id,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       max(ts_us) - min(ts_us) AS duration_us
+                FROM numbered
+                GROUP BY user_id, session_id
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   CAST(max(duration_us) AS BIGINT) AS max_session_us
+            FROM per_session
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        doc="30-min-gap sessionization (gaps-and-islands), per-user rollup",
+        tags=("events", "session"),
+        headline=True,
+    )
+)

@@ -65,6 +65,10 @@ def get_spark(
         # Parquet scan behavior: pushdown + pruning are the free wins that
         # matter most at 100 TB; both default on, pinned here as contract.
         "spark.sql.parquet.filterPushdown": "true",
+        # events.parquet carries TIMESTAMP(NANOS); Spark's reader rejects it
+        # unless nanos are surfaced as long — io.load_table converts back to
+        # a microsecond timestamp (matching DuckDB's µs truncation).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.parquet.enableVectorizedReader": "true",
         # Keep partition sizes bounded so a 100 TB scan yields ~800k tasks
         # of ~128 MB rather than a few giant ones.
