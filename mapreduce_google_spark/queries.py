@@ -471,3 +471,351 @@ register(
         headline=True,
     )
 )
+
+# --------------------------------------------------------------------------
+# LLM-pipeline family: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+from mapreduce_google_spark.operators import dedup as dedup_ops  # noqa: E402
+from mapreduce_google_spark.operators import similarity as sim_ops  # noqa: E402
+from mapreduce_google_spark.operators import textstats as ts_ops  # noqa: E402
+
+_TOKENS_CTE = """
+    toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tokens
+        FROM documents
+    )
+"""
+
+register(
+    QuerySpec(
+        name="t17_exact_dedup",
+        builder=dedup_ops.exact_dedup,
+        oracle="""
+            SELECT fingerprint,
+                   CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM (
+                SELECT md5(lower(trim(text))) AS fingerprint, doc_id
+                FROM documents
+            )
+            GROUP BY fingerprint
+            ORDER BY doc_id
+        """,
+        doc="exact dedup on md5(lower(trim(text))), keep lowest doc_id",
+        tags=("llm", "dedup"),
+        headline=True,
+    )
+)
+
+register(
+    QuerySpec(
+        name="t21_ngram_jaccard_pairs",
+        builder=dedup_ops.ngram_jaccard_pairs,
+        oracle="""
+            WITH """ + _TOKENS_CTE + """,
+            shingles AS (
+                SELECT DISTINCT doc_id, shingle
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(tokens) - 1),
+                               i -> array_to_string(tokens[i:i+2], ' ')))
+                               AS shingle
+                    FROM toks WHERE len(tokens) >= 3
+                )
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS set_size
+                FROM shingles GROUP BY doc_id
+            ),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM shingles a JOIN shingles b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(n_common /
+                         (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common /
+                        (sa.set_size + sb.set_size - n_common), 6) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        doc="exact word-3-gram Jaccard near-dup pairs (threshold 0.5)",
+        tags=("llm", "dedup"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t22_minhash_lsh_pairs",
+        builder=dedup_ops.minhash_lsh_pairs,
+        oracle=None,  # hash-permutation family not SQL-portable; tests
+        # assert precision 1.0 vs t21 and measure recall
+        doc="MinHash(32) + LSH(8 bands) candidate pairs, exact-verify stage",
+        tags=("llm", "dedup"),
+        headline=True,
+    )
+)
+
+_SIMHASH_BITS = 32
+_votes_sql = ",\n                       ".join(
+    f"sum((((h32 >> {j}) & 1) * 2 - 1)) AS v{j}" for j in range(_SIMHASH_BITS)
+)
+_bits_sql = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+)
+register(
+    QuerySpec(
+        name="t23_simhash",
+        builder=dedup_ops.simhash_fingerprints,
+        oracle=f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS token
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(token), 1, 8))::BIGINT AS h32
+                FROM tok WHERE token <> ''
+            ),
+            votes AS (
+                SELECT doc_id,
+                       {_votes_sql}
+                FROM h GROUP BY doc_id
+            )
+            SELECT doc_id, CAST({_bits_sql} AS BIGINT) AS simhash
+            FROM votes
+            ORDER BY doc_id
+        """,
+        doc="32-bit SimHash from md5-derived token bit votes",
+        tags=("llm", "dedup"),
+    )
+)
+
+_COS = (
+    "round(list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * "
+    "sqrt(list_inner_product({b}, {b}))), 6)"
+)
+
+register(
+    QuerySpec(
+        name="t18_cosine_topk",
+        builder=sim_ops.cosine_topk,
+        oracle=f"""
+            WITH probes AS (
+                SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+                FROM embeddings ORDER BY vec_id LIMIT 10
+            ),
+            scored AS (
+                SELECT probe_id, e.vec_id,
+                       {_COS.format(a="pvec", b="e.embedding::DOUBLE[]")} AS cosine
+                FROM probes, embeddings e
+                WHERE e.vec_id <> probe_id
+            ),
+            ranked AS (
+                SELECT probe_id, vec_id, cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY probe_id
+                           ORDER BY cosine DESC, vec_id ASC
+                       ) AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT probe_id, vec_id, cosine, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY probe_id, rank
+        """,
+        doc="brute-force cosine top-5 for 10 lowest-vec_id probes",
+        tags=("llm", "similarity"),
+        headline=True,
+    )
+)
+
+register(
+    QuerySpec(
+        name="t24_embedding_near_dup",
+        builder=sim_ops.embedding_near_dup_pairs,
+        oracle=f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_COS.format(a="a.embedding::DOUBLE[]",
+                                b="b.embedding::DOUBLE[]")} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS.format(a="a.embedding::DOUBLE[]",
+                               b="b.embedding::DOUBLE[]")} >= 0.4
+            ORDER BY id_a, id_b
+        """,
+        doc="embedding-cosine near-dup pairs (threshold 0.4; corpus max pairwise cosine is ~0.51)",
+        tags=("llm", "similarity"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t25_ivf_topk",
+        builder=sim_ops.ivf_topk,
+        oracle=None,  # approximate by construction; tests measure recall
+        # against t18's exact result
+        doc="IVF-bucketed approximate cosine top-k (scale path for T18)",
+        tags=("llm", "similarity"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t19_text_stats",
+        builder=ts_ops.text_stats,
+        oracle="""
+            WITH stats AS (
+                SELECT lang, n_chars,
+                       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> '')) AS n_tokens
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(n_chars), 6) AS mean_chars,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM stats
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        doc="per-lang doc count, mean chars, token count",
+        tags=("llm", "textstats"),
+        headline=True,
+    )
+)
+
+_MARKER_SQL = {
+    "de": "['der','die','das','und']",
+    "en": "['the','a','of','and']",
+    "es": "['el','la','de','y']",
+    "fr": "['le','la','et','les']",
+    "zh": "['的','是','了','在']",
+}
+_score_cols = ",\n                       ".join(
+    f"len(list_filter(tokens, t -> list_contains({lst}, t))) AS score_{lang}"
+    for lang, lst in _MARKER_SQL.items()
+)
+_g = "greatest(" + ", ".join(f"score_{l}" for l in _MARKER_SQL) + ")"
+_pred_cases = "\n                        ".join(
+    f"WHEN score_{lang} = {_g} THEN '{lang}'" for lang in sorted(_MARKER_SQL)
+)
+register(
+    QuerySpec(
+        name="t26_language_id",
+        builder=ts_ops.language_id,
+        oracle=f"""
+            WITH {_TOKENS_CTE},
+            scores AS (
+                SELECT doc_id, lang,
+                       {_score_cols}
+                FROM toks
+            )
+            SELECT doc_id, lang AS labeled_lang,
+                   CASE WHEN {_g} = 0 THEN 'und'
+                        {_pred_cases}
+                        ELSE 'und' END AS predicted_lang
+            FROM scores
+            ORDER BY doc_id
+        """,
+        doc="marker-word language-ID heuristic, argmax with asc tie-break",
+        tags=("llm", "textstats"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t27_quality_score",
+        builder=ts_ops.quality_score,
+        oracle="""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS tokens,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(length(text) -
+                            length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                            AS BIGINT) AS n_punct
+                FROM documents
+            ),
+            derived AS (
+                SELECT doc_id,
+                       CAST(len(tokens) AS BIGINT) AS n_tokens,
+                       CASE WHEN n_chars > 0
+                            THEN n_punct / CAST(n_chars AS DOUBLE)
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(tokens) > 0
+                            THEN len(list_filter(tokens, t -> list_contains(
+                                     ['the','a','of','and','der','el','la'], t)))
+                                 / CAST(len(tokens) AS DOUBLE)
+                            ELSE 0.0 END AS stop_ratio,
+                       CASE WHEN len(tokens) > 0
+                            THEN list_aggregate(
+                                     list_transform(tokens, t -> length(t)),
+                                     'sum') / CAST(len(tokens) AS DOUBLE)
+                            ELSE 0.0 END AS mean_token_len
+                FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stop_ratio, 6) AS stop_ratio,
+                   round(mean_token_len, 6) AS mean_token_len,
+                   round(CAST((CASE WHEN n_tokens BETWEEN 5 AND 100000
+                               THEN 0.4 ELSE 0.0 END)
+                         + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END)
+                         + (CASE WHEN stop_ratio > 0.01 THEN 0.3 ELSE 0.0 END)
+                         AS DOUBLE), 6) AS quality
+            FROM derived
+            ORDER BY doc_id
+        """,
+        doc="C4/Gopher-style quality signals + blended score",
+        tags=("llm", "textstats"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t28_token_counts",
+        builder=ts_ops.token_counts,
+        oracle="""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                       AS bpe_tokens
+            FROM documents
+            ORDER BY doc_id
+        """,
+        doc="whitespace + BPE-ish pre-token counts per doc",
+        tags=("llm", "textstats"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t29_fingerprints",
+        builder=ts_ops.fingerprints,
+        oracle="""
+            SELECT doc_id,
+                   CAST(list_reduce(
+                       list_prepend(0::HUGEINT,
+                           list_transform(string_split(lower(trim(text)), ''),
+                                          c -> CAST(ascii(c) AS HUGEINT))),
+                       (x, y) -> (x * 257 + y) % 2305843009213693951
+                   ) AS BIGINT) AS fingerprint
+            FROM documents
+            ORDER BY doc_id
+        """,
+        doc="polynomial rolling-hash fingerprint (base 257, mod 2^61-1)",
+        tags=("llm", "textstats"),
+    )
+)

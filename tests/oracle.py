@@ -6,9 +6,12 @@ from __future__ import annotations
 
 import datetime
 import math
+from decimal import Decimal
 
 
 def _norm_cell(v):
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

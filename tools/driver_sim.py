@@ -5,6 +5,7 @@ queries()[name] at sf0.01 → run oracle_sql()[name] in DuckDB on the same
 parquet views → order-insensitive value-hash compare.
 """
 import hashlib, math, datetime, sys
+from decimal import Decimal
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as e
@@ -25,6 +26,8 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def norm(v):
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else f"{round(v,6):.6f}"
     if isinstance(v, datetime.datetime):
