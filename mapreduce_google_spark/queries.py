@@ -819,3 +819,30 @@ register(
         tags=("llm", "textstats"),
     )
 )
+
+# --------------------------------------------------------------------------
+# Streaming-exec compatibility surface (reference F3/F8, literal)
+# --------------------------------------------------------------------------
+
+from mapreduce_google_spark.operators import pipe as pipe_ops  # noqa: E402
+
+register(
+    QuerySpec(
+        name="t20_pipe_word_count",
+        builder=pipe_ops.pipe_word_count,
+        # same declared semantics as T01, so the same oracle — the point is
+        # that the exec surface reproduces the declarative result exactly
+        oracle="""
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY token
+        """,
+        doc="T01 via rdd.pipe + md5 partitioner + external mapper/reducer execs",
+        tags=("text", "pipe"),
+    )
+)
