@@ -846,3 +846,25 @@ register(
         tags=("text", "pipe"),
     )
 )
+
+# --------------------------------------------------------------------------
+# Multimodal surface (binary columns + typed metadata)
+# --------------------------------------------------------------------------
+
+from mapreduce_google_spark.operators import multimodal as mm_ops  # noqa: E402
+
+register(
+    QuerySpec(
+        name="t30_multimodal_metadata",
+        builder=mm_ops.multimodal_metadata,
+        oracle="""
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+            ORDER BY doc_id
+        """,
+        doc="binary-column metadata (blob size + sha256) per document",
+        tags=("llm", "multimodal"),
+    )
+)
