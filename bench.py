@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"t01_word_count": sec, ...}, "sf": 0.1}
+
+The reference's only quantitative bar is ≥0.5 MB/s/core on the text path
+with bounded memory (BASELINE.md); the real target is total wall clock at
+sf0.1, tracked per round in BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_google_spark.queries import REGISTRY  # noqa: E402
+from mapreduce_google_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    spark = get_spark(app_name="mgs-bench")
+    headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
+
+    # warm the JVM + parquet footer caches outside the timed region
+    REGISTRY["t01_word_count"].builder(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in headline.items():
+        t0 = time.perf_counter()
+        df = spec.builder(spark, SF_DIR)
+        n = df.count() if name == "t14_scalar_functions" else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"total wall-clock of {len(timings)} headline queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

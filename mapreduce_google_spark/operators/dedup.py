@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 from mapreduce_google_spark.functions.text import tokenize
 from mapreduce_google_spark.io import load_table
 
-#: Mersenne prime 2^61-1: modulus for MinHash permutations
-_MERSENNE = (1 << 61) - 1
+#: Mersenne prime 2^31-1: MinHash modulus (keeps a_i*x + b_i in longs)
+_PRIME31 = (1 << 31) - 1
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,21 +49,42 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs: distinct word n-grams of the lowercased
-    token stream, joined with spaces."""
-    toks = docs.select("doc_id", tokenize("text").alias("tokens")).select(
-        "doc_id", F.filter("tokens", lambda t: t != "").alias("tokens")
+    token stream, joined with spaces.
+
+    The corpus arrives as ONE parquet file → one input partition; without
+    an explicit repartition the entire tokenize+explode (the most
+    expensive expression in the dedup family) runs on a single core. The
+    narrow doc_id shuffle up front parallelizes it across the cluster —
+    at 100 TB the source would already be many files, but a small-file
+    hot spot like this is exactly what kills mixed-size production runs.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", tokenize("text").alias("tokens"))
+        .select("doc_id", F.filter("tokens", lambda t: t != "").alias("tokens"))
     )
-    # word n-grams via transform over index range; length guard drops docs
-    # shorter than n tokens
-    # guard: sequence(0, -1) would DESCEND, not return empty — docs shorter
-    # than n tokens get an explicit empty shingle array
+    # word n-grams via zip of n shifted copies of the token array — one
+    # slice per doc instead of one per shingle (the per-index
+    # slice+concat lambda evaluates interpreted and was ~3× slower).
+    # Guard: docs shorter than n tokens get an explicit empty array
+    # (sequence/slice with negative lengths misbehave, they don't empty).
+    sz = F.size("tokens")
+    zipped = F.arrays_zip(
+        *[
+            (F.col("tokens") if i == 0 else F.slice("tokens", i + 1, sz)).alias(
+                f"t{i}"
+            )
+            for i in range(n)
+        ]
+    )
     ngrams = toks.select(
         "doc_id",
         F.when(
-            F.size("tokens") >= n,
+            sz >= n,
             F.transform(
-                F.sequence(F.lit(0), F.size("tokens") - n),
-                lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, n)),
+                F.slice(zipped, 1, sz - (n - 1)),
+                lambda st: F.concat_ws(" ", *[st[f"t{i}"] for i in range(n)]),
             ),
         )
         .otherwise(F.array().cast("array<string>"))
@@ -115,33 +136,60 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, num_hashes: int = 32
+    docs: DataFrame, n: int = 3, num_hashes: int = 32, shingles: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, signatures array<long>) — MinHash over shingle sets.
 
-    Permutation family h_i(x) = (a_i·x + b_i) mod (2^61-1) with x =
-    xxhash64(shingle) and deterministic odd coefficients derived from i —
-    fully JVM-side (xxhash64 + higher-order min over grouped shingles).
+    Permutation family h_i(x) = (a_i·x + b_i) mod (2^31-1) with x =
+    xxhash64(shingle) folded to 31 bits. All arithmetic stays in LONGs
+    (a_i < 2^6, x < 2^31 ⇒ products < 2^37 — no decimal widening), fully
+    JVM-side: one shuffle on doc_id, num_hashes min-aggregates.
     """
-    sh = _doc_shingles(docs, n)
+    sh = shingles if shingles is not None else _doc_shingles(docs, n)
     hashed = sh.select(
-        "doc_id",
-        F.pmod(F.xxhash64("shingle").cast("decimal(38,0)"), F.lit(_MERSENNE)).alias(
-            "x"
-        ),
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_PRIME31)).alias("x")
     )
-    # min over each permutation, computed as num_hashes aggregate columns:
-    # one shuffle on doc_id, constant-folded coefficients
     aggs = []
     for i in range(num_hashes):
         a = 2 * i + 1  # odd multipliers, deterministic
-        b = 0x9E3779B9 * (i + 1) % _MERSENNE
-        aggs.append(
-            F.min(((F.col("x") * a + b) % _MERSENNE).cast("long")).alias(f"h{i}")
-        )
+        b = (0x9E3779B9 * (i + 1)) % _PRIME31
+        aggs.append(F.min((F.col("x") * a + b) % _PRIME31).alias(f"h{i}"))
     sig = hashed.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def _jaccard_of_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard restricted to the given (doc_a, doc_b) pairs — the
+    verify stage of LSH. Cost is O(candidate pairs × shingles), not
+    O(all co-shingled pairs)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("b.doc_id") == pairs.doc_b)
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -154,16 +202,19 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-dup: shingle → minhash → band → bucket-join →
-    exact-Jaccard verify of candidates.
+    exact-Jaccard verify of CANDIDATES ONLY.
 
-    Rows-only for the driver (hash coefficients aren't SQL-portable), but
-    ``tests/test_dedup.py`` asserts every returned pair also appears in the
-    exact :func:`ngram_jaccard_pairs` output (precision 1.0 after verify)
-    and measures recall.
+    The verify stage computes Jaccard just for pairs sharing a band
+    bucket — at 100 TB that is the entire point of LSH (the exact
+    all-pairs join is quadratic in co-shingled docs; candidates are
+    ~linear for bounded near-dup rates). Rows-only for the driver (the
+    hash family isn't SQL-portable); ``tests/test_approx_ops.py`` asserts
+    precision 1.0 vs the exact operator and a recall floor.
     """
     docs = load_table(spark, sf_dir, "documents")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes)
+    sh = _doc_shingles(docs, n).cache()
+    sig = minhash_signatures(docs, n, num_hashes, shingles=sh)
     # band key = (band index, hash of that band's signature slice)
     banded = sig.select(
         "doc_id",
@@ -199,12 +250,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold).withColumnRenamed(
-        "jaccard", "jaccard"
-    )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])  # verify: drop false positives
-        .select("doc_a", "doc_b", "jaccard")
+        _jaccard_of_pairs(candidates, sh)
+        .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -61,6 +61,12 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # coalesce by target size, not input parallelism: with
+        # parallelismFirst=true (default) AQE deliberately produces many
+        # tiny tasks; per-task overhead then dominates small/medium
+        # shuffles. Size-based coalescing is also the sane cluster default.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Parquet scan behavior: pushdown + pruning are the free wins that
         # matter most at 100 TB; both default on, pinned here as contract.

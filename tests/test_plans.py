@@ -1,0 +1,64 @@
+"""Plan-shape gates: pin the physical-plan properties that matter at
+100 TB — filter pushdown into the parquet scan, broadcast joins on
+dimension tables, TakeOrderedAndProject for top-k, codegen coverage."""
+
+from __future__ import annotations
+
+from mapreduce_google_spark.operators.relational import (
+    filter_agg_revenue,
+    revenue_per_region,
+    revenue_rollup,
+)
+from mapreduce_google_spark.operators.text import grep, top_k_tokens
+from mapreduce_google_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_take_ordered,
+    wholestage_codegen_spans,
+)
+
+
+def test_t07_filters_reach_parquet_scan(spark, sf_dir):
+    df = filter_agg_revenue(spark, sf_dir)
+    assert has_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity"), (
+        formatted_plan(df)
+    )
+
+
+def test_t09_broadcasts_dimensions(spark, sf_dir):
+    df = revenue_per_region(spark, sf_dir)
+    # nation + region explicitly broadcast; customer joins may also
+    # broadcast at test scale — require at least the two explicit ones
+    assert has_broadcast_join(df, at_least=2), formatted_plan(df)
+
+
+def test_t12_rollup_join_tree_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(revenue_rollup(spark, sf_dir), at_least=2)
+
+
+def test_t06_topk_avoids_global_sort(spark, sf_dir):
+    df = top_k_tokens(spark, sf_dir)
+    assert has_take_ordered(df), formatted_plan(df)
+
+
+def test_grep_is_pure_codegen(spark, sf_dir):
+    # 'customer' matches rows — the default 'product' grep is empty at
+    # every sf, and AQE rewrites empty results to EmptyRelation (no
+    # codegen to count)
+    df = grep(spark, sf_dir, query="customer")
+    plan = formatted_plan(df)
+    assert "BatchScan" in plan or "Scan parquet" in plan
+    assert wholestage_codegen_spans(df) >= 1
+    # no exchange other than the final global sort (count tree nodes,
+    # not the detail section repeating the word)
+    assert plan.count("Exchange (") <= 1, plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read all 5 document columns."""
+    df = grep(spark, sf_dir)
+    plan = formatted_plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert "lang" not in scan_lines[0] and "source" not in scan_lines[0], scan_lines[0]
