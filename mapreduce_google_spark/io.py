@@ -97,7 +97,9 @@ def write_text_dir(df: DataFrame, output_dir: str, num_files: int | None = None)
     (``manager/__main__.py:345-355``); ``mode('overwrite')`` matches that.
     """
     if num_files is not None:
-        df = df.coalesce(num_files)
+        # exact file count (reference num_reducers semantics) — repartition,
+        # not coalesce: coalesce can only reduce the partition count
+        df = df.repartition(num_files)
     df.write.mode("overwrite").text(output_dir)
 
 
@@ -124,3 +126,51 @@ def write_parquet(
         ).saveAsTable(bucket_table)
     else:
         writer.parquet(output_dir)
+
+
+#: formats the engine reads/writes out of the box (reference: text only)
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "text")
+
+
+def read_source(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Generic batch source. CSV/JSON default to header/inference options
+    that make round-trips lossless when a schema is supplied (schema
+    inference is a convenience for exploration, not the scale path — at
+    100 TB always pass the schema to avoid the inference pre-scan)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; use one of {SUPPORTED_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        options.setdefault("inferSchema", "true")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    fmt: str,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Generic batch sink (part-* files, like the reference's F9 sink but
+    in any supported format; hive-style partition_by enables downstream
+    partition pruning)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; use one of {SUPPORTED_FORMATS}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).save(path)

@@ -212,3 +212,119 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice")).cast("long").alias("price_floor"),
         (F.col("l_quantity") % 5).alias("qty_mod5"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31 — CUBE over (returnflag, linestatus): all four grouping sets in
+    one pass (grouping-set expansion happens after partial aggregation, so
+    the scan and the map-side combine are shared)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32 — non-equi (range) join: orders against a banded price
+    dimension on lo ≤ o_totalprice < hi.
+
+    The band table is tiny and broadcast, so the non-equi predicate is
+    evaluated map-side (BroadcastNestedLoopJoin) — the scalable shape for
+    interval joins against small dimension ranges. For two LARGE interval
+    sets the right plan is a bucketed prefilter (join on overlapping
+    coarse buckets, then refine) — same pattern as the LSH verify stage.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("low", 0.0, 50_000.0),
+                ("mid", 50_000.0, 150_000.0),
+                ("high", 150_000.0, 300_000.0),
+                ("ultra", 300_000.0, 1e18),
+            ],
+            ["band", "lo", "hi"],
+        )
+    )
+    return (
+        orders.join(
+            bands,
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            # sum in exact decimal: double accumulation order varies with
+            # partitioning and diverges past 1e-6 on ~1e9 totals
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33 — as-of join: for each event, the most recent order of the same
+    customer with o_orderdate ≤ event time.
+
+    Composition: range join on (key, time ≤) then keep rank-1 per event —
+    the DataFrame expression of an as-of join. At scale the join shuffles
+    on the customer key (both sides), and the per-event window is narrow
+    because AQE splits skewed customers; a sort-merge formulation with
+    ``mapInPandas`` per key-partition (pandas ``merge_asof``) is the
+    drop-in upgrade path if a customer's order history is huge.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = events.join(
+        orders,
+        (events.user_id == orders.o_custkey) & (orders.o_orderdate <= events.ts),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def running_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T34 — per-customer ordered analytics: running revenue, previous /
+    next order price (lag/lead), order index. One shuffle on o_custkey
+    shared by all four window functions (same frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wsum), 6).alias("running_revenue"),
+        F.round(F.lag("o_totalprice").over(w), 6).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 6).alias("next_price"),
+        F.row_number().over(w).alias("order_idx"),
+    ).orderBy("o_custkey", "order_idx")

@@ -868,3 +868,95 @@ register(
         tags=("llm", "multimodal"),
     )
 )
+
+# --------------------------------------------------------------------------
+# Extended relational coverage: cube, range join, as-of join, running windows
+# --------------------------------------------------------------------------
+
+register(
+    QuerySpec(
+        name="t31_revenue_cube",
+        builder=rel_ops.revenue_cube,
+        oracle="""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """,
+        doc="CUBE grouping sets over lineitem flags",
+        tags=("relational", "rollup"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t32_price_band_join",
+        builder=rel_ops.price_band_join,
+        oracle="""
+            WITH bands(band, lo, hi) AS (
+                VALUES ('low', 0.0, 50000.0),
+                       ('mid', 50000.0, 150000.0),
+                       ('high', 150000.0, 300000.0),
+                       ('ultra', 300000.0, 1e18)
+            )
+            SELECT band,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
+            ORDER BY band
+        """,
+        doc="non-equi range join against broadcast price bands",
+        tags=("relational", "join"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t33_asof_latest_order",
+        builder=rel_ops.asof_latest_order,
+        oracle="""
+            SELECT event_id, user_id, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+            FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            )
+            WHERE rn = 1
+            ORDER BY event_id
+        """,
+        doc="as-of join: latest order per event at event time",
+        tags=("relational", "join", "asof"),
+        headline=True,
+    )
+)
+
+register(
+    QuerySpec(
+        name="t34_running_order_analytics",
+        builder=rel_ops.running_order_analytics,
+        oracle="""
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 6) AS running_revenue,
+                   round(lag(o_totalprice) OVER w, 6) AS prev_price,
+                   round(lead(o_totalprice) OVER w, 6) AS next_price,
+                   CAST(row_number() OVER w AS INTEGER) AS order_idx
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, order_idx
+        """,
+        doc="running sum + lag/lead per customer (shared window frame)",
+        tags=("relational", "window"),
+    )
+)

@@ -46,3 +46,119 @@ def test_session_stream_matches_batch(spark, sf_dir):
         "user_id", "n_sessions", "n_events"
     )
     assert _rows(got_user, "user_id") == _rows(want, "user_id")
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    """Custom applyInPandasWithState sessionizer over an availableNow
+    replay reproduces the batch gaps-and-islands operator."""
+    from mapreduce_google_spark.streaming.stateful import sessionize_stateful
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t16_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink: last emitted row per user is the final state
+    got_df = spark.sql(
+        "SELECT user_id, n_sessions, n_events FROM t16_stateful"
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in got_df.collect()}
+    want = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in session_window_stats(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling agg with a 1h watermark: a late row whose
+    window was already finalized (state evicted in an earlier batch) is
+    dropped, and the finalized count is not re-emitted or updated.
+
+    Micro-batch structure matters: eviction happens at the END of the
+    batch in which the watermark passes the window end, so the drop
+    guarantee only holds one batch later — hence three files with
+    controlled mtimes processed one per trigger."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("v", LongType())]
+    )
+    import datetime as dt
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        # move the single part file into the source dir with a controlled
+        # mtime so the file source processes b1 before b2
+        part = next(
+            p for p in os.listdir(tmp_path / name) if p.startswith("part-")
+        )
+        dest = src / f"{name}.parquet"
+        os.rename(tmp_path / name / part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    t = dt.datetime(2024, 1, 1)
+    write_file(
+        "b1",
+        [
+            (t.replace(hour=10, minute=5), 1),
+            (t.replace(hour=10, minute=40), 1),
+            (t.replace(hour=13, minute=0), 1),
+        ],
+        mtime=_time.time() - 200,
+    )
+    # advances the watermark to 12:00 (start of this batch), evicting and
+    # finalizing the 10:00 window at the end of it
+    write_file("b2", [(t.replace(hour=14, minute=0), 1)], mtime=_time.time() - 100)
+    # LATE: 10:00 window already evicted -> row must be dropped
+    write_file("b3", [(t.replace(hour=10, minute=15), 1)], mtime=_time.time())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (r.ws, r.n)
+        for r in spark.sql("SELECT ws, n FROM late_drop ORDER BY ws").collect()
+    ]
+    # exactly one finalized 10:00 window with the 2 on-time rows — the late
+    # 10:15 row neither updated it nor re-emitted a duplicate window
+    assert rows == [("2024-01-01 10:00:00", 2)], rows
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, [p["batchId"] for p in q.recentProgress]
