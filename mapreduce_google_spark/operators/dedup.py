@@ -47,16 +47,22 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) pairs: distinct word n-grams of the lowercased
-    token stream, joined with spaces.
+def _doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles: array<string>) — the DISTINCT word n-grams of
+    the lowercased token stream per document, kept as one array row.
+
+    Per-row (narrow) evaluation: no explode, no distinct shuffle — the
+    set semantics come from ``array_distinct``. Downstream per-doc
+    computations (MinHash signatures, candidate-pair Jaccard) stay
+    shuffle-free or shuffle only doc-level rows, which is the difference
+    between O(docs) and O(shingle occurrences) exchange volume at 100 TB.
 
     The corpus arrives as ONE parquet file → one input partition; without
-    an explicit repartition the entire tokenize+explode (the most
-    expensive expression in the dedup family) runs on a single core. The
-    narrow doc_id shuffle up front parallelizes it across the cluster —
-    at 100 TB the source would already be many files, but a small-file
-    hot spot like this is exactly what kills mixed-size production runs.
+    an explicit repartition the entire tokenize (the most expensive
+    expression in the dedup family) runs on a single core. The narrow
+    doc_id shuffle up front parallelizes it across the cluster — at
+    100 TB the source would already be many files, but a small-file hot
+    spot like this is exactly what kills mixed-size production runs.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
@@ -90,10 +96,18 @@ def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("shingles"),
     )
-    return (
-        ngrams.select("doc_id", F.explode("shingles").alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
+    return ngrams.select(
+        "doc_id",
+        F.array_distinct(F.filter("shingles", lambda s: s != "")).alias("shingles"),
+    )
+
+
+def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded pairs — the inverted-index form, for
+    operators that genuinely need a join per shingle (exact all-pairs
+    Jaccard's candidate discovery)."""
+    return _doc_shingle_arrays(docs, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -136,61 +150,45 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, num_hashes: int = 32, shingles: DataFrame | None = None
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, signatures array<long>) — MinHash over shingle sets.
+    """(doc_id, signature array<long>) — MinHash over shingle sets.
 
     Permutation family h_i(x) = (a_i·x + b_i) mod (2^31-1) with x =
     xxhash64(shingle) folded to 31 bits. All arithmetic stays in LONGs
-    (a_i < 2^6, x < 2^31 ⇒ products < 2^37 — no decimal widening), fully
-    JVM-side: one shuffle on doc_id, num_hashes min-aggregates.
+    (a_i < 2^6, x < 2^31 ⇒ products < 2^37 — no decimal widening).
+
+    Computed PER ROW over the shingle array (``transform`` +
+    ``array_min``), not as a groupBy over exploded shingles: signature
+    computation is embarrassingly parallel per document, so it costs zero
+    shuffle — the previous exploded formulation exchanged every (doc,
+    shingle) pair just to take per-doc minimums. Docs with no shingles
+    (< n tokens) carry no signature and are dropped, matching the
+    exploded form.
     """
-    sh = shingles if shingles is not None else _doc_shingles(docs, n)
-    hashed = sh.select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_PRIME31)).alias("x")
+    sets = (
+        shingle_arrays if shingle_arrays is not None else _doc_shingle_arrays(docs, n)
     )
-    aggs = []
+    xs = sets.where(F.size("shingles") > 0).select(
+        "doc_id",
+        F.transform(
+            "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME31))
+        ).alias("xs"),
+    )
+    def _perm(a: int, b: int):
+        # closure factory: transform() inspects the lambda's arity, so the
+        # constants must be captured, not passed as defaulted params
+        return lambda x: (x * a + b) % _PRIME31
+
+    mins = []
     for i in range(num_hashes):
         a = 2 * i + 1  # odd multipliers, deterministic
         b = (0x9E3779B9 * (i + 1)) % _PRIME31
-        aggs.append(F.min((F.col("x") * a + b) % _PRIME31).alias(f"h{i}"))
-    sig = hashed.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
-    )
-
-
-def _jaccard_of_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard restricted to the given (doc_a, doc_b) pairs — the
-    verify stage of LSH. Cost is O(candidate pairs × shingles), not
-    O(all co-shingled pairs)."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("b.doc_id") == pairs.doc_b)
-            & (F.col("b.shingle") == F.col("a.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+        mins.append(F.array_min(F.transform("xs", _perm(a, b))))
+    return xs.select("doc_id", F.array(*mins).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -207,14 +205,18 @@ def minhash_lsh_pairs(
     The verify stage computes Jaccard just for pairs sharing a band
     bucket — at 100 TB that is the entire point of LSH (the exact
     all-pairs join is quadratic in co-shingled docs; candidates are
-    ~linear for bounded near-dup rates). Rows-only for the driver (the
-    hash family isn't SQL-portable); ``tests/test_approx_ops.py`` asserts
-    precision 1.0 vs the exact operator and a recall floor.
+    ~linear for bounded near-dup rates). Verification joins each
+    candidate pair to the two docs' shingle ARRAYS and intersects them
+    per row (``array_intersect``) — two doc-level joins, instead of
+    re-exploding the inverted index per candidate. Rows-only for the
+    driver (the hash family isn't SQL-portable);
+    ``tests/test_approx_ops.py`` asserts precision 1.0 vs the exact
+    operator and a recall floor.
     """
     docs = load_table(spark, sf_dir, "documents")
     rows_per_band = num_hashes // bands
-    sh = _doc_shingles(docs, n).cache()
-    sig = minhash_signatures(docs, n, num_hashes, shingles=sh)
+    sets = _doc_shingle_arrays(docs, n).cache()
+    sig = minhash_signatures(docs, n, num_hashes, shingle_arrays=sets)
     # band key = (band index, hash of that band's signature slice)
     banded = sig.select(
         "doc_id",
@@ -250,8 +252,16 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = F.round(
+        n_common / (F.size("sh_a") + F.size("sh_b") - n_common), 6
+    ).alias("jaccard")
     return (
-        _jaccard_of_pairs(candidates, sh)
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard)
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )

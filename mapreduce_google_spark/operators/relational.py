@@ -277,10 +277,14 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T33 — as-of join: for each event, the most recent order of the same
     customer with o_orderdate ≤ event time.
 
-    Composition: range join on (key, time ≤) then keep rank-1 per event —
-    the DataFrame expression of an as-of join. At scale the join shuffles
-    on the customer key (both sides), and the per-event window is narrow
-    because AQE splits skewed customers; a sort-merge formulation with
+    Composition: range join on (key, time ≤) then argmax per event,
+    expressed as ``max(struct(orderdate, orderkey))`` — struct comparison
+    is lexicographic, so the max struct IS the rank-1 row of the
+    (desc, desc) window, but as an aggregate it gets map-side partial
+    aggregation and no sort: each join task reduces its events locally
+    before the shuffle, so the exchange carries one row per (event,
+    partial) instead of every joined pair, and skewed customers don't
+    serialize into one window partition. A sort-merge formulation with
     ``mapInPandas`` per key-partition (pandas ``merge_asof``) is the
     drop-in upgrade path if a customer's order history is huge.
     """
@@ -291,26 +295,15 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (events.user_id == orders.o_custkey) & (orders.o_orderdate <= events.ts),
         "inner",
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    best = joined.groupBy("event_id", "user_id").agg(
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("best")
     )
-    return (
-        joined.select(
-            "event_id",
-            "user_id",
-            "o_orderkey",
-            "o_orderdate",
-            F.row_number().over(w).alias("rn"),
-        )
-        .where(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
-        )
-        .orderBy("event_id")
-    )
+    return best.select(
+        "event_id",
+        "user_id",
+        F.col("best.o_orderkey").alias("o_orderkey"),
+        F.date_format("best.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+    ).orderBy("event_id")
 
 
 def running_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
