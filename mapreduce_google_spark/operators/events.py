@@ -123,3 +123,28 @@ def session_window_stats(
         )
         .orderBy("user_id")
     )
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T37 — semi-structured extraction: pull ``$.k`` out of the JSON
+    ``props`` string, aggregate per event_type.
+
+    ``get_json_object`` evaluates JVM-side inside codegen (no Python).
+    For repeated multi-field extraction prefer ``from_json`` with an
+    explicit schema — one parse per row instead of one per field; at
+    100 TB parse cost dominates this operator, so the single-pass parse
+    and an explicit schema (no sampling-based inference) are the rule.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count("k").cast("long").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -321,3 +321,66 @@ def running_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("o_totalprice").over(w), 6).alias("next_price"),
         F.row_number().over(w).alias("order_idx"),
     ).orderBy("o_custkey", "order_idx")
+
+
+def segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T35 — exact interpolated percentiles (median, p90) of account
+    balance per market segment.
+
+    ``F.percentile`` is the exact linear-interpolation aggregate (same
+    definition as ANSI ``percentile_cont`` / DuckDB ``quantile_cont``), so
+    the oracle matches bit-for-bit after rounding. At 100 TB exact
+    percentiles buffer each group's values — switch to
+    ``percentile_approx`` (t39's sketch cousin: GK-sketch, mergeable,
+    bounded memory) when groups stop fitting; the API shape is identical.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("median_acctbal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 6).alias("p90_acctbal"),
+            F.count("*").cast("long").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def pricing_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T36 — pivot lineitem counts: one row per returnflag, one column
+    per linestatus.
+
+    Pivot values are declared explicitly — without the list Spark runs a
+    separate distinct scan just to discover the columns, and the output
+    schema becomes data-dependent (a non-starter for a 100 TB pipeline
+    feeding a fixed downstream schema). A declared pivot is a single
+    hash-agg pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce("O", F.lit(0)).cast("long").alias("n_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def top_orders_global(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """T38 — global top-k orders by price, deterministic tie-break on key.
+
+    ``orderBy + limit`` compiles to TakeOrderedAndProject: each task keeps
+    a k-row heap, the driver merges heaps — no range-partitioned global
+    sort ever materializes. This is the shape to insist on for top-k at
+    100 TB (a real global sort of the full table would shuffle all of it).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )

@@ -102,3 +102,20 @@ def top_k_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T39 — approximate distinct-token count via HyperLogLog++.
+
+    The sketch is tiny (KB), mergeable, and single-pass — the partial
+    sketches combine map-side, so the shuffle carries one sketch per
+    partition instead of every distinct token (T05's exact variant
+    shuffles the full token set). rsd=0.01 targets 1% relative error;
+    tests assert the estimate lands within 2% of the exact count.
+    Rows-only for the driver: HLL internals aren't SQL-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_of(docs)
+    return toks.agg(
+        F.approx_count_distinct("token", rsd=0.01).alias("approx_n_tokens")
+    )

@@ -960,3 +960,87 @@ register(
         tags=("relational", "window"),
     )
 )
+
+register(
+    QuerySpec(
+        name="t35_segment_percentiles",
+        builder=rel_ops.segment_percentiles,
+        oracle="""
+            SELECT c_mktsegment,
+                   round(quantile_cont(c_acctbal, 0.5), 6) AS median_acctbal,
+                   round(quantile_cont(c_acctbal, 0.9), 6) AS p90_acctbal,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        doc="exact interpolated median/p90 account balance per segment",
+        tags=("relational", "percentile"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t36_pricing_pivot",
+        builder=rel_ops.pricing_pivot,
+        oracle="""
+            SELECT l_returnflag,
+                   CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+                   CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        doc="pivot: lineitem counts, returnflag rows x linestatus columns",
+        tags=("relational", "pivot"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t37_json_props_stats",
+        builder=event_ops.json_props_stats,
+        oracle="""
+            SELECT event_type,
+                   round(avg(k), 6) AS avg_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k,
+                   CAST(count(k) AS BIGINT) AS n_with_k
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        doc="JSON field extraction from props, stats per event_type",
+        tags=("relational", "json"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t38_top_orders_global",
+        builder=rel_ops.top_orders_global,
+        oracle="""
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        doc="global top-100 orders by price (TakeOrderedAndProject, no full sort)",
+        tags=("relational", "topk"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t39_approx_distinct_tokens",
+        builder=text_ops.approx_distinct_tokens,
+        oracle=None,  # HLL++ sketch not SQL-portable; tests assert the
+        # estimate is within 2% of the exact T05 count
+        doc="HyperLogLog++ approximate distinct-token count (rsd=0.01)",
+        tags=("llm", "sketch"),
+    )
+)

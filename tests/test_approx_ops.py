@@ -49,3 +49,16 @@ def test_ivf_scans_fraction_of_vectors(spark, sf_dir):
     per_cell = {r.cell_id: r.n for r in assigned.groupBy("cell_id").count().withColumnRenamed("count", "n").collect()}
     assert sum(per_cell.values()) == emb.count()  # every vector in exactly one cell
     assert len(per_cell) > 1, "all vectors collapsed into one IVF cell"
+
+
+def test_approx_distinct_within_error(spark, sf_dir):
+    """HLL++ estimate (rsd=0.01) must land within 2% of the exact
+    distinct-token count."""
+    from mapreduce_google_spark.operators.text import (
+        approx_distinct_tokens,
+        distinct_tokens,
+    )
+
+    exact = distinct_tokens(spark, sf_dir).collect()[0].n_tokens
+    approx = approx_distinct_tokens(spark, sf_dir).collect()[0].approx_n_tokens
+    assert abs(approx - exact) / exact <= 0.02, (approx, exact)

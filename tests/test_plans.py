@@ -62,3 +62,20 @@ def test_scan_prunes_columns(spark, sf_dir):
     scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan_lines, plan
     assert "lang" not in scan_lines[0] and "source" not in scan_lines[0], scan_lines[0]
+
+
+def test_t38_global_topk_avoids_full_sort(spark, sf_dir):
+    from mapreduce_google_spark.operators.relational import top_orders_global
+
+    df = top_orders_global(spark, sf_dir)
+    assert has_take_ordered(df), formatted_plan(df)
+
+
+def test_t33_asof_partial_aggregates_before_shuffle(spark, sf_dir):
+    """The as-of join must reduce map-side (partial_max) — not sort the
+    joined pairs through a window."""
+    from mapreduce_google_spark.operators.relational import asof_latest_order
+
+    plan = formatted_plan(asof_latest_order(spark, sf_dir))
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan
