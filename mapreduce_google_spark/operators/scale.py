@@ -1,0 +1,314 @@
+"""Scale-pattern operators: the physical-layout and skew techniques that
+keep joins/scans viable at 100 TB, each wrapped as an oracle-checkable
+query.
+
+The reference engine's only layout lever is its md5-mod-P hash partition
+of intermediate files (reference ``mapreduce/worker/__main__.py:62-65``) —
+there is no bucketing, no partition pruning, no skew handling, no
+cost-based anything (SURVEY.md §4). These operators demonstrate the Spark
+tools that replace and extend that single lever:
+
+* **bucketing** (T40) — pre-shuffle a table on its join key at write time
+  so every later join on that key is exchange-free;
+* **salting** (T41) — spread a skewed join key across `salts` synthetic
+  sub-keys so no single reducer owns a hot key (the manual counterpart to
+  AQE's skew-join splitting, needed when the build side can't broadcast);
+* **hive-style partition pruning** (T42) — directory-level data skipping:
+  a filter on the partition column means non-matching files are never
+  listed, let alone read;
+* **grouping sets** (T43) and **correlated subqueries** (T44) — Catalyst
+  rewrites (expand + single shuffle; decorrelation into an aggregate
+  join) that the reference could only express as multiple full jobs;
+* **bucketed range join** (T45) — the band-bucket prefilter that turns an
+  O(n²) interval self-join into an equi-join on coarse time buckets plus
+  an exact refine, the same candidate-then-verify shape as MinHash-LSH
+  (``operators/dedup.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.io import load_table, register_views
+
+#: decimal sum → double, rounded — deterministic vs the oracle regardless
+#: of partitioning (double accumulation order varies run to run).
+def _revenue(col: str):
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), 6
+    )
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+
+
+def bucketed_revenue_per_segment(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> DataFrame:
+    """T40 — co-located join via bucketed tables: revenue per market
+    segment from ``orders ⋈ customer``, with both sides bucketed (and
+    sorted) on custkey at write time.
+
+    The one-time bucketed write is the amortized shuffle: every
+    subsequent join on the bucket key reads bucket i of both tables into
+    the same task — no exchange, no sort (``tests/test_plans.py``
+    pins ≤2 exchanges: only the final agg + order-by). At 100 TB this is
+    the difference between re-shuffling the fact table per query and
+    never shuffling it again; the same layout serves every custkey join
+    (orders⋈customer, lineitem⋈orders via orderkey buckets, …).
+
+    The ``merge`` hint opts this join out of broadcasting so the gate
+    actually proves bucket co-location (at test scale customer would
+    otherwise broadcast; at 100 TB neither side broadcasts and the
+    bucketed sort-merge IS the plan).
+    """
+    tag = _tag(sf_dir)
+    tables = {
+        "orders": ("o_custkey", f"mgs_b_orders_{tag}"),
+        "customer": ("c_custkey", f"mgs_b_customer_{tag}"),
+    }
+    for name, (key, tbl) in tables.items():
+        if not spark.catalog.tableExists(tbl):
+            # the in-memory catalog dies with the session but the warehouse
+            # dir survives — clear any orphaned location before re-creating
+            # (with a persistent metastore this rewrite never happens)
+            loc = os.path.join("/tmp/mgs-warehouse", tbl)
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+            (
+                load_table(spark, sf_dir, name)
+                .repartition(num_buckets, key)  # 1 file per bucket, sorted
+                .write.mode("overwrite")
+                .bucketBy(num_buckets, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    orders = spark.table(tables["orders"][1])
+    customer = spark.table(tables["customer"][1])
+    return (
+        orders.hint("merge")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            _revenue("o_totalprice").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def salted_brand_revenue(
+    spark: SparkSession, sf_dir: str, salts: int = 8
+) -> DataFrame:
+    """T41 — skew-salted shuffle join: revenue per part brand from
+    ``lineitem ⋈ part``, with the join key salted across ``salts``
+    sub-keys.
+
+    The pattern for a hot key that a plain hash join would serialize onto
+    one reducer, when the build side is too large to broadcast: replicate
+    each build row ``salts`` times (once per salt value) and give each
+    probe row a uniform pseudo-random salt, then join on
+    ``(key, salt)`` — the hot key's probe rows now spread over ``salts``
+    tasks. Cost: build side inflates ×salts, so salts is sized to the
+    skew factor, not the cluster. AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``) automates this for sort-merge
+    joins; manual salting remains the tool for hash joins and for
+    aggregations (salt → partial agg → de-salt final agg).
+
+    The probe salt comes from ``xxhash64`` of the row's unique key — any
+    uniform deterministic value works; it never appears in the result.
+    The ``shuffle_hash`` hint keeps the demo honest (part would broadcast
+    at test scale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    salt_values = F.array(*[F.lit(i) for i in range(salts)])
+    build = part.select(
+        "p_partkey", "p_brand", F.explode(salt_values).alias("salt")
+    )
+    probe = li.select(
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salts))
+        .cast("int")
+        .alias("salt"),
+    )
+    return (
+        probe.join(
+            build.hint("shuffle_hash"),
+            (probe.l_partkey == build.p_partkey) & (probe.salt == build.salt),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+#: fixed probe day for T42 — present at every sf (events span 2024-01).
+PRUNE_DAY = "2024-01-02"
+
+
+def partition_pruned_daily_counts(
+    spark: SparkSession, sf_dir: str, day: str = PRUNE_DAY
+) -> DataFrame:
+    """T42 — hive-partitioned sink + partition-pruned scan: event counts
+    per type for one day, read from a copy of ``events`` written
+    ``partitionBy("event_date")``.
+
+    The write lays events out as ``event_date=YYYY-MM-DD/`` directories —
+    the table-layout analog of the reference's per-partition intermediate
+    files (``maptask*-partNNNNN``, reference ``worker/__main__.py:159-166``)
+    but keyed by a *semantic* column, so a filter on it prunes at the
+    directory level: the scan for one day lists 1/30th of the files and
+    reads zero bytes of the rest (``tests/test_plans.py`` pins
+    ``PartitionFilters``). At 100 TB date-partitioning is the first
+    layout decision any event table makes; pruning is what keeps
+    point-in-time queries O(day) instead of O(history).
+
+    The one-time partitioned write is cached under /tmp per sf_dir.
+    """
+    tag = _tag(sf_dir)
+    out = f"/tmp/mgs_part_events_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition("event_date")  # one task per day → one file per dir
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_date") == day)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T43 — GROUPING SETS ((region), (region, nation), ()): order revenue
+    at three aggregation levels in ONE pass.
+
+    Catalyst's Expand rewrite emits one row per row per grouping set into
+    a single hash aggregate — one scan + one shuffle for all three
+    levels, where the reference framework would run three full
+    map-reduce jobs (its only aggregation is one group-reduce per job,
+    reference ``worker/__main__.py:241-249``). Null group labels are
+    coalesced to 'ALL' so both engines order identically.
+    """
+    register_views(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        ORDER BY region, nation
+        """
+    )
+
+
+def above_segment_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T44 — correlated scalar subquery: per segment, how many customers
+    hold an account balance above their segment's average.
+
+    Catalyst decorrelates the subquery into an aggregate + join (one scan
+    of customer for the averages, one for the probe — no per-row
+    re-execution), the rewrite that makes correlated SQL usable at scale;
+    the reference has no subquery concept at all (SURVEY.md §4:
+    "subquery decorrelation — no joins/subqueries").
+    """
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_above_avg
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+                           FROM customer c2
+                           WHERE c2.c_mktsegment = c.c_mktsegment)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+def event_pairs_within_minute(
+    spark: SparkSession, sf_dir: str, window_s: int = 60
+) -> DataFrame:
+    """T45 — bucketed range self-join: pairs of events by the same user
+    within ``window_s`` seconds, counted per (earlier, later) event-type.
+
+    A naive interval self-join is a non-equi join — BroadcastNestedLoop
+    at small scale, undoable at 100 TB. The scalable shape is
+    candidate-then-verify, the same as the LSH dedup pipeline
+    (``operators/dedup.py``): bucket time into ``window_s`` blocks, join
+    on ``(user_id, bucket)`` where the later event probes its own and the
+    previous bucket (any pair ≤ window_s apart must land in the same or
+    adjacent buckets), then refine with the exact timestamp predicate.
+    Everything is hash-equi-join + filter: shuffles on (user, bucket),
+    never a cross product.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    bucket = F.floor(F.unix_micros("ts") / F.lit(window_s * 1_000_000))
+    earlier = ev.select(
+        F.col("user_id").alias("u_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("event_type").alias("type_a"),
+        bucket.alias("bucket"),
+    )
+    later = ev.select(
+        F.col("user_id").alias("u_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_type").alias("type_b"),
+        F.explode(F.array(bucket - 1, bucket)).alias("bucket"),
+    )
+    # user AND bucket are both equi-keys — the shuffle spreads by
+    # (user, bucket), not by bucket alone (which would collide every
+    # concurrent user into one task per time block)
+    pairs = earlier.join(
+        later,
+        (earlier["bucket"] == later["bucket"]) & (F.col("u_a") == F.col("u_b")),
+    ).where(
+        (F.col("ts_b") > F.col("ts_a"))
+        & (
+            F.col("ts_b")
+            <= F.col("ts_a") + F.expr(f"INTERVAL {window_s} SECONDS")
+        )
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )

@@ -1044,3 +1044,126 @@ register(
         tags=("llm", "sketch"),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Scale-pattern family (operators/scale.py): physical-layout & skew tools
+# --------------------------------------------------------------------------
+from mapreduce_google_spark.operators import scale as scale_ops  # noqa: E402
+
+register(
+    QuerySpec(
+        name="t40_bucketed_segment_revenue",
+        builder=scale_ops.bucketed_revenue_per_segment,
+        oracle="""
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                       AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        doc="co-located orders⋈customer via write-time bucketing (no join exchange)",
+        tags=("scale", "relational", "bucketing"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t41_salted_brand_revenue",
+        builder=scale_ops.salted_brand_revenue,
+        oracle="""
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        doc="skew-salted shuffle join lineitem⋈part (manual salt, shuffle_hash)",
+        tags=("scale", "relational", "skew"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t42_partition_pruned_daily",
+        builder=scale_ops.partition_pruned_daily_counts,
+        oracle=f"""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            WHERE CAST(ts AS DATE) = DATE '{scale_ops.PRUNE_DAY}'
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        doc="hive-partitioned sink + partition-pruned one-day scan",
+        tags=("scale", "io", "pruning"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t43_revenue_grouping_sets",
+        builder=scale_ops.revenue_grouping_sets,
+        oracle="""
+            SELECT coalesce(r_name, 'ALL') AS region,
+                   coalesce(n_name, 'ALL') AS nation,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+                       AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+            ORDER BY region, nation
+        """,
+        doc="three aggregation levels in one Expand pass (GROUPING SETS)",
+        tags=("scale", "relational", "groupingsets"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t44_above_segment_avg",
+        builder=scale_ops.above_segment_average_customers,
+        oracle="""
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_above_avg
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+                               FROM customer c2
+                               WHERE c2.c_mktsegment = c.c_mktsegment)
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        doc="correlated scalar subquery, decorrelated by Catalyst",
+        tags=("scale", "relational", "subquery"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t45_event_pairs_within_minute",
+        builder=scale_ops.event_pairs_within_minute,
+        oracle="""
+            SELECT a.event_type AS type_a,
+                   b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 60 SECOND
+            GROUP BY type_a, type_b
+            ORDER BY type_a, type_b
+        """,
+        doc="bucketed range self-join: same-user event pairs within 60s",
+        tags=("scale", "relational", "rangejoin"),
+        headline=True,
+    )
+)

@@ -80,6 +80,10 @@ def get_spark(
         # of ~128 MB rather than a few giant ones.
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # bucketed tables (operators/scale.py T40) live outside the repo;
+        # bucketing pruning/reading on by default, pinned as contract
+        "spark.sql.warehouse.dir": "file:///tmp/mgs-warehouse",
+        "spark.sql.sources.bucketing.enabled": "true",
         "spark.ui.enabled": "false",
         "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",
         "spark.executor.extraJavaOptions": "-Djava.security.manager=allow",

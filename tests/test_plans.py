@@ -79,3 +79,48 @@ def test_t33_asof_partial_aggregates_before_shuffle(spark, sf_dir):
     plan = formatted_plan(asof_latest_order(spark, sf_dir))
     assert "partial_max" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_t40_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """Bucketed orders⋈customer: the only exchanges are the final agg +
+    order-by — the join itself reads co-located buckets."""
+    from mapreduce_google_spark.operators.scale import bucketed_revenue_per_segment
+
+    df = bucketed_revenue_per_segment(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange (") <= 2, plan
+
+
+def test_t41_salted_join_shuffles_on_salt(spark, sf_dir):
+    """The salt column must be part of the hash-join keys and the join
+    must not broadcast (that's the scenario salting exists for)."""
+    from mapreduce_google_spark.operators.scale import salted_brand_revenue
+
+    plan = formatted_plan(salted_brand_revenue(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "salt" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_t42_scan_prunes_partitions(spark, sf_dir):
+    """The one-day filter must land in PartitionFilters (directory-level
+    skipping), not just PushedFilters."""
+    from mapreduce_google_spark.operators.scale import (
+        partition_pruned_daily_counts,
+    )
+
+    df = partition_pruned_daily_counts(spark, sf_dir)
+    plan = formatted_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0], plan
+
+
+def test_t45_range_join_avoids_nested_loop(spark, sf_dir):
+    """The bucket prefilter must make the interval self-join an equi
+    join — no BroadcastNestedLoop / CartesianProduct anywhere."""
+    from mapreduce_google_spark.operators.scale import event_pairs_within_minute
+
+    plan = formatted_plan(event_pairs_within_minute(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
