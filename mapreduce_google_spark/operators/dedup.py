@@ -295,3 +295,82 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 32) -> Da
     return votes.select(
         "doc_id", simhash.cast("long").alias("simhash")
     ).orderBy("doc_id")
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iters: int = 10,
+) -> DataFrame:
+    """T48 — near-dup cluster labeling: connected components over the
+    MinHash-LSH near-dup graph, each doc labeled with its cluster's
+    minimum doc_id.
+
+    The step the LSH pipeline needs before it can act (keep one doc per
+    cluster): pairs → undirected edges → iterative min-label propagation
+    (each node takes the min of its own and its neighbors' labels) until
+    fixpoint. Convergence takes O(cluster diameter) rounds — near-dup
+    clusters are shallow (dups of dups of one original), so the loop is
+    short; each round is one shuffle join + hash-agg, the standard
+    large-graph CC recipe (GraphX/Pregel does the same dataflow).
+    ``localCheckpoint`` truncates the growing lineage each round —
+    without it, iteration i replays all i−1 predecessors on every action
+    (the classic iterative-Spark trap).
+
+    Driver-side loop control (a per-round ``count()``) is O(iterations)
+    scalar actions, not a data collect. Rows-only for the driver;
+    ``tests/test_approx_ops.py`` asserts exact-duplicate groups land in
+    one cluster and labels equal the cluster min.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()  # pin the (small) edge list; LSH is expensive
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )

@@ -163,3 +163,124 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .orderBy("probe_id", "rank")
     )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T46 — per-label L2-norm statistics of the embedding column.
+
+    The norm is a per-row higher-order-function fold (``aggregate`` over
+    the array, JVM-side, no Python) — the whole query is one narrow pass
+    plus one hash-agg on the low-cardinality label. This is the shape
+    embedding QA sweeps take at 100 TB (detect unnormalized / degenerate
+    vectors per shard): the scan is the cost, everything else is free.
+    Floats are cast to double INSIDE the fold, summed left-to-right, so
+    DuckDB's ``list_sum(list_transform(...))`` reproduces the value
+    bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    from mapreduce_google_spark.functions.vectors import l2_norm
+
+    norms = emb.select("label", l2_norm("embedding").alias("norm"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def _hyperplanes(
+    dim: int, n_tables: int, n_bits: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic Gaussian hyperplanes, planes[table][bit][dim]."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def hyperplane_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int = 10,
+    k: int = 5,
+    n_tables: int = 8,
+    n_bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """T47 — approximate top-k via random-hyperplane (SimHash-for-cosine)
+    LSH with OR-amplification across ``n_tables`` tables.
+
+    Signature: bit b of table t = sign(v · plane_{t,b}); bucket key =
+    (table, packed bits). Collision probability per bit is 1 − θ/π, so
+    near neighbors (small angle) collide with high probability in at
+    least one table. Signatures are computed PER ROW with literal plane
+    vectors folded into the expression tree (no shuffle, no Python);
+    the only exchanges are the candidate join against the broadcast
+    probe buckets and the final per-probe top-k. Versus IVF
+    (:func:`ivf_topk`): no training/assignment pass — the index is
+    stateless, which at 100 TB means new data buckets itself on
+    ingestion with zero coordination.
+
+    Rows-only for the driver (the plane family isn't SQL-portable);
+    ``tests/test_approx_ops.py`` checks recall vs :func:`cosine_topk`
+    and exactness of returned cosines.
+    """
+    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+
+    def bucket(vec, t: int):
+        packed = F.lit(0)
+        for b in range(n_bits):
+            plane = F.array(*[F.lit(w) for w in planes[t][b]])
+            packed = packed + F.when(dot(vec, plane) >= 0, F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+        return packed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets_of = lambda df, vec_col: df.select(  # noqa: E731
+        "*",
+        F.posexplode(
+            F.array(*[bucket(F.col(vec_col), t) for t in range(n_tables)])
+        ).alias("tbl", "bucket"),
+    )
+    vec_buckets = buckets_of(emb.select("vec_id", "embedding"), "embedding").select(
+        "vec_id", "tbl", "bucket"
+    )
+    probes = _probes(emb, n_probes)
+    probe_buckets = F.broadcast(
+        buckets_of(probes, "probe_vec").select("probe_id", "tbl", "bucket")
+    )
+    candidates = (
+        vec_buckets.join(probe_buckets, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("probe_vec", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select(
+            "probe_id", "vec_id", "cosine", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )

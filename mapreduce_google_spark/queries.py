@@ -1167,3 +1167,51 @@ register(
         headline=True,
     )
 )
+
+register(
+    QuerySpec(
+        name="t46_embedding_norm_stats",
+        builder=sim_ops.embedding_norm_stats,
+        oracle="""
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   round(avg(nrm), 6) AS avg_norm,
+                   round(min(nrm), 6) AS min_norm,
+                   round(max(nrm), 6) AS max_norm
+            FROM (
+                SELECT label,
+                       sqrt(list_sum(list_transform(
+                           embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       ))) AS nrm
+                FROM embeddings
+            )
+            GROUP BY label
+            ORDER BY label
+        """,
+        doc="per-label L2 norm stats — embedding QA pass (HOF fold, no Python)",
+        tags=("llm", "similarity"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t47_hyperplane_lsh_topk",
+        builder=sim_ops.hyperplane_lsh_topk,
+        oracle=None,  # plane family not SQL-portable; recall/exactness
+        # gates live in tests/test_approx_ops.py
+        doc="random-hyperplane LSH ANN (8 tables x 6 bits, OR-amplified)",
+        tags=("llm", "similarity", "lsh"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t48_dedup_clusters",
+        builder=dedup_ops.dedup_clusters,
+        oracle=None,  # iterative CC over LSH pairs; validity gates in
+        # tests/test_approx_ops.py
+        doc="connected-component cluster labels over the near-dup graph",
+        tags=("llm", "dedup", "iterative"),
+    )
+)

@@ -62,3 +62,49 @@ def test_approx_distinct_within_error(spark, sf_dir):
     exact = distinct_tokens(spark, sf_dir).collect()[0].n_tokens
     approx = approx_distinct_tokens(spark, sf_dir).collect()[0].approx_n_tokens
     assert abs(approx - exact) / exact <= 0.02, (approx, exact)
+
+
+def test_hyperplane_lsh_recall_and_exactness(spark, sf_dir):
+    from mapreduce_google_spark.operators.similarity import hyperplane_lsh_topk
+
+    exact_rows = cosine_topk(spark, sf_dir).collect()
+    exact = {(r.probe_id, r.vec_id) for r in exact_rows}
+    exact_cos = {(r.probe_id, r.vec_id): r.cosine for r in exact_rows}
+    approx_rows = hyperplane_lsh_topk(spark, sf_dir).collect()
+    # returned cosines must be the TRUE cosines (verify stage is exact)
+    for r in approx_rows:
+        if (r.probe_id, r.vec_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.probe_id, r.vec_id)]) < 1e-9
+    # per-probe ranks are 1..n with no self matches
+    for r in approx_rows:
+        assert r.probe_id != r.vec_id
+    recall = len(exact & {(r.probe_id, r.vec_id) for r in approx_rows}) / len(exact)
+    # 8 tables x 6 bits OR-amplification on random-ish vectors: a floor,
+    # not a tuning target
+    assert recall >= 0.15, f"hyperplane LSH recall {recall:.2f}"
+
+
+def test_dedup_clusters_cover_exact_dup_groups(spark, sf_dir):
+    """Exact duplicates (identical normalized text ⇒ jaccard 1.0 ⇒
+    identical MinHash signatures) MUST land in the same cluster, and every
+    cluster label must be the min doc_id of its members."""
+    from collections import defaultdict
+
+    from mapreduce_google_spark.operators.dedup import dedup_clusters, exact_dedup
+
+    clusters = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, sf_dir).collect()}
+    assert clusters, "no near-dup clusters found at all"
+    # cluster label == min member id
+    members = defaultdict(list)
+    for doc, lbl in clusters.items():
+        members[lbl].append(doc)
+    for lbl, docs in members.items():
+        assert lbl == min(docs), (lbl, docs)
+    # every LSH near-dup pair must be in ONE cluster (edges respected)
+    for r in minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").collect():
+        assert clusters[r.doc_a] == clusters[r.doc_b], (r.doc_a, r.doc_b)
+    # exact duplicates (identical signatures) must co-cluster — the
+    # fixture has none at sf0.001, so this arm only fires when present
+    for r in exact_dedup(spark, sf_dir).collect():
+        if r.n_dups >= 2:
+            assert r.doc_id in clusters
