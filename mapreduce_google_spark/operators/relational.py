@@ -384,3 +384,64 @@ def top_orders_global(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFra
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(k)
     )
+
+
+def asof_latest_order_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T50 — the as-of join (T33) as a cogrouped-Pandas sort-merge:
+    ``events.groupBy(user) cogroup orders.groupBy(cust)`` →
+    ``applyInPandas`` running ``pandas.merge_asof`` per key group.
+
+    This is the drop-in upgrade path T33's docstring promises for huge
+    per-customer order histories: instead of joining EVERY qualifying
+    (event, order) pair and reducing (work ∝ pairs), each side is shuffled
+    once on the key and merged sorted within the group (work ∝ rows).
+    Arrow batches both directions — the Python cost is per-batch, not
+    per-row. Tie-break parity with T33: sorting orders by
+    (o_orderdate, o_orderkey) makes ``merge_asof``'s backward search pick
+    the max orderkey among equal dates, exactly the lexicographic
+    struct-max.
+
+    The trade: a Python stage and full materialization of each group in
+    memory — so T33's all-JVM aggregate stays the default and this is the
+    skew-tolerant alternative (one giant customer costs one big pandas
+    frame, not a shuffled pair explosion).
+    """
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+
+    def merge(ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        if ev.empty or od.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "o_orderkey", "o_orderdate"]
+            )
+        ev = ev.sort_values("ts")
+        od = od.sort_values(["o_orderdate", "o_orderkey"])
+        m = pd.merge_asof(
+            ev,
+            od,
+            left_on="ts",
+            right_on="o_orderdate",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["o_orderkey"])
+        return m[["event_id", "user_id", "o_orderkey", "o_orderdate"]]
+
+    merged = (
+        events.groupBy("user_id")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            lambda ev, od: merge(ev, od),
+            schema="event_id long, user_id long, o_orderkey long, o_orderdate timestamp",
+        )
+    )
+    return merged.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+    ).orderBy("event_id")

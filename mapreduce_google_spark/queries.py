@@ -1215,3 +1215,47 @@ register(
         tags=("llm", "dedup", "iterative"),
     )
 )
+
+from mapreduce_google_spark.streaming import jobs as stream_jobs  # noqa: E402
+
+register(
+    QuerySpec(
+        name="t49_stream_dedup_counts",
+        builder=stream_jobs.stream_dedup_counts,
+        oracle="""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        doc="streaming dropDuplicatesWithinWatermark over a doubled (redelivered) source — counts equal the original table",
+        tags=("streaming", "dedup"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t50_asof_latest_order_pandas",
+        builder=rel_ops.asof_latest_order_pandas,
+        oracle="""
+            SELECT event_id, user_id, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+            FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            )
+            WHERE rn = 1
+            ORDER BY event_id
+        """,
+        doc="as-of join via cogrouped applyInPandas merge_asof (skew-tolerant path)",
+        tags=("relational", "join", "asof", "pandas"),
+    )
+)

@@ -81,16 +81,70 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Replay the whole source with Trigger.AvailableNow into a memory sink
     and return the materialized result (batch-parity harness)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: keep the first arrival of each
+    key, dropping re-deliveries that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` is the at-least-once → effectively-
+    once repair stage every production event pipeline needs (Kafka
+    redelivery, producer retries). State = one entry per key seen within
+    the watermark window, evicted as event time advances — bounded by
+    arrival rate × horizon, NOT by stream history, which is what makes it
+    runnable forever at 100 TB/day. Batch parity: over a static replay the
+    result is exactly ``dropDuplicates(keys)``.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T49 — end-to-end streaming dedup over a doubled source: the events
+    table is written twice (two files = simulated redelivery), streamed
+    with :func:`dedup_stream`, and the deduped rows are aggregated per
+    event_type. The result must equal the plain batch counts of the
+    ORIGINAL table — the oracle the driver checks.
+    """
+    import os
+    import re
+
+    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    doubled = f"/tmp/mgs_doubled_events_{tag}"
+    if not os.path.exists(os.path.join(doubled, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ev.union(ev).repartition(4).write.mode("overwrite").parquet(doubled)
+    schema = spark.read.parquet(doubled).schema
+    stream = spark.readStream.schema(schema).parquet(doubled)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = dedup_stream(stream, keys=["event_id"])
+    sink = run_available_now(
+        deduped, f"t49_dedup_{tag}", output_mode="append"
+    )
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct("event_id").cast("long").alias("n_unique"),
+        )
+        .orderBy("event_type")
+    )

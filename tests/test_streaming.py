@@ -162,3 +162,20 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1, [p["batchId"] for p in q.recentProgress]
+
+
+def test_stream_dedup_actually_drops_redeliveries(spark, sf_dir):
+    """Guard against a vacuous pass: the doubled source must contain
+    2x rows, and the deduped stream exactly 1x."""
+    from mapreduce_google_spark.io import load_table
+    from mapreduce_google_spark.streaming.jobs import stream_dedup_counts
+
+    n_orig = load_table(spark, sf_dir, "events").count()
+    out = stream_dedup_counts(spark, sf_dir)
+    total = sum(r.n_events for r in out.collect())
+    assert total == n_orig, (total, n_orig)
+    # doubled copy really is doubled
+    import os, re
+    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    doubled = spark.read.parquet(f"/tmp/mgs_doubled_events_{tag}")
+    assert doubled.count() == 2 * n_orig
