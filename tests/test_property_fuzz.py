@@ -1,0 +1,119 @@
+"""Property-based oracle fuzzing (hypothesis): random predicates and
+aggregations over ``lineitem``, executed by BOTH Spark SQL and DuckDB on
+the same parquet, must agree.
+
+The reference's suite is purely golden-file (SURVEY.md §5: "no
+property-based/randomized testing"); this goes beyond it to catch
+semantics drift the fixed T-inventory can't — type coercion, NULL
+handling, float-agg ordering, date-literal parsing — across the two
+engines the driver's correctness gate compares.
+
+Determinism: ``derandomize=True`` makes hypothesis replay the same
+example corpus every run, so CI is stable while still covering ~40
+generated queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# --- predicate grammar over lineitem ---------------------------------------
+
+_NUM_COLS = {
+    "l_quantity": st.integers(1, 50),
+    "l_extendedprice": st.integers(1000, 100_000),
+    "l_discount": st.sampled_from([0.0, 0.02, 0.05, 0.08, 0.1]),
+    "l_tax": st.sampled_from([0.0, 0.03, 0.05, 0.08]),
+    "l_linenumber": st.integers(1, 7),
+}
+_NUM_OPS = st.sampled_from(["<", "<=", ">", ">=", "=", "<>"])
+_STR_COLS = {
+    "l_returnflag": st.sampled_from(["A", "N", "R"]),
+    "l_linestatus": st.sampled_from(["O", "F"]),
+}
+_DATES = st.sampled_from(
+    ["1993-01-01", "1994-06-30", "1995-03-15", "1996-12-01", "1998-09-02"]
+)
+
+
+@st.composite
+def _leaf(draw):
+    kind = draw(st.sampled_from(["num", "str", "date"]))
+    if kind == "num":
+        col = draw(st.sampled_from(sorted(_NUM_COLS)))
+        return f"{col} {draw(_NUM_OPS)} {draw(_NUM_COLS[col])}"
+    if kind == "str":
+        col = draw(st.sampled_from(sorted(_STR_COLS)))
+        op = draw(st.sampled_from(["=", "<>"]))
+        return f"{col} {op} '{draw(_STR_COLS[col])}'"
+    return f"l_shipdate {draw(_NUM_OPS)} TIMESTAMP '{draw(_DATES)} 00:00:00'"
+
+
+@st.composite
+def _predicate(draw, depth=2):
+    if depth == 0 or draw(st.booleans()):
+        return draw(_leaf())
+    conj = draw(st.sampled_from(["AND", "OR"]))
+    return (
+        f"({draw(_predicate(depth=depth - 1))}) {conj} "
+        f"({draw(_predicate(depth=depth - 1))})"
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _lineitem_view(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "fuzz_lineitem"
+    )
+
+
+_FUZZ_SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(pred=_predicate())
+@_FUZZ_SETTINGS
+def test_predicate_fuzz_spark_matches_duckdb(spark, duck, pred):
+    sel = (
+        "SELECT count(*) AS c, sum(l_quantity) AS s, "
+        f"sum(l_linenumber) AS n FROM {{t}} WHERE {pred}"
+    )
+    got = spark.sql(sel.format(t="fuzz_lineitem")).first()
+    want = duck.execute(sel.format(t="lineitem")).fetchone()
+    assert got["c"] == want[0], pred
+    assert got["s"] == pytest.approx(want[1], rel=1e-9, abs=1e-9), pred
+    assert (got["n"] or 0) == (want[2] or 0), pred
+
+
+@given(
+    group_cols=st.sets(
+        st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+        min_size=1,
+        max_size=2,
+    ),
+    agg_fn=st.sampled_from(["sum", "min", "max", "avg", "count"]),
+    agg_col=st.sampled_from(["l_quantity", "l_extendedprice", "l_discount"]),
+    pred=_leaf(),
+)
+@_FUZZ_SETTINGS
+def test_groupby_fuzz_spark_matches_duckdb(
+    spark, duck, group_cols, agg_fn, agg_col, pred
+):
+    keys = ", ".join(sorted(group_cols))
+    q = (
+        f"SELECT {keys}, {agg_fn}({agg_col}) AS a, count(*) AS c "
+        f"FROM {{t}} WHERE {pred} GROUP BY {keys} ORDER BY {keys}"
+    )
+    got = [tuple(r) for r in spark.sql(q.format(t="fuzz_lineitem")).collect()]
+    want = duck.execute(q.format(t="lineitem")).fetchall()
+    assert len(got) == len(want), q
+    for g, w in zip(got, want):
+        assert g[:-2] == w[:-2], q
+        assert g[-2] == pytest.approx(w[-2], rel=1e-9, abs=1e-9), q
+        assert g[-1] == w[-1], q
