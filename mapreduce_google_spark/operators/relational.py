@@ -445,3 +445,41 @@ def asof_latest_order_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
     ).orderBy("event_id")
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T52 — keep-latest-per-key dedup: each customer's most recent order.
+
+    The "keep the newest version of every record" pass every CDC /
+    snapshot-compaction pipeline runs. Implemented as a single hash
+    aggregation of ``max(struct(ts, key, payload))`` — structs compare
+    lexicographically, so the max IS the latest row (orderkey breaks
+    date ties deterministically) and the payload rides along.
+
+    Scale: the agg is one shuffle carrying ONE partially-aggregated
+    struct per (customer, map partition) — map-side combine collapses
+    each partition's rows before the exchange. The window-function
+    formulation (`row_number() ... WHERE rn = 1`, what the oracle uses)
+    must instead shuffle EVERY row and sort each partition: same answer,
+    strictly worse plan at 100 TB. Reference lineage: this is the
+    "reduce keeps one record per key" pattern of Q-WC-reduce
+    (reference ``tests/testdata/exec/wc_reduce.py:24-27``) with an
+    argmax instead of a sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    latest = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+            ).alias("latest")
+        )
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("latest.o_orderkey").alias("latest_orderkey"),
+        F.date_format("latest.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "latest_order_ts"
+        ),
+        F.round("latest.o_totalprice", 2).alias("latest_price"),
+    ).orderBy("o_custkey")

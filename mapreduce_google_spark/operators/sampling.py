@@ -1,0 +1,94 @@
+"""Deterministic sampling / split-assignment operators.
+
+Training-data pipelines need splits that are (a) reproducible across
+re-runs, (b) stable as the corpus grows — a document's split must never
+depend on which other documents exist — and (c) free of coordination. A
+seeded ``df.sample`` fails (b): Spark's sampler is per-partition, so any
+repartition or file-layout change reassigns rows. Hashing a stable key
+satisfies all three, costs one narrow projection (no shuffle, no state),
+and is exactly how the reference assigns work deterministically — its
+md5-mod partitioner (reference ``mapreduce/worker/__main__.py:62-65``)
+applied to sampling instead of shuffling.
+
+Scale: the split column is a codegen'd expression over the key; the
+per-split stats agg shuffles only (split, partial-agg) rows. At 100 TB
+this is a pure map-side pass, and the same hash predicate pushes into any
+downstream job that wants just one split (``WHERE split = 'train'``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.io import load_table
+
+#: split thresholds over a mod-100 hash bucket: 80/10/10
+_TRAIN_LT = 80
+_VAL_LT = 90
+
+
+def hash_bucket100(key: Column | str) -> Column:
+    """Stable bucket in [0, 100) from the tail of md5(key).
+
+    The low 8 hex digits (32 bits) of the digest, mod 100 — identical
+    arithmetic is expressible in any engine with md5 + substr, which is
+    what makes the assignment oracle-checkable and portable to the
+    feature store / eval harness that consumes the split downstream.
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    tail = F.substring(F.md5(col.cast("string")), 25, 8)
+    return F.conv(tail, 16, 10).cast("long") % 100
+
+
+def split_assign(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Add a ``split`` column: train/val/test at 80/10/10 by hash of key."""
+    b = hash_bucket100(key)
+    return df.withColumn(
+        "split",
+        F.when(b < _TRAIN_LT, F.lit("train"))
+        .when(b < _VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T51 — deterministic 80/10/10 train/val/test split of ``documents``.
+
+    Returns per-split row count, mean document length, and a membership
+    checksum (sum of doc_id) so the oracle comparison catches any
+    single-row assignment difference, not just count drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_STATS_ORACLE = """
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM (
+        SELECT doc_id, n_chars,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+    )
+    GROUP BY split
+    ORDER BY split
+"""

@@ -1259,3 +1259,44 @@ register(
         tags=("relational", "join", "asof", "pandas"),
     )
 )
+
+# --------------------------------------------------------------------------
+# Training-pipeline sampling & CDC-style compaction (T51–T52)
+# --------------------------------------------------------------------------
+
+from mapreduce_google_spark.operators import sampling as sample_ops  # noqa: E402
+
+register(
+    QuerySpec(
+        name="t51_hash_split_stats",
+        builder=sample_ops.split_stats,
+        oracle=sample_ops.SPLIT_STATS_ORACLE,
+        doc="deterministic 80/10/10 train/val/test split by md5-tail of doc_id, with membership checksum",
+        tags=("llm", "sampling"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t52_latest_order_per_customer",
+        builder=rel_ops.latest_order_per_customer,
+        oracle="""
+            SELECT o_custkey,
+                   o_orderkey AS latest_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_order_ts,
+                   round(o_totalprice, 2) AS latest_price
+            FROM (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            )
+            WHERE rn = 1
+            ORDER BY o_custkey
+        """,
+        doc="keep-latest-per-key compaction via single-pass max(struct) agg (window-free CDC dedup)",
+        tags=("relational", "dedup", "cdc"),
+    )
+)

@@ -124,3 +124,31 @@ def test_t45_range_join_avoids_nested_loop(spark, sf_dir):
     plan = formatted_plan(event_pairs_within_minute(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_t52_latest_is_partial_agg_not_window(spark, sf_dir):
+    """T52's keep-latest must be a combiner-style two-phase aggregation
+    (shuffle carries one struct per key per partition), never the
+    shuffle-everything-and-sort Window formulation the oracle uses."""
+    from mapreduce_google_spark.operators.relational import (
+        latest_order_per_customer,
+    )
+
+    plan = formatted_plan(latest_order_per_customer(spark, sf_dir))
+    assert "Window" not in plan, plan
+    # struct-max compiles to SortAggregate (struct buffers aren't
+    # hash-aggregable); what matters is the combiner: a partial_max
+    # upstream of the exchange, so the shuffle carries one struct per
+    # (key, partition) instead of every order row.
+    assert "partial_max" in plan, plan
+
+
+def test_t51_split_assignment_is_narrow(spark, sf_dir):
+    """T51's split column must be a pure projection — no shuffle, no
+    Python — so at 100 TB assignment is a map-side pass."""
+    from mapreduce_google_spark.io import load_table
+    from mapreduce_google_spark.operators.sampling import split_assign
+
+    plan = formatted_plan(split_assign(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
