@@ -483,3 +483,54 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("latest.o_totalprice", 2).alias("latest_price"),
     ).orderBy("o_custkey")
+
+
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T53 — TPC-H Q5 shape: revenue from LOCAL suppliers per nation.
+
+    Six-way join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈
+    region) restricted to ASIA and one order-year, where the customer and
+    the supplier sit in the same nation (c_nationkey = s_nationkey) —
+    the classic join-graph-with-a-cycle query.
+
+    Scale: nation/region are broadcast (a few rows even at SF100k);
+    supplier stays on the shuffle side — at 100 TB it is millions of
+    rows, far past broadcast threshold. Join order matters: orders is
+    filtered by date FIRST (pushed to the scan), so the orders⋈lineitem
+    shuffle carries only the selected year; the same-nation condition is
+    applied as an equi-key (c_nationkey = s_nationkey folded into the
+    join on supplier), not a post-join filter, which keeps the join
+    build sides small. Catalyst + AQE may still reorder at runtime —
+    that freedom is the point of declaring, not scheduling, the plan.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    joined = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )

@@ -1300,3 +1300,29 @@ register(
         tags=("relational", "dedup", "cdc"),
     )
 )
+
+register(
+    QuerySpec(
+        name="t53_local_supplier_revenue",
+        builder=rel_ops.local_supplier_revenue,
+        oracle="""
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        doc="TPC-H Q5 shape: 6-way join with same-nation cycle, local-supplier revenue per ASIA nation",
+        tags=("relational", "join"),
+    )
+)

@@ -152,3 +152,14 @@ def test_t51_split_assignment_is_narrow(spark, sf_dir):
     plan = formatted_plan(split_assign(load_table(spark, sf_dir, "documents")))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_t53_date_filter_reaches_orders_scan(spark, sf_dir):
+    """T53's order-year restriction must prune at the parquet scan so the
+    orders⋈lineitem shuffle carries only the selected year."""
+    from mapreduce_google_spark.operators.relational import (
+        local_supplier_revenue,
+    )
+
+    df = local_supplier_revenue(spark, sf_dir)
+    assert has_pushed_filters(df, "o_orderdate", "r_name"), formatted_plan(df)
