@@ -89,3 +89,47 @@ def pipe_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T54 — per-token frequency + mean position via a Python UDTF.
+
+    The modern analog of the reference's mapper-executable surface (F3):
+    where the reference fans one input line out to N ``key\\tvalue``
+    lines through an arbitrary subprocess, a Python UDTF declares the
+    output schema and yields N typed rows per input row, applied with a
+    SQL LATERAL join. Same extensibility contract — arbitrary user code,
+    one-to-many — minus the subprocess and the untyped TAB protocol.
+
+    Like T20 this is the slow (Python) path and exists as the
+    extensibility surface; the declarative T01 family is the hot path.
+    Scale: the UDTF runs per input partition with no shuffle before it;
+    the only exchanges are the downstream groupBy and order.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: D102 — UDTF contract method
+            if text is None:
+                return
+            pos = 0
+            for tok in text.lower().split():
+                if tok:
+                    yield tok, pos
+                    pos += 1
+
+    spark.udtf.register("mgs_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_documents"
+    )
+    return spark.sql(
+        """
+        SELECT t.token,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(t.pos), 6) AS avg_pos
+        FROM udtf_documents d, LATERAL mgs_tokenize(d.text) t
+        GROUP BY t.token
+        ORDER BY t.token
+        """
+    )

@@ -1326,3 +1326,49 @@ register(
         tags=("relational", "join"),
     )
 )
+
+register(
+    QuerySpec(
+        name="t54_udtf_token_positions",
+        builder=pipe_ops.udtf_token_positions,
+        oracle="""
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(pos), 6) AS avg_pos
+            FROM (
+                SELECT unnest(toks) AS token,
+                       unnest(range(len(toks))) AS pos
+                FROM (
+                    SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> '') AS toks
+                    FROM documents
+                )
+            )
+            GROUP BY token
+            ORDER BY token
+        """,
+        doc="token frequency + mean position via Python UDTF with LATERAL join (modern F3 mapper surface)",
+        tags=("text", "udtf", "pipe"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t55_stream_event_pairs",
+        builder=stream_jobs.stream_event_pairs,
+        oracle="""
+            SELECT a.event_type AS type_a,
+                   b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 60 SECOND
+            GROUP BY type_a, type_b
+            ORDER BY type_a, type_b
+        """,
+        doc="watermarked stream-stream self-join (bounded state), batch-parity with T45",
+        tags=("streaming", "join", "rangejoin"),
+    )
+)

@@ -148,3 +148,73 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def stream_event_pairs(
+    spark: SparkSession, sf_dir: str, window_s: int = 60
+) -> DataFrame:
+    """T55 — watermarked stream-stream self-join: same-user event pairs
+    within ``window_s`` seconds, counted per (earlier, later) event type.
+
+    The streaming twin of T45. Where the batch plan buckets time to turn
+    the interval join into an equi join, Structured Streaming's join
+    state does the bucketing for us: both sides carry a watermark and the
+    join condition bounds ``ts_b`` to ``(ts_a, ts_a + window_s]``, so
+    each side's state retains only rows inside
+    watermark + window — bounded by arrival rate × horizon, never by
+    stream history. That state bound is the difference between a join
+    that runs forever at 100 TB/day and one that OOMs after an hour.
+
+    The join runs in the stream (append mode, one stateful operator);
+    the tiny type-pair rollup happens on the materialized sink, mirroring
+    T49's harness. Oracle: identical to T45's batch semantics.
+    """
+    import os
+    import re
+
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.strip("/").replace("/", "_").lower())
+    # the file stream source requires a directory — stage the table once
+    staged = f"/tmp/mgs_events_dir_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+
+    def src() -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(staged)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    left = (
+        src()
+        .select(
+            F.col("user_id").alias("u_a"),
+            F.col("ts").alias("ts_a"),
+            F.col("event_type").alias("type_a"),
+        )
+        .withWatermark("ts_a", "2 hours")
+    )
+    right = (
+        src()
+        .select(
+            F.col("user_id").alias("u_b"),
+            F.col("ts").alias("ts_b"),
+            F.col("event_type").alias("type_b"),
+        )
+        .withWatermark("ts_b", "2 hours")
+    )
+    joined = left.join(
+        right,
+        (F.col("u_a") == F.col("u_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {window_s} SECONDS")),
+        "inner",
+    )
+    sink = run_available_now(joined, f"t55_pairs_{tag}", output_mode="append")
+    return (
+        sink.groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
