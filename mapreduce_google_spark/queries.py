@@ -1372,3 +1372,19 @@ register(
         tags=("streaming", "join", "rangejoin"),
     )
 )
+
+register(
+    QuerySpec(
+        name="t56_foreachbatch_ingest",
+        builder=stream_jobs.foreachbatch_ingest_counts,
+        oracle="""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        doc="exactly-once streaming file ingest: foreachBatch overwrite-per-batch sink survives a simulated batch replay",
+        tags=("streaming", "sink", "io"),
+    )
+)

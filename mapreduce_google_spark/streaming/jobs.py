@@ -169,16 +169,7 @@ def stream_event_pairs(
     the tiny type-pair rollup happens on the materialized sink, mirroring
     T49's harness. Oracle: identical to T45's batch semantics.
     """
-    import os
-    import re
-
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.strip("/").replace("/", "_").lower())
-    # the file stream source requires a directory — stage the table once
-    staged = f"/tmp/mgs_events_dir_{tag}"
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+    tag, staged = _staged_events_dir(spark, sf_dir)
     schema = spark.read.parquet(staged).schema
 
     def src() -> DataFrame:
@@ -217,4 +208,73 @@ def stream_event_pairs(
         sink.groupBy("type_a", "type_b")
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy("type_a", "type_b")
+    )
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the events table into a multi-file /tmp directory (the file
+    stream source requires a directory; 4 files → 4 micro-batches under
+    ``maxFilesPerTrigger=1``). Returns (tag, path); idempotent per sf."""
+    import os
+    import re
+
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.strip("/").replace("/", "_").lower())
+    staged = f"/tmp/mgs_events_dir_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    return tag, staged
+
+
+def foreachbatch_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T56 — streaming ingest through an idempotent ``foreachBatch`` sink.
+
+    The production pattern for exactly-once file output from an
+    at-least-once stream: each micro-batch lands in its own
+    ``batch_id=N`` partition with ``overwrite`` mode, so a replayed batch
+    (driver restart between sink-write and offset-commit) overwrites its
+    own previous attempt instead of appending duplicates. State lives in
+    the checkpoint + directory layout — nothing driver-resident, which is
+    what lets the pattern run indefinitely at 100 TB/day.
+
+    Harness: the staged events table streams in 1-file micro-batches
+    (4 batches); batch 0 is deliberately written TWICE through the sink
+    function to simulate a post-write replay. The final table — read back
+    from the sink directory, counted per event_type — must still equal
+    the plain batch counts of the source, which is the oracle.
+    """
+    import os
+    import shutil
+
+    tag, staged = _staged_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    out_dir = f"/tmp/mgs_fbsink_{tag}"
+    ckpt = f"{out_dir}_ckpt"
+    for d in (out_dir, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(target)
+        if batch_id == 0:  # simulated replay: same batch delivered again
+            batch_df.write.mode("overwrite").parquet(target)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.option("basePath", out_dir).parquet(out_dir)
+    return (
+        landed.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .orderBy("event_type")
     )
