@@ -534,3 +534,35 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def price_histogram(
+    spark: SparkSession, sf_dir: str, width: float = 25_000.0, n_buckets: int = 20
+) -> DataFrame:
+    """T58 — fixed-width histogram of order totals.
+
+    The distribution-profiling pass that sizes every downstream decision
+    (salting thresholds, AQE advisory partition sizes, outlier cutoffs).
+    Bucketing is plain arithmetic — ``least(floor(price/width), n-1)`` —
+    rather than ``width_bucket``, so the same expression runs in any
+    engine and stays inside codegen.
+
+    Scale: one narrow projection + a groupBy over ≤ n_buckets keys;
+    partial aggregation collapses each map partition to at most
+    n_buckets rows before the exchange, so shuffle volume is O(buckets ×
+    partitions) regardless of table size — the cheapest possible profile
+    of a 100 TB fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / width), F.lit(n_buckets - 1)
+    ).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

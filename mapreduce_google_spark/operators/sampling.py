@@ -92,3 +92,62 @@ SPLIT_STATS_ORACLE = """
     GROUP BY split
     ORDER BY split
 """
+
+
+#: per-language keep rates (percent) — downsample the over-represented
+#: language, keep the tails whole; the rebalancing move every multilingual
+#: training-mix pipeline makes
+STRATUM_RATES = {"en": 20, "de": 100, "es": 100, "fr": 100, "zh": 100}
+_DEFAULT_RATE = 50
+
+
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T57 — deterministic stratified (per-language) downsampling.
+
+    Each document is kept iff its hash bucket falls under its language's
+    rate — the per-stratum generalization of T51's split assignment.
+    Unlike ``df.sampleBy`` (per-partition RNG: resampling changes with
+    file layout), membership depends only on (doc_id, lang), so the
+    sample is reproducible across runs, engines, and cluster sizes.
+
+    Scale: pure map-side predicate; no shuffle until the tiny per-lang
+    stats agg. The same predicate pushes into any downstream scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in STRATUM_RATES.items()
+        ],
+        F.lit(_DEFAULT_RATE),
+    )
+    kept = docs.where(hash_bucket100("doc_id") < rate)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM (
+        SELECT lang, doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN 20
+                             WHEN 'de' THEN 100
+                             WHEN 'es' THEN 100
+                             WHEN 'fr' THEN 100
+                             WHEN 'zh' THEN 100
+                             ELSE 50 END
+    GROUP BY lang
+    ORDER BY lang
+"""

@@ -98,10 +98,14 @@ register(
 # The synthetic corpus never contains 'product' (checked at sf0.001/0.01/0.1),
 # so t02 as declared is a 0-row parity check. This variant greps a term that
 # matches rows, giving the filter path non-vacuous evidence.
+def _grep_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.grep(spark, sf_dir, query="customer")
+
+
 register(
     QuerySpec(
         name="t02b_grep_hit",
-        builder=lambda spark, sf_dir: text_ops.grep(spark, sf_dir, query="customer"),
+        builder=_grep_hit,
         oracle="""
             SELECT doc_id, text
             FROM documents
@@ -1386,5 +1390,38 @@ register(
         """,
         doc="exactly-once streaming file ingest: foreachBatch overwrite-per-batch sink survives a simulated batch replay",
         tags=("streaming", "sink", "io"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t57_stratified_sample",
+        builder=sample_ops.stratified_sample_stats,
+        oracle=sample_ops.STRATIFIED_SAMPLE_ORACLE,
+        doc="deterministic per-language downsampling (training-mix rebalance), layout-independent membership",
+        tags=("llm", "sampling"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t58_price_histogram",
+        builder=rel_ops.price_histogram,
+        oracle="""
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM (
+                SELECT o_totalprice,
+                       CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT)
+                           AS bucket
+                FROM orders
+            )
+            GROUP BY bucket
+            ORDER BY bucket
+        """,
+        doc="fixed-width price histogram: O(buckets) shuffle profile of a fact table",
+        tags=("relational", "profile", "agg"),
     )
 )
