@@ -38,8 +38,15 @@ def main() -> int:
     spark = get_spark(app_name="mgs-bench")
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
 
-    # warm the JVM + parquet footer caches outside the timed region
+    # Warm the JVM (codegen compiler, shuffle machinery) and every
+    # table's parquet footers outside the timed region — otherwise those
+    # one-time costs land arbitrarily on whichever headline query touches
+    # each table first and dominate its small-scale timing.
     REGISTRY["t01_word_count"].builder(spark, SF_DIR).collect()
+    from mapreduce_google_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
     for name, spec in headline.items():
