@@ -566,3 +566,83 @@ def price_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T59 — full-outer reconciliation of customers vs order activity.
+
+    The data-quality join: rows appearing on either side only are the
+    anomalies (customers who never ordered / orders whose customer is
+    missing from the dimension). Aggregate orders to customer grain
+    FIRST, then full-outer join one row per key against the dimension —
+    the join carries |customers| + |active customers| rows, not every
+    order, and classification is a codegen'd CASE over the null pattern.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+    joined = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "full_outer"
+    )
+    return (
+        joined.select(
+            F.coalesce("c_custkey", "o_custkey").cast("long").alias("custkey"),
+            F.when(F.col("o_custkey").isNull(), "never_ordered")
+            .when(F.col("c_custkey").isNull(), "orphan_orders")
+            .otherwise("matched")
+            .alias("status"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def segment_nation_coverage_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T60 — zero-filled coverage grid: every (nation, mktsegment) cell.
+
+    A reporting staple: the dimension cross product (CROSS JOIN of two
+    broadcast-size dims — the one place a cartesian product is correct)
+    left-joined against observed customer counts so empty cells appear
+    as explicit zeros instead of silently missing rows.
+
+    Scale: the grid is |nations| × |segments| (tiny, broadcast); the
+    fact side is pre-aggregated to the same grain before the join, so
+    the outer join never touches raw customer rows.
+    """
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    segments = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+    )
+    grid = nation.crossJoin(segments)
+    observed = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+    return (
+        grid.join(
+            observed,
+            (grid.n_nationkey == observed.c_nationkey)
+            & (grid.c_mktsegment == observed.c_mktsegment),
+            "left",
+        )
+        .select(
+            "n_name",
+            grid["c_mktsegment"].alias("mktsegment"),
+            F.coalesce("n_customers", F.lit(0)).cast("long").alias("n_customers"),
+            "avg_acctbal",
+        )
+        .orderBy("n_name", "mktsegment")
+    )

@@ -1425,3 +1425,59 @@ register(
         tags=("relational", "profile", "agg"),
     )
 )
+
+register(
+    QuerySpec(
+        name="t59_customer_order_reconciliation",
+        builder=rel_ops.customer_order_reconciliation,
+        oracle="""
+            SELECT CAST(coalesce(c_custkey, o_custkey) AS BIGINT) AS custkey,
+                   CASE WHEN o_custkey IS NULL THEN 'never_ordered'
+                        WHEN c_custkey IS NULL THEN 'orphan_orders'
+                        ELSE 'matched' END AS status,
+                   CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+                   coalesce(total_spend, 0.0) AS total_spend
+            FROM customer
+            FULL OUTER JOIN (
+                SELECT o_custkey,
+                       count(*) AS n_orders,
+                       round(sum(o_totalprice), 2) AS total_spend
+                FROM orders
+                GROUP BY o_custkey
+            )
+            ON c_custkey = o_custkey
+            ORDER BY custkey
+        """,
+        doc="full-outer data-quality reconciliation: customers vs order activity, pre-aggregated to key grain",
+        tags=("relational", "join", "outer"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t60_segment_nation_grid",
+        builder=rel_ops.segment_nation_coverage_grid,
+        oracle="""
+            SELECT n_name, mktsegment,
+                   CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+                   avg_acctbal
+            FROM (
+                SELECT n.n_nationkey, n.n_name, s.c_mktsegment AS mktsegment
+                FROM nation n
+                CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+            ) grid
+            LEFT JOIN (
+                SELECT c_nationkey, c_mktsegment,
+                       count(*) AS n_customers,
+                       round(avg(c_acctbal), 6) AS avg_acctbal
+                FROM customer
+                GROUP BY c_nationkey, c_mktsegment
+            ) obs
+              ON grid.n_nationkey = obs.c_nationkey
+             AND grid.mktsegment = obs.c_mktsegment
+            ORDER BY n_name, mktsegment
+        """,
+        doc="zero-filled (nation x mktsegment) coverage grid: broadcast dim cross product left-joined to pre-aggregated facts",
+        tags=("relational", "join", "cross"),
+    )
+)
