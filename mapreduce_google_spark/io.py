@@ -174,3 +174,52 @@ def write_sink(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).save(path)
+
+
+def read_json_with_dead_letters(
+    spark: SparkSession, path: str, schema: "StructType"
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON read split into (good, dead_letters).
+
+    At 100 TB malformed records are a statistical certainty; failing the
+    job (FAILFAST) or silently nulling fields (plain PERMISSIVE) are both
+    wrong at scale. This is the dead-letter-queue pattern: corrupt lines
+    are captured verbatim in ``_corrupt_record`` and routed to a
+    quarantine output for offline inspection, while clean rows flow on.
+    Both sides come from ONE parsed pass: Spark refuses corrupt-only
+    projections straight off the source (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN), so the parsed frame is cached — at 100 TB
+    replace the cache with a persisted parse (write parsed+corrupt to a
+    staging table once, split from there).
+
+    The supplied schema must NOT include the corrupt-record column; it is
+    appended here (Spark requires it declared when a schema is given).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    corrupt_col = "_corrupt_record"
+    full_schema = StructType(schema.fields + [StructField(corrupt_col, StringType())])
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    ).cache()
+    good = raw.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    dead = raw.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, dead
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with schema merging across files.
+
+    The schema-evolution read: files written before a column existed and
+    files written after read as one table, old rows null-filled. Merging
+    schemas requires a footer pass over all files — at 100 TB enable it
+    only on tables that actually evolve, or pin the unified schema
+    explicitly (``spark.read.schema(unified).parquet(path)``) to skip
+    the pre-scan entirely; this helper is the evolving-table path.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

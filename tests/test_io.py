@@ -87,3 +87,51 @@ def test_text_dir_and_kv_surface(spark, tmp_path):
     write_text_dir(lines, str(out), num_files=2)
     parts = [p for p in os.listdir(out) if p.startswith("part-")]
     assert len(parts) == 2
+
+
+def test_json_dead_letter_split(spark, tmp_path):
+    """Corrupt JSON lines must route to the dead-letter side verbatim
+    while clean rows parse — one scan, no job failure."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mapreduce_google_spark.io import read_json_with_dead_letters
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{not json at all}\n"
+        '{"id": 2, "name": "fine"}\n'
+        '{"id": "not-a-number-but-valid-json", "name": "typed-null"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, dead = read_json_with_dead_letters(spark, str(p), schema)
+    good_rows = {(r.id, r.name) for r in good.collect()}
+    assert good_rows == {(1, "ok"), (2, "fine")}
+    # both the syntactically broken line AND the type-mismatch record are
+    # quarantined verbatim (PERMISSIVE marks any unparseable record)
+    dead_rows = sorted(r.raw_record for r in dead.collect())
+    assert dead_rows == [
+        '{"id": "not-a-number-but-valid-json", "name": "typed-null"}',
+        "{not json at all}",
+    ]
+    assert "_corrupt_record" not in good.columns
+
+
+def test_parquet_schema_evolution_merges(spark, tmp_path):
+    """Files written before and after a column was added must read as one
+    table with old rows null-filled."""
+    from mapreduce_google_spark.io import read_parquet_evolved
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(base)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(base)
+    merged = read_parquet_evolved(spark, base)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {(r.id, r.name, r.score) for r in merged.collect()}
+    assert rows == {(1, "a", None), (2, "b", 0.5)}
