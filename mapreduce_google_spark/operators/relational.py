@@ -646,3 +646,88 @@ def segment_nation_coverage_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "mktsegment")
     )
+
+
+def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T61 — ranking-family window functions over per-segment spend.
+
+    One window pass computing rank, dense_rank, percent_rank and a
+    quartile (ntile(4)) of each customer's total spend within their
+    market segment — the leaderboard/cohort query shape.
+
+    Scale: the expensive part is the orders pre-aggregation (combiner
+    collapses to one row per customer before its shuffle); the window
+    then shuffles once on mktsegment. All four ranking functions share
+    ONE window frame, so Spark evaluates a single Window operator, not
+    four. Keys: segments are few but large — at extreme skew the same
+    pattern runs per-segment via range partitioning; ntile itself is
+    unavoidably a per-partition sort, which is why the global variant
+    (no partitionBy) is an anti-pattern the percentile op (T35) avoids.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = cust.join(spend, cust.c_custkey == spend.o_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        joined.select(
+            "c_mktsegment",
+            F.col("c_custkey").cast("long").alias("custkey"),
+            "spend",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("dense_rnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .where(F.col("rnk") <= 20)
+        .orderBy("c_mktsegment", "rnk", "custkey")
+    )
+
+
+def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T62 — TPC-H Q3 shape: top-10 highest-revenue orders placed before
+    a cutoff whose items ship after it, for one customer segment.
+
+    The canonical filter→join→agg→top-k composite. Scale decisions: both
+    date predicates push to the parquet scans (verified by the T53 gate
+    pattern); the segment filter shrinks customer BEFORE its join;
+    the final top-10 is orderBy+limit → TakeOrderedAndProject, so no
+    global sort of the aggregated orders.
+    """
+    cutoff = "1998-01-01"
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < cutoff
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > cutoff
+    )
+    joined = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .select(
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )

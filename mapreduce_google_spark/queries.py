@@ -1481,3 +1481,63 @@ register(
         tags=("relational", "join", "cross"),
     )
 )
+
+register(
+    QuerySpec(
+        name="t61_customer_spend_ranks",
+        builder=rel_ops.customer_spend_ranks,
+        oracle="""
+            SELECT c_mktsegment,
+                   CAST(c_custkey AS BIGINT) AS custkey,
+                   spend,
+                   CAST(rnk AS BIGINT) AS rnk,
+                   CAST(dense_rnk AS BIGINT) AS dense_rnk,
+                   round(pct_rnk, 6) AS pct_rnk,
+                   CAST(quartile AS BIGINT) AS quartile
+            FROM (
+                SELECT c_mktsegment, c_custkey, spend,
+                       rank() OVER w AS rnk,
+                       dense_rank() OVER w AS dense_rnk,
+                       percent_rank() OVER w AS pct_rnk,
+                       ntile(4) OVER w AS quartile
+                FROM (
+                    SELECT c.c_custkey, c.c_mktsegment,
+                           round(sum(o.o_totalprice), 2) AS spend
+                    FROM customer c
+                    JOIN orders o ON c.c_custkey = o.o_custkey
+                    GROUP BY c.c_custkey, c.c_mktsegment
+                )
+                WINDOW w AS (PARTITION BY c_mktsegment
+                             ORDER BY spend DESC, c_custkey ASC)
+            )
+            WHERE rnk <= 20
+            ORDER BY c_mktsegment, rnk, custkey
+        """,
+        doc="ranking window family (rank/dense_rank/percent_rank/ntile) over per-segment spend, one shared frame",
+        tags=("relational", "window"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t62_unshipped_orders_topk",
+        builder=rel_ops.unshipped_orders_topk,
+        oracle="""
+            SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+                   o_orderpriority AS priority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, orderkey ASC
+            LIMIT 10
+        """,
+        doc="TPC-H Q3 shape: segment-filtered 3-way join, revenue agg, TakeOrderedAndProject top-10",
+        tags=("relational", "join", "topk"),
+    )
+)

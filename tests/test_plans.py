@@ -163,3 +163,16 @@ def test_t53_date_filter_reaches_orders_scan(spark, sf_dir):
 
     df = local_supplier_revenue(spark, sf_dir)
     assert has_pushed_filters(df, "o_orderdate", "r_name"), formatted_plan(df)
+
+
+def test_t62_composite_topk_and_pushdown(spark, sf_dir):
+    """T62's two date predicates must reach their scans and the final
+    top-10 must be TakeOrderedAndProject, not a global sort."""
+    from mapreduce_google_spark.operators.relational import (
+        unshipped_orders_topk,
+    )
+
+    df = unshipped_orders_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df, "o_orderdate", "l_shipdate", "c_mktsegment"), plan
+    assert has_take_ordered(df), plan
