@@ -89,3 +89,60 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _UserEventCounter(StatefulProcessor):
+    """StatefulProcessor for :func:`tws_user_event_counts` — defined at
+    module scope so it pickles cleanly to executors."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._count = handle.getValueState("count", "n BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n = sum(len(pdf) for pdf in rows)
+        prev = self._count.get()
+        total = (prev[0] if prev is not None else 0) + n
+        self._count.update((total,))
+        # emit the DELTA: sink-side sums stay correct however the source
+        # splits into micro-batches (cumulative emissions would not)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_delta": [n], "n_total": [total]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def tws_user_event_counts(stream: DataFrame) -> DataFrame:
+    """Per-user running event counter via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (typed state variables, timers, TTL)
+    that supersedes ``applyInPandasWithState``.
+
+    ValueState holds one long per user: O(keys) state, RocksDB-backed in
+    production, TTL-evictable via ``getValueState(..., ttlDurationMs=)``
+    when keys churn. Emitting per-batch deltas (not cumulative totals)
+    makes the downstream sum invariant to how the source splits into
+    micro-batches — the same at-least-once-friendly shape as a combiner.
+
+    Runtime note: the TWS state-server protocol needs ``protobuf``;
+    clusters without it (like this test container) can't execute the
+    operator — the parity test import-skips there and runs wherever
+    protobuf exists. Declaration/plan construction work regardless.
+    """
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserEventCounter(),
+        outputStructType="user_id bigint, n_delta bigint, n_total bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

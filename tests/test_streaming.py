@@ -3,6 +3,7 @@ Trigger.AvailableNow must reproduce the batch event-time operators."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.operators.events import (
@@ -221,3 +222,44 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir, tmp_path
     assert (
         landed.select(F.count_distinct("event_id")).first()[0] == events.count()
     ), "event_ids not exactly-once"
+
+
+def test_transform_with_state_counts_match_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: per-user ValueState counter
+    over an availableNow replay; summed deltas must equal the batch
+    per-user counts regardless of micro-batch splits."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent here); "
+        "operator is exercised on protobuf-equipped clusters",
+    )
+    from mapreduce_google_spark.streaming.jobs import (
+        _staged_events_dir,
+        run_available_now,
+    )
+    from mapreduce_google_spark.streaming.stateful import tws_user_event_counts
+
+    tag, staged = _staged_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(staged)
+    )
+    out = tws_user_event_counts(stream)
+    sink = run_available_now(out, f"tws_counts_{tag}", output_mode="append")
+
+    got = {
+        r.user_id: r.total
+        for r in sink.groupBy("user_id")
+        .agg(F.sum("n_delta").alias("total"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.cnt
+        for r in spark.read.parquet(staged)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
