@@ -176,3 +176,48 @@ def test_t62_composite_topk_and_pushdown(spark, sf_dir):
     plan = formatted_plan(df)
     assert has_pushed_filters(df, "o_orderdate", "l_shipdate", "c_mktsegment"), plan
     assert has_take_ordered(df), plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew handling — the safety net behind every shuffle
+    join in this engine for keys NOT known hot in advance (T41's manual
+    salting covers the known ones). One key holding ~2/3 of the left side
+    must get its partition split: the executed plan shows
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # shrink thresholds so test-scale bytes register as skew
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 3 != 0, 0)
+            .otherwise(F.col("id") % 101)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 300_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
