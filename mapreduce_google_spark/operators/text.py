@@ -119,3 +119,118 @@ def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.agg(
         F.approx_count_distinct("token", rsd=0.01).alias("approx_n_tokens")
     )
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = 50, stride: int = 40
+) -> DataFrame:
+    """T63 — sliding token-window chunking of ``documents.text``.
+
+    The context-window preparation pass of every RAG / pretraining
+    pipeline: each document becomes ceil(max(n-chunk,0)/stride)+1 chunks
+    of ``chunk_tokens`` tokens starting every ``stride`` tokens (overlap
+    = chunk_tokens - stride; the final partial window is kept).
+
+    Scale: entirely narrow — tokenize once per row, build chunk start
+    offsets with ``sequence``, slice with a higher-order ``transform``,
+    one ``explode``. No shuffle until the output sort; no Python. Shuffle
+    volume is chunk metadata (doc_id, offsets, text), the same order as
+    the input bytes × overlap factor.
+    """
+    from mapreduce_google_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokenize("text"), lambda t: t != "").alias("tokens"),
+    ).withColumn("n", F.size("tokens"))
+    # chunk start offsets 0, stride, 2*stride, … while start < n (≥1 chunk
+    # even for empty docs keeps every doc represented exactly once)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.col("n") - 1) - ((F.col("n") - 1) % stride), F.lit(0)
+        ),
+        F.lit(stride),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.slice(F.col("tokens"), s + 1, chunk_tokens),
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def pack_documents(
+    spark: SparkSession, sf_dir: str, budget: int = 256, num_shards: int = 16
+) -> DataFrame:
+    """T64 — greedy sequence packing: fill training sequences up to a
+    token ``budget`` with whole documents (first-fit in doc_id order).
+
+    Globally-optimal packing is inherently sequential, so the scalable
+    form shards by hash(doc_id) into a FIXED shard count and packs each
+    shard independently — deterministic regardless of cluster size,
+    parallel across shards, and within ~1 doc/shard of the sequential
+    greedy result. Packing itself is Arrow-batched ``mapInPandas`` (the
+    greedy scan is genuinely imperative); token counting stays JVM-side.
+    At 100 TB pick num_shards so one shard's metadata (doc_id + count,
+    not text) fits an executor — the pandas side never sees the text.
+
+    Output: one row per pack (shard-scoped ids), rows-only checked +
+    invariant-tested (every doc exactly once, packs within budget).
+    """
+    from mapreduce_google_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(tokenize("text"), lambda t: t != "")).alias("n_tokens"),
+    )
+    sharded = toks.repartition(num_shards, "doc_id").withColumn(
+        "shard", F.spark_partition_id()
+    )
+
+    def pack(batches):
+        import pandas as pd
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        packs = []  # (pack_local, doc_id, n_tokens)
+        pack_local, filled = 0, 0
+        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            if filled > 0 and filled + n > budget:
+                pack_local += 1
+                filled = 0
+            packs.append((pack_local, doc_id, n))
+            filled += n
+        out = pd.DataFrame(
+            packs, columns=["pack_local", "doc_id", "n_tokens"]
+        )
+        out["pack_id"] = shard * 1_000_000 + out["pack_local"]
+        yield out[["pack_id", "doc_id", "n_tokens"]]
+
+    assigned = sharded.mapInPandas(
+        pack, schema="pack_id long, doc_id long, n_tokens long"
+    )
+    return (
+        assigned.groupBy("pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("pack_id")
+    )

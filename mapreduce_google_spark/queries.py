@@ -1541,3 +1541,44 @@ register(
         tags=("relational", "join", "topk"),
     )
 )
+
+register(
+    QuerySpec(
+        name="t63_chunk_documents",
+        builder=text_ops.chunk_documents,
+        oracle="""
+            SELECT doc_id,
+                   CAST(s / 40 AS BIGINT) AS chunk_id,
+                   CAST(len(toks[s+1:s+50]) AS BIGINT) AS n_tokens,
+                   array_to_string(toks[s+1:s+50], ' ') AS chunk_text
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(0,
+                                    greatest(len(toks) - 1
+                                             - ((len(toks) - 1) % 40), 0) + 1,
+                                    40)) AS s
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> '') AS toks
+                    FROM documents
+                )
+            )
+            ORDER BY doc_id, chunk_id
+        """,
+        doc="sliding 50-token windows every 40 tokens (RAG/pretrain chunking), narrow HOF slicing, no Python",
+        tags=("llm", "text", "chunking"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t64_pack_documents",
+        builder=text_ops.pack_documents,
+        oracle=None,  # pack membership depends on shard-local greedy order —
+        # invariants (coverage, budget, determinism) are pinned in
+        # tests/test_approx_ops.py::test_packing_invariants
+        doc="greedy sequence packing into 256-token budgets, hash-sharded first-fit (training batch prep)",
+        tags=("llm", "packing", "pandas"),
+    )
+)

@@ -108,3 +108,29 @@ def test_dedup_clusters_cover_exact_dup_groups(spark, sf_dir):
     for r in exact_dedup(spark, sf_dir).collect():
         if r.n_dups >= 2:
             assert r.doc_id in clusters
+
+
+def test_packing_invariants(spark, sf_dir):
+    """T64: every document lands in exactly one pack; no pack exceeds the
+    budget unless it holds a single oversized doc; the result is
+    deterministic across runs; pack count is near the lower bound."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.operators.text import pack_documents
+
+    budget = 256
+    packs = pack_documents(spark, sf_dir, budget=budget).collect()
+    n_docs_total = sum(r.n_docs for r in packs)
+    assert (
+        n_docs_total
+        == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    for r in packs:
+        assert r.n_tokens <= budget or r.n_docs == 1, r
+    # deterministic re-run
+    again = pack_documents(spark, sf_dir, budget=budget).collect()
+    assert [tuple(r) for r in packs] == [tuple(r) for r in again]
+    # waste bound: shard-local greedy stays within 2x of the global
+    # lower bound at this corpus' doc-length distribution
+    total_tokens = sum(r.n_tokens for r in packs)
+    assert len(packs) <= 2 * (total_tokens // budget + 16)
