@@ -1,0 +1,55 @@
+"""Registry meta-contract: invariants the driver's correctness gate
+assumes, pinned so future query additions can't silently break them."""
+
+from __future__ import annotations
+
+import re
+
+from mapreduce_google_spark.io import TABLES
+from mapreduce_google_spark.queries import REGISTRY
+
+
+def test_names_are_unique_and_well_formed():
+    assert len(REGISTRY) == len(set(REGISTRY))
+    for name in REGISTRY:
+        assert re.fullmatch(r"t\d{2}b?_[a-z0-9_]+", name), name
+
+
+def test_oracles_reference_only_known_tables():
+    """Every FROM/JOIN target in an oracle must be a driver-registered
+    view (or an inline subquery) — a typo'd table fails at grade time."""
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        ctes = set(
+            re.findall(
+                r"(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(",
+                spec.oracle,
+                re.I,
+            )
+        )
+        for tbl in re.findall(
+            r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle, re.I
+        ):
+            assert tbl in TABLES or tbl in ctes, f"{name}: unknown table {tbl!r}"
+
+
+def test_headline_queries_are_oracle_checked():
+    """Bench queries must also be correctness-gated — a fast wrong answer
+    is worse than a slow right one."""
+    for name, spec in REGISTRY.items():
+        if spec.headline:
+            assert spec.oracle is not None or name == "t22_minhash_lsh_pairs", name
+
+
+def test_every_query_declares_semantics():
+    for name, spec in REGISTRY.items():
+        assert spec.doc, f"{name} has no doc"
+        assert spec.tags, f"{name} has no tags"
+
+
+def test_builders_are_importable_functions():
+    """Lambdas don't pickle and read poorly in COVERAGE.md — require
+    named module-level builders."""
+    for name, spec in REGISTRY.items():
+        assert spec.builder.__name__ != "<lambda>", name
