@@ -30,12 +30,30 @@ TABLES: tuple[str, ...] = (
 )
 
 
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Pin the session confs the loaders depend on, at runtime.
+
+    Both are runtime-settable, so the loader works under ANY SparkSession —
+    including externally constructed vanilla ones (the round-1 harness
+    failure mode: six events-based queries threw PARQUET_TYPE_ILLEGAL
+    because only ``session.get_spark`` set nanosAsLong at build time).
+
+    - ``nanosAsLong``: events.parquet carries TIMESTAMP(NANOS), which
+      vanilla Spark refuses; read it as long and convert below.
+    - ``session.timeZone=UTC``: timestamp formatting/extraction queries
+      (date_format, window) must not depend on the host's zone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one star-schema table.
 
     Plain ``spark.read.parquet`` so Catalyst keeps full pushdown/pruning
     freedom — callers filter/select and the scan narrows itself.
     """
+    _ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (spark.sql.legacy.parquet.
     # nanosAsLong); convert to µs timestamps with exact integer division —
@@ -43,6 +61,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def cache_tag(sf_dir: str, *names: str) -> str:
+    """Stable key for /tmp-cached derivations of source tables.
+
+    Combines the FULL absolute path with a fingerprint (file list + sizes
+    + mtimes) of each named source table, so (a) two sf_dirs sharing a
+    basename never collide and (b) regenerating a source at the same path
+    invalidates the cache instead of silently serving stale results.
+    """
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for name in names:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        elif os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    base = os.path.basename(os.path.abspath(sf_dir)).lower()
+    import re
+
+    base = re.sub(r"[^a-z0-9]+", "_", base)
+    return f"{base}_{h.hexdigest()[:10]}"
 
 
 def load_tables(

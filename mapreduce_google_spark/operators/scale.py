@@ -28,13 +28,12 @@ tools that replace and extend that single lever:
 from __future__ import annotations
 
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_google_spark.io import load_table, register_views
+from mapreduce_google_spark.io import cache_tag, load_table, register_views
 
 #: decimal sum → double, rounded — deterministic vs the oracle regardless
 #: of partitioning (double accumulation order varies run to run).
@@ -44,8 +43,10 @@ def _revenue(col: str):
     )
 
 
-def _tag(sf_dir: str) -> str:
-    return re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+def _tag(sf_dir: str, *names: str) -> str:
+    """Cache key = full-path + source-fingerprint (see io.cache_tag) —
+    basename-only tags collide across datasets and go stale on regen."""
+    return cache_tag(sf_dir, *names)
 
 
 def bucketed_revenue_per_segment(
@@ -68,7 +69,7 @@ def bucketed_revenue_per_segment(
     otherwise broadcast; at 100 TB neither side broadcasts and the
     bucketed sort-merge IS the plan).
     """
-    tag = _tag(sf_dir)
+    tag = _tag(sf_dir, "orders", "customer")
     tables = {
         "orders": ("o_custkey", f"mgs_b_orders_{tag}"),
         "customer": ("c_custkey", f"mgs_b_customer_{tag}"),
@@ -185,7 +186,7 @@ def partition_pruned_daily_counts(
 
     The one-time partitioned write is cached under /tmp per sf_dir.
     """
-    tag = _tag(sf_dir)
+    tag = _tag(sf_dir, "events")
     out = f"/tmp/mgs_part_events_{tag}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (

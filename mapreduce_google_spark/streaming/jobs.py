@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_google_spark.io import load_table
+from mapreduce_google_spark.io import _ensure_read_confs, cache_tag, load_table
 from mapreduce_google_spark.operators.events import TS_FMT
 
 
@@ -28,6 +28,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Schema comes from the batch reader (streams can't infer), with the same
     nanos→µs timestamp normalization as :func:`io.load_table`.
     """
+    _ensure_read_confs(spark)  # vanilla sessions reject TIMESTAMP(NANOS)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -125,9 +126,8 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIGINAL table — the oracle the driver checks.
     """
     import os
-    import re
 
-    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    tag = cache_tag(sf_dir, "events")
     doubled = f"/tmp/mgs_doubled_events_{tag}"
     if not os.path.exists(os.path.join(doubled, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
@@ -216,9 +216,8 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     stream source requires a directory; 4 files → 4 micro-batches under
     ``maxFilesPerTrigger=1``). Returns (tag, path); idempotent per sf."""
     import os
-    import re
 
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.strip("/").replace("/", "_").lower())
+    tag = cache_tag(sf_dir, "events")
     staged = f"/tmp/mgs_events_dir_{tag}"
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         load_table(spark, sf_dir, "events").repartition(4).write.mode(
