@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce_google_spark.functions.numeric import dsum, money
 from mapreduce_google_spark.io import load_table
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -36,7 +37,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            dsum(money("value")).alias("sum_value"),
         )
         .orderBy("bucket_start", "event_type")
     )
@@ -56,7 +57,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            dsum(money("value")).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),

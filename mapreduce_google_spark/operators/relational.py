@@ -20,6 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce_google_spark.functions.numeric import (
+    davg,
+    dsum,
+    money,
+    one_minus,
+    one_plus,
+    rate,
+)
 from mapreduce_google_spark.io import load_table
 
 
@@ -36,9 +44,7 @@ def filter_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
-                "revenue"
-            ),
+            dsum(money("l_extendedprice") * rate("l_discount")).alias("revenue"),
             F.count("*").cast("long").alias("n_rows"),
         )
     )
@@ -51,19 +57,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~everything map-side, so the exchange is tiny at any scale.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = money("l_extendedprice") * one_minus("l_discount")
+    charge = disc_price * one_plus("l_tax")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(charge), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dsum(money("l_quantity")).alias("sum_qty"),
+            dsum(money("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(money("l_quantity")).alias("avg_qty"),
+            davg(money("l_extendedprice")).alias("avg_price"),
+            davg(rate("l_discount")).alias("avg_disc"),
             F.count("*").cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -88,7 +94,7 @@ def revenue_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            dsum(money("o_totalprice")).alias("revenue"),
             F.count("*").cast("long").alias("n_orders"),
         )
         .orderBy("r_name")
@@ -157,11 +163,11 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = money("l_extendedprice") * one_minus("l_discount")
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum(revenue), 6).alias("revenue"),
+            dsum(revenue).alias("revenue"),
             F.count("*").cast("long").alias("n_rows"),
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
@@ -527,9 +533,7 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue"),
+            dsum(money("l_extendedprice") * one_minus("l_discount")).alias("revenue"),
             F.count("*").cast("long").alias("n_lineitems"),
         )
         .orderBy("n_name")
@@ -584,7 +588,7 @@ def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_custkey")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            dsum(money("o_totalprice"), 2).alias("total_spend"),
         )
     )
     joined = customer.join(
@@ -628,7 +632,7 @@ def segment_nation_coverage_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_mktsegment")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            davg(money("c_acctbal")).alias("avg_acctbal"),
         )
     )
     return (
@@ -667,7 +671,7 @@ def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .agg(dsum(money("o_totalprice"), 2).alias("spend"))
     )
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -718,9 +722,7 @@ def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            dsum(money("l_extendedprice") * one_minus("l_discount")).alias("revenue")
         )
         .select(
             F.col("o_orderkey").cast("long").alias("orderkey"),

@@ -33,14 +33,14 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_google_spark.functions.numeric import dsum, money
 from mapreduce_google_spark.io import cache_tag, load_table, register_views
 
 #: decimal sum → double, rounded — deterministic vs the oracle regardless
 #: of partitioning (double accumulation order varies run to run).
+#: (now shared repo-wide as functions.numeric.dsum/money)
 def _revenue(col: str):
-    return F.round(
-        F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), 6
-    )
+    return dsum(money(col))
 
 
 def _tag(sf_dir: str, *names: str) -> str:
@@ -203,7 +203,7 @@ def partition_pruned_daily_counts(
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            dsum(money("value")).alias("sum_value"),
         )
         .orderBy("event_type")
     )

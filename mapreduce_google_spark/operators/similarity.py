@@ -181,11 +181,18 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_google_spark.functions.vectors import l2_norm
 
     norms = emb.select("label", l2_norm("embedding").alias("norm"))
+    # mean via exact decimal accumulation (functions.numeric recipe): the
+    # per-row norm is a deterministic double; quantize it to 12 decimals
+    # (decimal(20,12)) so the SUM is order-independent, then one double
+    # division — avg(double) would drift with partitioning.
+    norm_dec = F.col("norm").cast("decimal(20,12)")
     return (
         norms.groupBy("label")
         .agg(
             F.count("*").cast("long").alias("n_vectors"),
-            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(
+                F.sum(norm_dec).cast("double") / F.count("norm"), 6
+            ).alias("avg_norm"),
             F.round(F.min("norm"), 6).alias("min_norm"),
             F.round(F.max("norm"), 6).alias("max_norm"),
         )

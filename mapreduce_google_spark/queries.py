@@ -201,7 +201,11 @@ register(
         name="t07_filter_agg_revenue",
         builder=rel_ops.filter_agg_revenue,
         oracle="""
-            SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+            -- decimal accumulation mirrors functions.numeric.dsum: exact
+            -- sum, ONE double conversion, round last (order-independent)
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE),
+                         6) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -220,17 +224,29 @@ register(
         name="t08_pricing_summary",
         builder=rel_ops.pricing_summary,
         oracle="""
+            -- decimal accumulation (functions.numeric recipe): every sum/avg
+            -- totals exact decimals, converts to double once, rounds last
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+                   round(CAST(sum(qty) AS DOUBLE), 6) AS sum_qty,
+                   round(CAST(sum(price) AS DOUBLE), 6) AS sum_base_price,
+                   round(CAST(sum(price * net) AS DOUBLE), 6) AS sum_disc_price,
+                   round(CAST(sum(price * net * gross) AS DOUBLE), 6)
                        AS sum_charge,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   round(CAST(sum(qty) AS DOUBLE) / count(qty), 6) AS avg_qty,
+                   round(CAST(sum(price) AS DOUBLE) / count(price), 6) AS avg_price,
+                   round(CAST(sum(disc) AS DOUBLE) / count(disc), 6) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
-            FROM lineitem
+            FROM (
+                SELECT l_returnflag, l_linestatus, l_shipdate,
+                       CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                       CAST(l_discount AS DECIMAL(3,2)) AS disc,
+                       CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))
+                           AS net,
+                       CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))
+                           AS gross
+                FROM lineitem
+            )
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
@@ -247,7 +263,8 @@ register(
         builder=rel_ops.revenue_per_region,
         oracle="""
             SELECT r_name,
-                   round(sum(o_totalprice), 6) AS revenue,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                              AS DOUBLE), 6) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -310,7 +327,10 @@ register(
         builder=rel_ops.revenue_rollup,
         oracle="""
             SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(3,2))))
+                              AS DOUBLE), 6) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -395,7 +415,8 @@ register(
                        AS bucket_start,
                    event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 6)
+                       AS sum_value
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
@@ -415,7 +436,8 @@ register(
                        AS window_start,
                    event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 6)
+                       AS sum_value
             FROM (
                 SELECT unnest([
                            (epoch_us(ts) // 1800000000) * 1800000000,
@@ -1098,7 +1120,8 @@ register(
         oracle=f"""
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 6)
+                       AS sum_value
             FROM events
             WHERE CAST(ts AS DATE) = DATE '{scale_ops.PRUNE_DAY}'
             GROUP BY event_type
@@ -1179,7 +1202,8 @@ register(
         oracle="""
             SELECT label,
                    CAST(count(*) AS BIGINT) AS n_vectors,
-                   round(avg(nrm), 6) AS avg_norm,
+                   round(CAST(sum(CAST(nrm AS DECIMAL(20,12))) AS DOUBLE)
+                         / count(nrm), 6) AS avg_norm,
                    round(min(nrm), 6) AS min_norm,
                    round(max(nrm), 6) AS max_norm
             FROM (
@@ -1311,7 +1335,10 @@ register(
         builder=rel_ops.local_supplier_revenue,
         oracle="""
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(3,2))))
+                              AS DOUBLE), 6) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_lineitems
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey
@@ -1441,7 +1468,8 @@ register(
             FULL OUTER JOIN (
                 SELECT o_custkey,
                        count(*) AS n_orders,
-                       round(sum(o_totalprice), 2) AS total_spend
+                       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                                  AS DOUBLE), 2) AS total_spend
                 FROM orders
                 GROUP BY o_custkey
             )
@@ -1469,7 +1497,9 @@ register(
             LEFT JOIN (
                 SELECT c_nationkey, c_mktsegment,
                        count(*) AS n_customers,
-                       round(avg(c_acctbal), 6) AS avg_acctbal
+                       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                                  AS DOUBLE) / count(c_acctbal), 6)
+                           AS avg_acctbal
                 FROM customer
                 GROUP BY c_nationkey, c_mktsegment
             ) obs
@@ -1502,7 +1532,8 @@ register(
                        ntile(4) OVER w AS quartile
                 FROM (
                     SELECT c.c_custkey, c.c_mktsegment,
-                           round(sum(o.o_totalprice), 2) AS spend
+                           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                                      AS DOUBLE), 2) AS spend
                     FROM customer c
                     JOIN orders o ON c.c_custkey = o.o_custkey
                     GROUP BY c.c_custkey, c.c_mktsegment
@@ -1526,7 +1557,10 @@ register(
             SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
                    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
                    o_orderpriority AS priority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(3,2))))
+                              AS DOUBLE), 6) AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_google_spark.functions.numeric import dsum, money
 from mapreduce_google_spark.io import _ensure_read_confs, cache_tag, load_table
 from mapreduce_google_spark.operators.events import TS_FMT
 
@@ -52,7 +53,7 @@ def tumbling_window_stream(events: DataFrame, watermark: str = "1 hour") -> Data
         .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            dsum(money("value")).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), TS_FMT).alias("bucket_start"),
