@@ -1,7 +1,8 @@
 """Job-submission CLI — the engine's counterpart of the reference's
-``mapreduce-submit`` client (``mapreduce/submit.py:21-60``).
+``mapreduce-submit`` client (``mapreduce/submit.py:21-60``) and of the
+manager's job queue (``mapreduce/manager/__main__.py:180-196,313-319``).
 
-Two modes:
+Three modes:
 
 1. Reference-style streaming-exec job (the reference's whole surface):
 
@@ -21,17 +22,134 @@ Two modes:
    python -m mapreduce_google_spark.cli query --name t08_pricing_summary \\
        --sf-dir /root/testdata/sf0.01 [--output DIR]
 
+3. Multi-job batch (the reference's F10 job queue, one long-lived
+   runtime serving many jobs):
+
+   python -m mapreduce_google_spark.cli batch --jobs jobs.jsonl \\
+       [--parallel 4]
+
+   ``jobs.jsonl`` holds one JSON job per line, each either
+   ``{"type": "query", "name": ..., "sf_dir": ..., "output": ...?}`` or
+   ``{"type": "exec", "input": ..., "output": ..., "mapper": ...,
+   "reducer": ..., "num_reducers": 4?}``. Jobs run FIFO through ONE
+   SparkSession — exactly the reference manager's queue discipline
+   (new jobs enqueue; the runtime works them in arrival order) — or
+   concurrently with ``--parallel N``, where Spark's FAIR scheduler
+   pools replace the reference's strictly serial queue (its workers ran
+   one task at a time; a shared Spark app multiplexes jobs without
+   re-paying session startup). A failed job is reported and the queue
+   KEEPS GOING (reference parity: a bad mapper fails its job, not the
+   manager); exit status is non-zero if any job failed.
+
 Unlike the reference's fire-and-forget TCP submit (``submit.py:92-94``,
-completion observed by polling output files), this CLI runs the job in
-process and exits non-zero on failure.
+completion observed by polling output files), this CLI runs jobs in
+process and reports per-job status on stdout as JSON lines.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+def _run_exec(
+    spark: SparkSession,
+    *,
+    input: str,
+    output: str,
+    mapper: str,
+    reducer: str,
+    num_reducers: int = 4,
+) -> str:
+    from mapreduce_google_spark.io import read_text_dir, write_text_dir
+    from mapreduce_google_spark.operators.pipe import pipe_map_reduce
+
+    lines = read_text_dir(spark, input)
+    kv = pipe_map_reduce(lines, mapper, reducer, num_reducers=num_reducers)
+    out = kv.select(F.concat_ws("\t", F.col("key"), F.col("value")).alias("value"))
+    write_text_dir(out, output, num_files=num_reducers)
+    return output
+
+
+def _run_query(
+    spark: SparkSession,
+    *,
+    name: str,
+    sf_dir: str,
+    output: str | None = None,
+    limit: int = 20,
+    show: bool = True,
+) -> int:
+    """Run one registry query; returns the row count of the result."""
+    from mapreduce_google_spark.queries import REGISTRY
+
+    if name not in REGISTRY:
+        raise KeyError(f"unknown query {name!r}; known: {sorted(REGISTRY)}")
+    df = REGISTRY[name].builder(spark, sf_dir)
+    if output:
+        df.write.mode("overwrite").parquet(output)
+        return spark.read.parquet(output).count()
+    if show:
+        df.show(limit, truncate=False)
+        return -1
+    return df.count()
+
+
+def run_batch(
+    spark: SparkSession, jobs: list[dict], parallel: int = 1
+) -> list[dict]:
+    """Run a FIFO job list through one session; returns per-job statuses.
+
+    ``parallel > 1`` submits jobs from a thread pool with each job in its
+    own FAIR-scheduler pool (requires ``spark.scheduler.mode=FAIR`` for
+    true fair sharing; with the default FIFO scheduler the jobs still
+    run concurrently, just FIFO-prioritized). Threads are the supported
+    concurrency mechanism for one SparkContext — each action is tagged
+    with the submitting thread's local properties, so per-job pools
+    don't leak across jobs.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(idx_job: tuple[int, dict]) -> dict:
+        idx, job = idx_job
+        kind = job.get("type")
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"job-{idx}")
+        spark.sparkContext.setJobGroup(f"job-{idx}", json.dumps(job), False)
+        try:
+            if kind == "exec":
+                args = {k: job[k] for k in ("input", "output", "mapper", "reducer")}
+                args["num_reducers"] = int(job.get("num_reducers", 4))
+                _run_exec(spark, **args)
+                return {"job": idx, "type": kind, "ok": True, "output": job["output"]}
+            elif kind == "query":
+                n = _run_query(
+                    spark,
+                    name=job["name"],
+                    sf_dir=job["sf_dir"],
+                    output=job.get("output"),
+                    show=False,
+                )
+                return {
+                    "job": idx,
+                    "type": kind,
+                    "name": job["name"],
+                    "ok": True,
+                    "rows": n,
+                }
+            raise ValueError(f"unknown job type {kind!r}")
+        except Exception as exc:  # noqa: BLE001 — queue keeps serving
+            return {"job": idx, "type": kind, "ok": False, "error": str(exc)[:500]}
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    if parallel <= 1:
+        return [_one(ij) for ij in enumerate(jobs)]
+    with ThreadPoolExecutor(max_workers=parallel) as pool:
+        return list(pool.map(_one, enumerate(jobs)))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -51,38 +169,60 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("--output", help="write parquet here instead of stdout")
     p_query.add_argument("--limit", type=int, default=20)
 
+    p_batch = sub.add_parser(
+        "batch", help="run a JSONL job list FIFO through one session (F10 queue)"
+    )
+    p_batch.add_argument("--jobs", required=True, help="JSONL job file")
+    p_batch.add_argument(
+        "--parallel",
+        type=int,
+        default=1,
+        help="concurrent jobs (FAIR scheduler pools); 1 = strict FIFO",
+    )
+
     args = parser.parse_args(argv)
 
-    from mapreduce_google_spark.io import read_text_dir, write_text_dir
-    from mapreduce_google_spark.operators.pipe import pipe_map_reduce
-    from mapreduce_google_spark.queries import REGISTRY
     from mapreduce_google_spark.session import get_spark
 
-    spark = get_spark(app_name=f"mgs-cli-{args.mode}")
+    extra = (
+        {"spark.scheduler.mode": "FAIR"}
+        if args.mode == "batch" and args.parallel > 1
+        else None
+    )
+    spark = get_spark(app_name=f"mgs-cli-{args.mode}", extra_conf=extra)
     try:
         if args.mode == "exec":
-            lines = read_text_dir(spark, args.input)
-            kv = pipe_map_reduce(
-                lines, args.mapper, args.reducer, num_reducers=args.num_reducers
+            _run_exec(
+                spark,
+                input=args.input,
+                output=args.output,
+                mapper=args.mapper,
+                reducer=args.reducer,
+                num_reducers=args.num_reducers,
             )
-            out = kv.select(
-                F.concat_ws("\t", F.col("key"), F.col("value")).alias("value")
-            )
-            write_text_dir(out, args.output, num_files=args.num_reducers)
             print(f"wrote {args.output}")
-        else:
-            if args.name not in REGISTRY:
-                print(
-                    f"unknown query {args.name!r}; known: {sorted(REGISTRY)}",
-                    file=sys.stderr,
+        elif args.mode == "query":
+            try:
+                _run_query(
+                    spark,
+                    name=args.name,
+                    sf_dir=args.sf_dir,
+                    output=args.output,
+                    limit=args.limit,
                 )
+            except KeyError as exc:
+                print(exc.args[0], file=sys.stderr)
                 return 2
-            df = REGISTRY[args.name].builder(spark, args.sf_dir)
             if args.output:
-                df.write.mode("overwrite").parquet(args.output)
                 print(f"wrote {args.output}")
-            else:
-                df.show(args.limit, truncate=False)
+        else:
+            with open(args.jobs) as fh:
+                jobs = [json.loads(line) for line in fh if line.strip()]
+            statuses = run_batch(spark, jobs, parallel=args.parallel)
+            for status in statuses:
+                print(json.dumps(status))
+            if not all(s["ok"] for s in statuses):
+                return 1
         return 0
     finally:
         spark.stop()

@@ -10,15 +10,17 @@ Scale notes:
 * exact dedup is one hash-agg on the fingerprint — the canonical 100 TB
   dedup pass (shuffle carries fingerprint + min doc_id, not the text);
 * shingle-based ops explode to (doc, shingle) pairs; frequency-capped
-  shingles (drop shingles appearing in > max_df docs) keep the self-join
-  from exploding on boilerplate — that cap is a parameter here;
+  shingles (the ``max_df`` parameter: drop shingles appearing in >
+  max_df docs) keep the self-join from exploding on boilerplate, and
+  the LSH candidate stage additionally caps bucket size
+  (``max_bucket``) so a degenerate bucket can't go quadratic;
 * MinHash-LSH replaces the quadratic candidate join with band-bucket
   grouping: cost O(docs × bands), candidates only within equal buckets.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.functions.text import tokenize
@@ -47,9 +49,21 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+def _doc_shingle_arrays(
+    docs: DataFrame, n: int = 3, max_df: int | None = None
+) -> DataFrame:
     """(doc_id, shingles: array<string>) — the DISTINCT word n-grams of
     the lowercased token stream per document, kept as one array row.
+
+    ``max_df``: drop shingles appearing in more than ``max_df`` documents
+    (boilerplate headers/footers/licenses). Near-dup cost is driven by
+    co-shingled pairs, which is quadratic in document frequency — one
+    shared footer across a 100 TB corpus turns both the exact self-join
+    and the LSH buckets into a cross product. The stop-set is computed
+    with one explode + hash-agg (map-side combined) and is SMALL by
+    construction (≤ total-shingle-occurrences / max_df entries), so it
+    broadcasts; removal is a per-row ``array_except`` — no extra shuffle
+    of the documents themselves.
 
     Per-row (narrow) evaluation: no explode, no distinct shuffle — the
     set semantics come from ``array_distinct``. Downstream per-doc
@@ -96,32 +110,52 @@ def _doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("shingles"),
     )
-    return ngrams.select(
+    sets = ngrams.select(
         "doc_id",
         F.array_distinct(F.filter("shingles", lambda s: s != "")).alias("shingles"),
     )
+    if max_df is None:
+        return sets
+    stop = (
+        sets.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .agg(F.collect_set("shingle").alias("stop"))  # always exactly 1 row
+    )
+    return sets.crossJoin(F.broadcast(stop)).select(
+        "doc_id", F.array_except("shingles", "stop").alias("shingles")
+    )
 
 
-def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def _doc_shingles(
+    docs: DataFrame, n: int = 3, max_df: int | None = None
+) -> DataFrame:
     """(doc_id, shingle) exploded pairs — the inverted-index form, for
     operators that genuinely need a join per shingle (exact all-pairs
     Jaccard's candidate discovery)."""
-    return _doc_shingle_arrays(docs, n).select(
+    return _doc_shingle_arrays(docs, n, max_df=max_df).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word-3-gram shingle sets.
 
     shingle self-join → common-count per pair → |A∪B| via per-doc sizes.
     Exact and oracle-checkable; the LSH variant below is the scale path
-    (this one is O(pairs sharing a shingle)).
+    (this one is O(pairs sharing a shingle) — ``max_df`` caps the
+    per-shingle fan-out so boilerplate can't make it quadratic; Jaccard
+    is then computed over the CAPPED sets on both engine and oracle).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, n).cache()
+    sh = _doc_shingles(docs, n, max_df=max_df).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -198,6 +232,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_df: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup: shingle → minhash → band → bucket-join →
     exact-Jaccard verify of CANDIDATES ONLY.
@@ -208,14 +244,28 @@ def minhash_lsh_pairs(
     ~linear for bounded near-dup rates). Verification joins each
     candidate pair to the two docs' shingle ARRAYS and intersects them
     per row (``array_intersect``) — two doc-level joins, instead of
-    re-exploding the inverted index per candidate. Rows-only for the
-    driver (the hash family isn't SQL-portable);
+    re-exploding the inverted index per candidate.
+
+    Two skew guards, both default-on paths for boilerplate-heavy corpora:
+
+    * ``max_df`` — drop shingles shared by more than ``max_df`` docs
+      BEFORE signatures (see :func:`_doc_shingle_arrays`), so boilerplate
+      never reaches the hash family;
+    * ``max_bucket`` — drop band buckets holding more than ``max_bucket``
+      docs before the candidate self-join. A bucket of k docs emits
+      k·(k−1)/2 candidates; one degenerate bucket (near-identical
+      template pages, or max_df left off) otherwise dominates the whole
+      job. The count is a window over the same (band, bucket) key the
+      join shuffles on, so the guard rides the exchange it protects.
+
+    Rows-only for the driver (the hash family isn't SQL-portable);
     ``tests/test_approx_ops.py`` asserts precision 1.0 vs the exact
-    operator and a recall floor.
+    operator, a recall floor, and that a planted shared footer does not
+    explode the candidate count.
     """
     docs = load_table(spark, sf_dir, "documents")
     rows_per_band = num_hashes // bands
-    sets = _doc_shingle_arrays(docs, n).cache()
+    sets = _doc_shingle_arrays(docs, n, max_df=max_df).cache()
     sig = minhash_signatures(docs, n, num_hashes, shingle_arrays=sets)
     # band key = (band index, hash of that band's signature slice)
     banded = sig.select(
@@ -239,6 +289,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        banded = (
+            banded.withColumn(
+                "bucket_n",
+                F.count("*").over(Window.partitionBy("band", "bucket")),
+            )
+            .where(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     a, b_ = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -264,6 +323,44 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", jaccard)
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def incremental_dedup(
+    spark: SparkSession, sf_dir: str, batch_start: int = 250
+) -> DataFrame:
+    """T65 — incremental ingest dedup: which NEW documents survive against
+    an already-deduplicated historical corpus?
+
+    The production shape of T17: a 100 TB corpus is never re-deduped from
+    scratch — each ingest batch is checked against the historical
+    fingerprint set. Here docs with ``doc_id < batch_start`` play the
+    history, the rest the incoming batch:
+
+    1. within-batch dedup: keep the lowest doc_id per fingerprint
+       (one hash-agg over the batch only);
+    2. history check: LEFT ANTI join batch fingerprints against history
+       fingerprints — the join carries 32-byte hashes + ids, never text.
+
+    Both joins shuffle on the fingerprint, so at scale the historical
+    fingerprint store should be bucketed on it (write once via
+    ``io.write_parquet(bucket_by=("fingerprint", N))``), making every
+    nightly ingest a co-located join with zero exchange on the big side.
+    Output: surviving (doc_id, fingerprint, n_dups_in_batch).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+    history = docs.where(F.col("doc_id") < batch_start).select("fingerprint")
+    batch = docs.where(F.col("doc_id") >= batch_start)
+    batch_first = batch.groupBy("fingerprint").agg(
+        F.min("doc_id").cast("long").alias("doc_id"),
+        F.count("*").cast("long").alias("n_dups_in_batch"),
+    )
+    return (
+        batch_first.join(history, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint", "n_dups_in_batch")
+        .orderBy("doc_id")
     )
 
 

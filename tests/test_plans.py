@@ -221,3 +221,15 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_t24_near_dup_avoids_nested_loop(spark, sf_dir):
+    """t24 is LSH-candidate → exact-verify: the candidate join is an
+    equi-join on (table, bucket), so no all-pairs nested loop may appear
+    anywhere in the plan (the quadratic form is quarantined in
+    embedding_near_dup_pairs_exact, tests only)."""
+    from mapreduce_google_spark.operators.similarity import embedding_near_dup_pairs
+
+    plan = formatted_plan(embedding_near_dup_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
