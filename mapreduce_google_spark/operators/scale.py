@@ -313,3 +313,47 @@ def event_pairs_within_minute(
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy("type_a", "type_b")
     )
+
+
+def jsonl_ingest_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T66 — JSONL ingest path end-to-end: documents staged once as
+    newline-delimited JSON (the lingua franca of LLM corpus interchange),
+    read back with an EXPLICIT schema, token-profiled per split shard.
+
+    Pins the F1/F9 JSON surface (io.read_source/write_sink) with a real
+    oracle: results must equal the same profile computed straight from
+    the parquet table, so a lossy round-trip (encoding, schema drift,
+    inference surprises) fails the hash. Schema is passed explicitly —
+    at 100 TB inference costs a full pre-scan and can mis-type sparse
+    fields; the explicit schema is the contract (io.read_source
+    docstring). The staged copy is /tmp-cached per source fingerprint
+    (io.cache_tag), mirroring t42's staging pattern.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mapreduce_google_spark.io import read_source, write_sink
+
+    tag = _tag(sf_dir, "documents")
+    staged = f"/tmp/mgs_jsonl_docs_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        write_sink(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "json",
+            staged,
+        )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = read_source(spark, "json", staged, schema=schema)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    return (
+        docs.select((F.col("doc_id") % 10).alias("shard"), F.size(toks).alias("n"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+        .orderBy("shard")
+    )
