@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.functions.text import tokenize
@@ -233,7 +233,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_df: int | None = None,
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup: shingle → minhash → band → bucket-join →
     exact-Jaccard verify of CANDIDATES ONLY.
@@ -246,7 +246,9 @@ def minhash_lsh_pairs(
     per row (``array_intersect``) — two doc-level joins, instead of
     re-exploding the inverted index per candidate.
 
-    Two skew guards, both default-on paths for boilerplate-heavy corpora:
+    Two opt-in skew guards for boilerplate-heavy corpora (defaults off so
+    the clean-corpus fast path keeps its single signature pass — turn
+    them on whenever the corpus hasn't been profiled):
 
     * ``max_df`` — drop shingles shared by more than ``max_df`` docs
       BEFORE signatures (see :func:`_doc_shingle_arrays`), so boilerplate
@@ -290,14 +292,19 @@ def minhash_lsh_pairs(
         ).alias("band", "bucket"),
     )
     if max_bucket is not None:
-        banded = (
-            banded.withColumn(
-                "bucket_n",
-                F.count("*").over(Window.partitionBy("band", "bucket")),
-            )
-            .where(F.col("bucket_n") <= max_bucket)
-            .drop("bucket_n")
+        # oversized buckets are FEW by construction (only boilerplate
+        # collapse produces them), so the guard is a broadcast anti-join
+        # against their keys — no window sort over the full banded set.
+        # The profile subtree recomputes the signature pipeline once more;
+        # at 100 TB materialize the signature/band table to parquet first
+        # and run the profile + self-join off that (one signature pass).
+        oversized = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("band", "bucket")
         )
+        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
     a, b_ = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(

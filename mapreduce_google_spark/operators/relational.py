@@ -80,22 +80,29 @@ def revenue_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T09 — orders ⋈ customer ⋈ nation ⋈ region, revenue per region.
 
     nation/region are broadcast (tiny, fixed-size); customer⋈orders is the
-    one real shuffle. At 100 TB customer may outgrow broadcast — that join
-    keys both sides on custkey, so bucketing customer and orders on
-    custkey at write time (io.write_parquet) removes the exchange too.
+    one real shuffle — and orders is pre-aggregated to customer grain
+    before it (exact decimal partials are associative, so pushing the sum
+    below the join is safe and shrinks the exchange to one row per active
+    customer). At 100 TB customer may outgrow broadcast — that join keys
+    both sides on custkey, so bucketing customer and orders on custkey at
+    write time (io.write_parquet) removes the exchange too.
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("rev_dec"),
+        F.count("*").alias("n_orders_c"),
+    )
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            dsum(money("o_totalprice")).alias("revenue"),
-            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("rev_dec").cast("double"), 6).alias("revenue"),
+            F.sum("n_orders_c").cast("long").alias("n_orders"),
         )
         .orderBy("r_name")
     )
@@ -147,8 +154,12 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12 — revenue by (region, nation) with ROLLUP subtotals.
 
-    lineitem→orders is the heavy join (fact-fact, shuffled, AQE-skew
-    handled); customer is mid-size (broadcast at test sf, bucketed join at
+    lineitem is pre-aggregated to order grain BEFORE the fact-fact join:
+    exact decimal accumulation is associative (unlike double sums, whose
+    value depends on add order), so pushing the partial sum below the
+    join is safe — and it shrinks the heavy lineitem→orders exchange by
+    the lines-per-order factor, the optimization that matters most at
+    100 TB. customer is mid-size (broadcast at test sf, bucketed join at
     scale); nation/region broadcast. Rollup adds grouping-set expansion
     after aggregation — no extra scan.
     """
@@ -157,18 +168,22 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("rev_dec"),  # exact decimal partial sum
+        F.count("*").alias("n_lines"),
+    )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
-    revenue = money("l_extendedprice") * one_minus("l_discount")
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            dsum(revenue).alias("revenue"),
-            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("rev_dec").cast("double"), 6).alias("revenue"),
+            F.sum("n_lines").cast("long").alias("n_rows"),
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
@@ -702,8 +717,11 @@ def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The canonical filter→join→agg→top-k composite. Scale decisions: both
     date predicates push to the parquet scans (verified by the T53 gate
     pattern); the segment filter shrinks customer BEFORE its join;
-    the final top-10 is orderBy+limit → TakeOrderedAndProject, so no
-    global sort of the aggregated orders.
+    lineitem is pre-aggregated to order grain before the join (exact
+    decimal partials are associative — the shuffle carries one row per
+    qualifying order, not one per line); the final top-10 is
+    orderBy+limit → TakeOrderedAndProject, so no global sort of the
+    aggregated orders.
     """
     cutoff = "1998-01-01"
     customer = load_table(spark, sf_dir, "customer").where(
@@ -712,18 +730,23 @@ def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < cutoff
     )
-    lineitem = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > cutoff
+    li_per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(money("l_extendedprice") * one_minus("l_discount")).alias(
+                "rev_dec"
+            )
+        )
     )
     joined = (
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(li_per_order, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            dsum(money("l_extendedprice") * one_minus("l_discount")).alias("revenue")
-        )
+        .agg(F.round(F.sum("rev_dec").cast("double"), 6).alias("revenue"))
         .select(
             F.col("o_orderkey").cast("long").alias("orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
