@@ -149,3 +149,33 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T68 — trailing-7-day distinct active users per day.
+
+    Sliding COUNT DISTINCT is the op window functions can't express
+    (distinct isn't decomposable over overlapping frames). The scalable
+    exact formulation: collapse events to (day, user) grain FIRST (the
+    big shrink — event-grain never fans out), then each active day
+    contributes its user to the 7 trailing windows it falls in via a
+    7-row explode, and one hash-agg counts distinct users per window
+    day. Shuffle volume is O(active-days × 7), independent of events per
+    day. The approximate cousin at extreme scale is a per-day HLL sketch
+    merged over the window (t39's sketch family); this exact form is the
+    oracle-checkable baseline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    exploded = user_days.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("win_day"),
+        "user_id",
+    )
+    return (
+        exploded.groupBy("win_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active_7d"))
+        .select(F.date_format("win_day", "yyyy-MM-dd").alias("day"), "n_active_7d")
+        .orderBy("day")
+    )

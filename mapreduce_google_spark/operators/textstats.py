@@ -152,3 +152,65 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         rolling_hash(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T67 — corpus-trained bigram LM quality score per document.
+
+    The classic statistical quality filter for pretraining corpora: train
+    add-one-smoothed bigram conditional probabilities P(w2|w1) on the
+    corpus itself, then score each document by its mean bigram
+    probability — documents made of improbable token transitions
+    (boilerplate noise, mojibake, shuffled text) score low.
+
+    Dataflow (all JVM-side): tokens → per-doc bigram instances (narrow
+    array zip, no shuffle) → two hash-aggs (bigram counts, unigram
+    counts) → equi-join instances back to their probabilities → per-doc
+    mean. At 100 TB the count tables are large, so the joins shuffle on
+    the bigram/unigram key — the exact shape of a distributed LM count
+    build (map-side combine collapses repeats before every exchange).
+
+    Determinism: P = (c12+1)/(c1+V) is ONE IEEE division of two exact
+    longs (identical in any engine), quantized to decimal(20,12) and
+    exact-summed per doc, so accumulation order can't move the hash
+    (functions/numeric.py recipe).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokenize("text"), lambda t: t != "").alias("toks"),
+    )
+    sz = F.size("toks")
+    pairs = F.arrays_zip(
+        F.slice("toks", 1, sz - 1).alias("w1"),
+        F.slice("toks", 2, sz - 1).alias("w2"),
+    )
+    bigrams = (
+        toks.where(sz >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokenize("text")).alias("t"))
+        .where(F.col("t") != "")
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    prob = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast(
+        "double"
+    )
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", prob.cast("decimal(20,12)").alias("p"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("p").cast("double") / F.count("p"), 6).alias("lm_score"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
