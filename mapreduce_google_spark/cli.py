@@ -64,11 +64,12 @@ def _run_exec(
     mapper: str,
     reducer: str,
     num_reducers: int = 4,
+    num_mappers: int | None = None,
 ) -> str:
     from mapreduce_google_spark.io import read_text_dir, write_text_dir
     from mapreduce_google_spark.operators.pipe import pipe_map_reduce
 
-    lines = read_text_dir(spark, input)
+    lines = read_text_dir(spark, input, num_mappers=num_mappers)
     kv = pipe_map_reduce(lines, mapper, reducer, num_reducers=num_reducers)
     out = kv.select(F.concat_ws("\t", F.col("key"), F.col("value")).alias("value"))
     write_text_dir(out, output, num_files=num_reducers)
@@ -123,6 +124,8 @@ def run_batch(
             if kind == "exec":
                 args = {k: job[k] for k in ("input", "output", "mapper", "reducer")}
                 args["num_reducers"] = int(job.get("num_reducers", 4))
+                if job.get("num_mappers") is not None:
+                    args["num_mappers"] = int(job["num_mappers"])
                 _run_exec(spark, **args)
                 return {"job": idx, "type": kind, "ok": True, "output": job["output"]}
             elif kind == "query":
@@ -162,12 +165,25 @@ def main(argv: list[str] | None = None) -> int:
     p_exec.add_argument("--mapper", required=True, help="mapper executable")
     p_exec.add_argument("--reducer", required=True, help="reducer executable")
     p_exec.add_argument("--num-reducers", type=int, default=4)
+    p_exec.add_argument(
+        "--num-mappers",
+        type=int,
+        default=None,
+        help="exact map-task count (reference F2 round-robin analog); "
+        "default lets Spark bin-pack by size",
+    )
 
     p_query = sub.add_parser("query", help="run a declared registry query")
     p_query.add_argument("--name", required=True)
     p_query.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_query.add_argument("--output", help="write parquet here instead of stdout")
     p_query.add_argument("--limit", type=int, default=20)
+
+    p_explain = sub.add_parser(
+        "explain", help="print a registry query's formatted physical plan"
+    )
+    p_explain.add_argument("--name", required=True)
+    p_explain.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
     p_batch = sub.add_parser(
         "batch", help="run a JSONL job list FIFO through one session (F10 queue)"
@@ -199,8 +215,20 @@ def main(argv: list[str] | None = None) -> int:
                 mapper=args.mapper,
                 reducer=args.reducer,
                 num_reducers=args.num_reducers,
+                num_mappers=args.num_mappers,
             )
             print(f"wrote {args.output}")
+        elif args.mode == "explain":
+            from mapreduce_google_spark.plans import formatted_plan
+            from mapreduce_google_spark.queries import REGISTRY
+
+            if args.name not in REGISTRY:
+                print(
+                    f"unknown query {args.name!r}; known: {sorted(REGISTRY)}",
+                    file=sys.stderr,
+                )
+                return 2
+            print(formatted_plan(REGISTRY[args.name].builder(spark, args.sf_dir)))
         elif args.mode == "query":
             try:
                 _run_query(

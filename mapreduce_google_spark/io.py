@@ -102,7 +102,9 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def read_text_dir(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_text_dir(
+    spark: SparkSession, input_dir: str, num_mappers: int | None = None
+) -> DataFrame:
     """Reference-compatible source: a directory of text files → lines.
 
     Mirrors reference F1 (``manager/__main__.py:320-327``): every regular
@@ -110,8 +112,18 @@ def read_text_dir(spark: SparkSession, input_dir: str) -> DataFrame:
     FileSourceScanExec handles listing, splitting and ordering; file
     grouping replaces the reference's round-robin `i % num_mappers` split
     (F2) with size-based bin-packing, which balances better at scale.
+
+    ``num_mappers`` reproduces the reference's exact map-task-count
+    control (``manager/__main__.py:330-334``): the scan's partitions are
+    binned into exactly N map tasks via ``coalesce`` — a task-grouping
+    operation like the reference's round-robin, not a shuffle. Leave it
+    None (the default everywhere) to let Spark's bin-packing size the
+    tasks; set it only when replaying reference task topology.
     """
-    return spark.read.text(input_dir)
+    lines = spark.read.text(input_dir)
+    if num_mappers is not None:
+        lines = lines.coalesce(num_mappers)
+    return lines
 
 
 def read_kv_text_dir(spark: SparkSession, input_dir: str) -> DataFrame:

@@ -8,7 +8,13 @@ the driver (and ``tests/``) hash-compares the two at sf0.01 / sf0.001.
 Determinism rules (FIXTURES.md §5) applied uniformly:
 * every query ends in a total ORDER BY (unique tie-break column);
 * aggregate/computed columns aliased identically on both sides;
-* float aggregates rounded to 6 decimals AFTER aggregation;
+* money/rate sums and means accumulate in EXACT decimal
+  (``functions/numeric.py``: cast 2-decimal summands to decimal, sum
+  exactly, one double conversion, round last) with the identical casts
+  in the SQL oracle — double accumulation order varies with
+  partitioning and would flip the 6-decimal hash;
+* non-2-decimal doubles (computed norms, probabilities) are quantized
+  to ``decimal(20,12)`` per row before the exact sum (t46, t67);
 * timestamps emitted as formatted strings (UTC session tz) so both
   engines stringify identically.
 """

@@ -135,3 +135,20 @@ def test_parquet_schema_evolution_merges(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {(r.id, r.name, r.score) for r in merged.collect()}
     assert rows == {(1, "a", None), (2, "b", 0.5)}
+
+
+def test_read_text_dir_num_mappers(spark, tmp_path):
+    """F2 parity: exact map-task-count control (reference
+    manager/__main__.py:330-334 round-robins files into N tasks; here
+    the scan partitions are coalesced — grouped, not shuffled — to N)."""
+    from mapreduce_google_spark.io import read_text_dir
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    for i in range(6):
+        (d / f"f{i}.txt").write_text(f"line{i}\n" * 50)
+    df = read_text_dir(spark, str(d), num_mappers=2)
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 300
+    # default path unchanged: Spark decides
+    assert read_text_dir(spark, str(d)).count() == 300

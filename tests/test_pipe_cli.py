@@ -113,3 +113,18 @@ def test_batch_parallel_shares_one_session(spark, sf_dir):
     threaded = run_batch(spark, jobs, parallel=3)
     assert all(s["ok"] for s in serial + threaded)
     assert [s["rows"] for s in serial] == [s["rows"] for s in threaded]
+
+
+def test_cli_explain(tmp_path):
+    """The explain subcommand prints the formatted physical plan — the
+    plan-inspection UX the reference never had."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "explain", "--name", "t07_filter_agg_revenue",
+         "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "PushedFilters" in res.stdout
+    assert "HashAggregate" in res.stdout

@@ -233,3 +233,17 @@ def test_t24_near_dup_avoids_nested_loop(spark, sf_dir):
     plan = formatted_plan(embedding_near_dup_pairs(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_t12_preaggregates_below_join(spark, sf_dir):
+    """The decimal-sum recipe makes partial aggregation associative, so
+    t12 must keep its lineitem→order-grain pre-aggregation (the heavy
+    exchange shrinks by the lines-per-order factor): a HashAggregate
+    keyed on l_orderkey has to sit in the plan."""
+    import re
+
+    plan = formatted_plan(revenue_rollup(spark, sf_dir))
+    # formatted mode lists each HashAggregate's "Keys [n]: [...]" detail
+    # on its own line — an aggregate keyed solely on l_orderkey IS the
+    # pre-aggregation below the join
+    assert re.search(r"Keys \[1\]: \[l_orderkey", plan), plan
