@@ -756,3 +756,34 @@ def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
     )
+
+
+def approx_segment_percentiles(
+    spark: SparkSession, sf_dir: str, accuracy: int = 1000
+) -> DataFrame:
+    """T71 — sketch-based percentiles (median, p90) of account balance per
+    segment: the bounded-memory scale path T35's docstring promises.
+
+    ``percentile_approx`` is Spark's Greenwald-Khanna sketch: mergeable
+    partial states of O(accuracy) size per group regardless of group
+    cardinality — the difference between O(group) memory (exact
+    interpolation buffers every value) and O(1) at 100 TB. Guaranteed
+    rank error ≤ 1/accuracy. Deterministic for fixed input (the sketch
+    is data-dependent, not randomized) but not SQL-portable — rows-only
+    for the driver; ``tests/test_approx_ops.py`` bounds it against the
+    exact T35 values.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(accuracy)), 6
+            ).alias("median_acctbal"),
+            F.round(
+                F.percentile_approx("c_acctbal", F.lit(0.9), F.lit(accuracy)), 6
+            ).alias("p90_acctbal"),
+            F.count("*").cast("long").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -214,3 +214,86 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T69 — per-document repetition signals (Gopher-style quality gate):
+    duplicate-trigram fraction and most-frequent-trigram share.
+
+    Machine-generated/spammy text repeats itself; these two ratios are
+    the standard cheap detectors. Dataflow: per-doc trigram INSTANCES
+    (narrow array zip — unlike the dedup shingles, repeats are the
+    signal, so no array_distinct) → one hash-agg to (doc, trigram)
+    counts → one hash-agg to per-doc {total, distinct, max}. Both ratios
+    are single IEEE divisions of exact longs, so no accumulation-order
+    hazard at any scale; map-side combine collapses repeated trigrams
+    before each exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(tokenize("text"), lambda t: t != "").alias("toks")
+    )
+    sz = F.size("toks")
+    zipped = F.arrays_zip(
+        F.col("toks").alias("t0"),
+        F.slice("toks", 2, sz).alias("t1"),
+        F.slice("toks", 3, sz).alias("t2"),
+    )
+    tris = toks.where(sz >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(zipped, 1, sz - 2),
+                lambda st: F.concat_ws(" ", st["t0"], st["t1"], st["t2"]),
+            )
+        ).alias("tri"),
+    )
+    per_tri = tris.groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
+    total = F.sum("c").cast("double")
+    return (
+        per_tri.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_trigrams"),
+            F.round(F.lit(1.0) - F.count("*") / total, 6).alias("dup_frac"),
+            F.round(F.max("c") / total, 6).alias("top_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T70 — training-mix report: document/token counts and corpus share
+    per (source, lang) cell.
+
+    The table every pretraining run starts from (and the input to t57's
+    stratified rebalancing): how much data each source contributes, in
+    tokens, and what fraction of the corpus that is. One narrow token
+    count per doc, one hash-agg on a low-cardinality key, and the corpus
+    total joined back as a broadcast scalar — no window-over-everything
+    (a global window would serialize on one task at scale). Shares are
+    single divisions of exact longs: deterministic at any partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(F.filter(tokenize("text"), lambda t: t != "")).alias("n"),
+    )
+    cells = per_doc.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    total = cells.agg(F.sum("n_tokens").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total").cast("double"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("source", "lang")
+    )

@@ -278,3 +278,82 @@ def foreachbatch_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T72 — streaming dedup-store compaction: documents arrive in
+    micro-batches, a ``foreachBatch`` merge keeps a parquet store of
+    (fingerprint → min doc_id, total dups) that must equal batch T17
+    EXACTLY when the stream drains.
+
+    The streaming twin of :func:`~...operators.dedup.incremental_dedup`:
+    a 100 TB corpus is deduped incrementally, so the store is the
+    long-lived asset and every batch is a MERGE into it. Merge state is
+    (min, sum) per fingerprint — both associative+commutative, so the
+    result is independent of batch order and count, which is what makes
+    it oracle-checkable (same output as one-shot T17) and what makes the
+    pattern safe under replays of the *merge result* (each version dir is
+    rewritten whole from prev+batch; an interrupted attempt re-derives
+    the same content). Store versions alternate directories because a
+    parquet dir can't be overwritten while being read; at scale this is
+    the same copy-on-write discipline table formats (Delta/Iceberg)
+    provide natively.
+    """
+    import os
+    import shutil
+
+    tag = cache_tag(sf_dir, "documents")
+    staged = f"/tmp/mgs_docs_dir_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).repartition(4).write.mode("overwrite").parquet(staged)
+
+    work = f"/tmp/mgs_dedup_store_{tag}"
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    schema = spark.read.parquet(staged).schema
+    state: dict[str, str | None] = {"cur": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        mins = (
+            batch_df.select(
+                F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+                "doc_id",
+            )
+            .groupBy("fingerprint")
+            .agg(
+                F.min("doc_id").cast("long").alias("doc_id"),
+                F.count("*").cast("long").alias("n_dups"),
+            )
+        )
+        if state["cur"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["cur"])
+            mins = (
+                prev.unionByName(mins)
+                .groupBy("fingerprint")
+                .agg(
+                    F.min("doc_id").cast("long").alias("doc_id"),
+                    F.sum("n_dups").cast("long").alias("n_dups"),
+                )
+            )
+        out = os.path.join(work, f"v{batch_id}")
+        mins.write.mode("overwrite").parquet(out)
+        state["cur"] = out
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["cur"] is not None, "stream produced no batches"
+    return (
+        spark.read.parquet(state["cur"])
+        .select("fingerprint", "doc_id", "n_dups")
+        .orderBy("doc_id")
+    )

@@ -187,3 +187,43 @@ def test_embedding_lsh_pairs_equal_exact(spark, sf_dir):
         for r in embedding_near_dup_pairs(spark, sf_dir).collect()
     }
     assert lsh == exact
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """T71's GK sketch vs T35's exact interpolation: with accuracy=1000
+    the rank error is ≤ 0.1%, so on ~300-member segments the approx
+    value must land within the neighborhood of the exact one (a few
+    adjacent order statistics — bounded here by 2% of the value range)."""
+    from mapreduce_google_spark.operators.relational import (
+        approx_segment_percentiles,
+        segment_percentiles,
+    )
+
+    from mapreduce_google_spark.io import load_table
+
+    exact = {r.c_mktsegment: r for r in segment_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r.c_mktsegment: r for r in approx_segment_percentiles(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    vals: dict[str, list[float]] = {}
+    for r in load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    ).collect():
+        vals.setdefault(r.c_mktsegment, []).append(r.c_acctbal)
+
+    def rank_q(seg: str, v: float) -> float:
+        s = sorted(vals[seg])
+        import bisect
+
+        return bisect.bisect_left(s, v) / max(len(s) - 1, 1)
+
+    for seg, a in approx.items():
+        assert a.n_customers == exact[seg].n_customers
+        # GK guarantees the returned value is an actual element whose rank
+        # is within 1/accuracy of the target quantile; on tiny sf0.001
+        # groups (~30 rows) grant ±2 order statistics of slack
+        slack = 1 / 1000 + 2.5 / a.n_customers
+        assert round(a.median_acctbal, 2) in [round(v, 2) for v in vals[seg]]
+        assert abs(rank_q(seg, a.median_acctbal) - 0.5) <= slack, (seg, a)
+        assert abs(rank_q(seg, a.p90_acctbal) - 0.9) <= slack, (seg, a)

@@ -247,3 +247,23 @@ def test_t12_preaggregates_below_join(spark, sf_dir):
     # on its own line — an aggregate keyed solely on l_orderkey IS the
     # pre-aggregation below the join
     assert re.search(r"Keys \[1\]: \[l_orderkey", plan), plan
+
+
+def test_t65_incremental_dedup_is_anti_join(spark, sf_dir):
+    """t65's history check must be a hash-family LEFT ANTI join on the
+    fingerprint — not a nested loop, and never a join that drags text."""
+    from mapreduce_google_spark.operators.dedup import incremental_dedup
+
+    plan = formatted_plan(incremental_dedup(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_t68_sliding_distinct_avoids_global_window(spark, sf_dir):
+    """t68 computes sliding COUNT DISTINCT by fan-out + hash-agg; a
+    Window operator here would mean an unpartitioned global sort."""
+    from mapreduce_google_spark.operators.events import trailing_week_active_users
+
+    plan = formatted_plan(trailing_week_active_users(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
