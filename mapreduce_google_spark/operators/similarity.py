@@ -373,3 +373,55 @@ def hyperplane_lsh_topk(
         .where(F.col("rank") <= k)
         .orderBy("probe_id", "rank")
     )
+
+
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T73 — int8 symmetric quantization QA: per-label scale and
+    reconstruction-error profile.
+
+    The storage/serving step of every large ANN deployment: fp32
+    embeddings quantize to int8 codes with a per-vector scale
+    (max|x|/127), cutting the index 4×; this op reports how much
+    fidelity that costs, per label shard. Everything is per-row
+    higher-order functions (zip_with/aggregate — JVM-side, no Python,
+    no shuffle) plus one hash-agg on the label: at 100 TB the scan IS
+    the cost, same shape as t46's norm sweep.
+
+    Determinism: per-vector scale/error are fixed-order fold results
+    (identical in DuckDB's list_transform/list_sum); label means
+    quantize per-vector values to decimal(20,12) before the exact sum
+    (functions/numeric recipe).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(xd, F.abs)) / F.lit(127.0)
+    per_vec = emb.select(
+        "label",
+        scale.alias("scale"),
+        (
+            F.aggregate(
+                F.transform(
+                    xd,
+                    lambda v: F.abs(v - F.round(v / scale) * scale),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("embedding")
+        ).alias("err"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,12)")  # noqa: E731
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(F.sum(dec("scale")).cast("double") / F.count("scale"), 6).alias(
+                "avg_scale"
+            ),
+            F.round(F.sum(dec("err")).cast("double") / F.count("err"), 6).alias(
+                "avg_recon_err"
+            ),
+            F.round(F.max("err"), 6).alias("max_recon_err"),
+        )
+        .orderBy("label")
+    )

@@ -1772,6 +1772,47 @@ register(
 
 register(
     QuerySpec(
+        name="t73_embedding_quantization",
+        builder=sim_ops.embedding_quantization_stats,
+        oracle="""
+            WITH per_vec AS (
+                SELECT label,
+                       list_max(list_transform(
+                           embedding, e -> abs(CAST(e AS DOUBLE)))) / 127.0
+                           AS scale,
+                       list_sum(list_transform(
+                           embedding,
+                           e -> abs(CAST(e AS DOUBLE)
+                                    - round(CAST(e AS DOUBLE)
+                                            / (list_max(list_transform(
+                                                embedding,
+                                                x -> abs(CAST(x AS DOUBLE))))
+                                               / 127.0))
+                                      * (list_max(list_transform(
+                                          embedding,
+                                          x -> abs(CAST(x AS DOUBLE))))
+                                         / 127.0))))
+                           / len(embedding) AS err
+                FROM embeddings
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   round(CAST(sum(CAST(scale AS DECIMAL(20,12))) AS DOUBLE)
+                         / count(scale), 6) AS avg_scale,
+                   round(CAST(sum(CAST(err AS DECIMAL(20,12))) AS DOUBLE)
+                         / count(err), 6) AS avg_recon_err,
+                   round(max(err), 6) AS max_recon_err
+            FROM per_vec
+            GROUP BY label
+            ORDER BY label
+        """,
+        doc="int8 symmetric quantization QA: per-label scale + reconstruction-error profile (ANN index storage path), pure HOFs",
+        tags=("llm", "similarity", "quantization"),
+    )
+)
+
+register(
+    QuerySpec(
         name="t72_stream_dedup_store",
         builder=stream_jobs.stream_incremental_dedup,
         oracle="""
@@ -1858,7 +1899,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t21_ngram_jaccard_pairs",
     "t23_simhash",
     "t24_embedding_near_dup",
-    "t27_quality_score",
     "t28_token_counts",
     "t33_asof_latest_order",
     "t37_json_props_stats",
@@ -1891,6 +1931,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t69_repetition_stats",
     "t70_corpus_mix",
     "t72_stream_dedup_store",
+    "t73_embedding_quantization",
 )
 
 
