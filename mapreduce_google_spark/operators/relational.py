@@ -787,3 +787,49 @@ def approx_segment_percentiles(
         )
         .orderBy("c_mktsegment")
     )
+
+
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T74 — per-segment revenue trend: OLS slope of monthly revenue over
+    a month index, computed from closed-form sufficient statistics.
+
+    The distributed-regression pattern: no per-group value buffering —
+    the slope (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) needs only four sums, all
+    map-side combinable, so group cardinality never matters. Two-level
+    aggregation: orders roll up to (segment, month) grain first (the
+    heavy agg), then the tiny per-segment regression.
+
+    Determinism: monthly revenue accumulates in exact decimal; the month
+    index is an int; Σxy multiplies int × decimal (exact); the slope is
+    a single IEEE division of two exact operands — identical in DuckDB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    month_idx = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1
+    ).cast("int")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", month_idx.alias("x"))
+        .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("y"))
+    )
+    n = F.count("*").cast("long")
+    sx = F.sum("x").cast("long")
+    sxx = F.sum(F.col("x").cast("long") * F.col("x")).cast("long")
+    sy = F.sum("y")
+    sxy = F.sum(F.col("x").cast("decimal(4,0)") * F.col("y"))
+    slope = (
+        (n.cast("double") * sxy.cast("double") - sx.cast("double") * sy.cast("double"))
+        / (n.cast("double") * sxx.cast("double") - sx.cast("double") * sx.cast("double"))
+    )
+    return (
+        monthly.groupBy("c_mktsegment")
+        .agg(
+            n.alias("n_months"),
+            F.round(slope, 6).alias("slope"),
+            F.round(sy.cast("double") / n, 6).alias("avg_monthly_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

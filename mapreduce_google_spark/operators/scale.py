@@ -249,12 +249,17 @@ def above_segment_average_customers(spark: SparkSession, sf_dir: str) -> DataFra
     "subquery decorrelation — no joins/subqueries").
     """
     register_views(spark, sf_dir, ("customer",))
+    # the comparison threshold uses the exact-decimal mean (one double
+    # division of exact operands — functions/numeric.py recipe): an
+    # avg(double) threshold can move by ULPs with partitioning, and a
+    # boundary row would then flip membership vs the oracle
     return spark.sql(
         """
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS n_above_avg
         FROM customer c
-        WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+                                       AS DOUBLE) / count(*)
                            FROM customer c2
                            WHERE c2.c_mktsegment = c.c_mktsegment)
         GROUP BY c_mktsegment

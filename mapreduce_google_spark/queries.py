@@ -1168,7 +1168,9 @@ register(
             SELECT c_mktsegment,
                    CAST(count(*) AS BIGINT) AS n_above_avg
             FROM customer c
-            WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+            WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal
+                                                    AS DECIMAL(12,2)))
+                                           AS DOUBLE) / count(*)
                                FROM customer c2
                                WHERE c2.c_mktsegment = c.c_mktsegment)
             GROUP BY c_mktsegment
@@ -1772,6 +1774,46 @@ register(
 
 register(
     QuerySpec(
+        name="t74_monthly_revenue_trend",
+        builder=rel_ops.monthly_revenue_trend,
+        oracle="""
+            WITH monthly AS (
+                SELECT c_mktsegment,
+                       (CAST(year(o_orderdate) AS INTEGER) - 1992) * 12
+                           + CAST(month(o_orderdate) AS INTEGER) - 1 AS x,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                            AS DECIMAL(18,2)) AS y
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT c_mktsegment,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+                       sum(y) AS sy,
+                       sum(CAST(x AS DECIMAL(4,0)) * y) AS sxy
+                FROM monthly
+                GROUP BY c_mktsegment
+            )
+            SELECT c_mktsegment,
+                   n AS n_months,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                         6) AS slope,
+                   round(CAST(sy AS DOUBLE) / n, 6) AS avg_monthly_revenue
+            FROM stats
+            ORDER BY c_mktsegment
+        """,
+        doc="per-segment OLS revenue trend from closed-form sufficient statistics (no per-group buffering), exact-decimal inputs to one IEEE division",
+        tags=("relational", "regression", "agg"),
+    )
+)
+
+register(
+    QuerySpec(
         name="t73_embedding_quantization",
         builder=sim_ops.embedding_quantization_stats,
         oracle="""
@@ -1899,7 +1941,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t21_ngram_jaccard_pairs",
     "t23_simhash",
     "t24_embedding_near_dup",
-    "t28_token_counts",
     "t33_asof_latest_order",
     "t37_json_props_stats",
     "t40_bucketed_segment_revenue",
@@ -1932,6 +1973,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t70_corpus_mix",
     "t72_stream_dedup_store",
     "t73_embedding_quantization",
+    "t74_monthly_revenue_trend",
 )
 
 
