@@ -179,3 +179,56 @@ def trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("win_day", "yyyy-MM-dd").alias("day"), "n_active_7d")
         .orderBy("day")
     )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T75 — ordered conversion funnel: view → click → purchase, each
+    stage strictly after the previous one for the same user.
+
+    The product-analytics staple that trips up naive SQL (a plain
+    per-type min ignores ORDER: a click before the first view must not
+    count). One shuffle to user grain, then pure array logic: the first
+    view is a conditional min; later stages take the min of that type's
+    timestamps AFTER the previous stage via a higher-order filter.
+
+    Scale: state per user is its click/purchase timestamp arrays —
+    bounded by events-per-user, fine for human-scale activity; for
+    adversarially hot keys (bots) the same semantics decompose into one
+    min-aggregate + join per stage, trading k joins for O(1) state.
+    All stage times are integer microseconds and the conversion rates
+    are single integer divisions — deterministic at any partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t_view"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts_us")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts_us")))
+        ).alias("purchases"),
+    )
+    t_click = F.array_min(
+        F.filter("clicks", lambda c: c > F.col("t_view"))
+    ).alias("t_click")
+    staged = per_user.select("user_id", "t_view", t_click, "purchases")
+    t_purchase = F.array_min(
+        F.filter("purchases", lambda p: p > F.col("t_click"))
+    ).alias("t_purchase")
+    final = staged.select("user_id", "t_view", "t_click", t_purchase)
+    return final.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("n_viewed"),
+        F.count("t_click").cast("long").alias("n_clicked"),
+        F.count("t_purchase").cast("long").alias("n_purchased"),
+        F.round(F.count("t_click") / F.count("t_view").cast("double"), 6).alias(
+            "click_rate"
+        ),
+        F.round(
+            F.count("t_purchase") / F.count("t_click").cast("double"), 6
+        ).alias("purchase_rate"),
+    )

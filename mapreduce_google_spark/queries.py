@@ -1774,6 +1774,49 @@ register(
 
 register(
     QuerySpec(
+        name="t75_event_funnel",
+        builder=event_ops.event_funnel,
+        oracle="""
+            WITH per AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS t_view,
+                       list(epoch_us(ts))
+                           FILTER (WHERE event_type = 'click') AS clicks,
+                       list(epoch_us(ts))
+                           FILTER (WHERE event_type = 'purchase') AS purchases
+                FROM events
+                GROUP BY user_id
+            ),
+            staged AS (
+                SELECT user_id, t_view,
+                       list_min(list_filter(clicks, c -> c > t_view)) AS t_click,
+                       purchases
+                FROM per
+            ),
+            final AS (
+                SELECT user_id, t_view, t_click,
+                       list_min(list_filter(purchases, p -> p > t_click))
+                           AS t_purchase
+                FROM staged
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(count(t_view) AS BIGINT) AS n_viewed,
+                   CAST(count(t_click) AS BIGINT) AS n_clicked,
+                   CAST(count(t_purchase) AS BIGINT) AS n_purchased,
+                   round(count(t_click) / CAST(count(t_view) AS DOUBLE), 6)
+                       AS click_rate,
+                   round(count(t_purchase) / CAST(count(t_click) AS DOUBLE), 6)
+                       AS purchase_rate
+            FROM final
+        """,
+        doc="ordered conversion funnel view->click->purchase (each stage strictly after the previous), user-grain array logic, no window sort",
+        tags=("events", "funnel", "analytics"),
+    )
+)
+
+register(
+    QuerySpec(
         name="t74_monthly_revenue_trend",
         builder=rel_ops.monthly_revenue_trend,
         oracle="""
@@ -1938,7 +1981,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t18_cosine_topk",
     "t19_text_stats",
     "t20_pipe_word_count",
-    "t21_ngram_jaccard_pairs",
     "t23_simhash",
     "t24_embedding_near_dup",
     "t33_asof_latest_order",
@@ -1974,6 +2016,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t72_stream_dedup_store",
     "t73_embedding_quantization",
     "t74_monthly_revenue_trend",
+    "t75_event_funnel",
 )
 
 

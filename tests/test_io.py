@@ -152,3 +152,26 @@ def test_read_text_dir_num_mappers(spark, tmp_path):
     assert df.count() == 300
     # default path unchanged: Spark decides
     assert read_text_dir(spark, str(d)).count() == 300
+
+
+def test_cache_tag_fingerprints_source(spark, tmp_path):
+    """/tmp-cache keys must change when the source is regenerated at the
+    SAME path (stale-cache bug class) and differ across same-basename
+    dirs (collision bug class)."""
+    import shutil
+    import time
+
+    from mapreduce_google_spark.io import cache_tag
+
+    a = tmp_path / "x" / "sf0.01"
+    b = tmp_path / "y" / "sf0.01"
+    for d in (a, b):
+        d.mkdir(parents=True)
+        spark.range(5).write.parquet(str(d / "documents.parquet"))
+    t_a, t_b = cache_tag(str(a), "documents"), cache_tag(str(b), "documents")
+    assert t_a != t_b  # same basename, different dirs
+
+    time.sleep(0.05)
+    shutil.rmtree(a / "documents.parquet")
+    spark.range(6).write.parquet(str(a / "documents.parquet"))
+    assert cache_tag(str(a), "documents") != t_a  # regen invalidates
