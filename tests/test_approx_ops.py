@@ -227,3 +227,23 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
         assert round(a.median_acctbal, 2) in [round(v, 2) for v in vals[seg]]
         assert abs(rank_q(seg, a.median_acctbal) - 0.5) <= slack, (seg, a)
         assert abs(rank_q(seg, a.p90_acctbal) - 0.9) <= slack, (seg, a)
+
+
+def test_lsh_from_band_table_equals_direct(spark, sf_dir):
+    """The materialized-band-table LSH path (signature pass paid once,
+    candidate-only verify) must produce exactly the direct operator's
+    pairs."""
+    from mapreduce_google_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_bands,
+    )
+
+    direct = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    from_tbl = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_from_bands(spark, sf_dir).collect()
+    }
+    assert from_tbl == direct
