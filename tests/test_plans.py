@@ -71,14 +71,16 @@ def test_t38_global_topk_avoids_full_sort(spark, sf_dir):
     assert has_take_ordered(df), formatted_plan(df)
 
 
-def test_t33_asof_partial_aggregates_before_shuffle(spark, sf_dir):
-    """The as-of join must reduce map-side (partial_max) — not sort the
-    joined pairs through a window."""
+def test_t33_asof_is_join_free(spark, sf_dir):
+    """The as-of operator is the union-merge formulation: ONE window over
+    the tagged union, no join of any kind — a range join would fan out a
+    row per (event × earlier-order) pair before collapsing."""
     from mapreduce_google_spark.operators.relational import asof_latest_order
 
     plan = formatted_plan(asof_latest_order(spark, sf_dir))
-    assert "partial_max" in plan, plan
-    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert "Union" in plan, plan
 
 
 def test_t40_bucketed_join_has_no_join_exchange(spark, sf_dir):
