@@ -50,7 +50,10 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingle_arrays(
-    docs: DataFrame, n: int = 3, max_df: int | None = None
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, shingles: array<string>) — the DISTINCT word n-grams of
     the lowercased token stream per document, kept as one array row.
@@ -81,8 +84,10 @@ def _doc_shingle_arrays(
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
         docs.repartition(par, "doc_id")
-        .select("doc_id", tokenize("text").alias("tokens"))
-        .select("doc_id", F.filter("tokens", lambda t: t != "").alias("tokens"))
+        .select("doc_id", *keep, tokenize("text").alias("tokens"))
+        .select(
+            "doc_id", *keep, F.filter("tokens", lambda t: t != "").alias("tokens")
+        )
     )
     # word n-grams via zip of n shifted copies of the token array — one
     # slice per doc instead of one per shingle (the per-index
@@ -100,6 +105,7 @@ def _doc_shingle_arrays(
     )
     ngrams = toks.select(
         "doc_id",
+        *keep,
         F.when(
             sz >= n,
             F.transform(
@@ -112,6 +118,7 @@ def _doc_shingle_arrays(
     )
     sets = ngrams.select(
         "doc_id",
+        *keep,
         F.array_distinct(F.filter("shingles", lambda s: s != "")).alias("shingles"),
     )
     if max_df is None:
@@ -124,7 +131,7 @@ def _doc_shingle_arrays(
         .agg(F.collect_set("shingle").alias("stop"))  # always exactly 1 row
     )
     return sets.crossJoin(F.broadcast(stop)).select(
-        "doc_id", F.array_except("shingles", "stop").alias("shingles")
+        "doc_id", *keep, F.array_except("shingles", "stop").alias("shingles")
     )
 
 
@@ -480,16 +487,9 @@ def incremental_dedup(
     )
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document from md5-derived token bit votes.
-
-    bit_j(token) = bit j of the first 8 hex digits of md5(token);
-    simhash bit j = 1 iff Σ_tokens (2·bit_j − 1) > 0. Expressed as
-    ``bits`` aggregate columns over the exploded token stream — one
-    shuffle on doc_id, all JVM-side, and identically reproducible in the
-    DuckDB oracle (same md5-derived bits).
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_fp(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — unordered SimHash fingerprints, shared by the
+    report query (T23) and the banded near-dup pair join (T78)."""
     toks = docs.select(
         "doc_id", F.explode(tokenize("text")).alias("token")
     ).where(F.col("token") != "")
@@ -505,9 +505,149 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 32) -> Da
     simhash = sum(
         F.when(F.col(f"v{j}") > 0, 1 << j).otherwise(0) for j in range(bits)
     )
-    return votes.select(
-        "doc_id", simhash.cast("long").alias("simhash")
-    ).orderBy("doc_id")
+    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document from md5-derived token bit votes.
+
+    bit_j(token) = bit j of the first 8 hex digits of md5(token);
+    simhash bit j = 1 iff Σ_tokens (2·bit_j − 1) > 0. Expressed as
+    ``bits`` aggregate columns over the exploded token stream — one
+    shuffle on doc_id, all JVM-side, and identically reproducible in the
+    DuckDB oracle (same md5-derived bits).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_fp(docs, bits).orderBy("doc_id")
+
+
+def simhash_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """T78 — near-dup pairs by SimHash Hamming distance, via banded
+    equi-join (never an all-pairs product).
+
+    The 32-bit fingerprint splits into ``bands`` = 4 contiguous 8-bit
+    bands. Two fingerprints within Hamming distance ``max_hamming`` = 3
+    differ in at most 3 bands (pigeonhole), so they MUST agree on at
+    least one band — the banded equi-join therefore has EXACT recall for
+    the ≤3 threshold, which is why this query can be hash-checked
+    against the brute-force all-pairs oracle while its own plan never
+    materializes the quadratic product. Candidates are deduplicated as
+    (doc_a, doc_b, hamming) triples (hamming is a pure function of the
+    pair, so no re-join against the fingerprint table is needed), then
+    filtered by ``bit_count(xor)`` — all JVM-side.
+
+    Scale shape: |bands|·|docs| exploded rows shuffle on an 8-bit band
+    value + band index; per-bucket fan-out is the usual LSH k²/2, kept
+    honest at 100 TB by the same ``max_bucket``-style guard as MinHash
+    (hot band values mean near-identical corpora slices — cap or
+    pre-dedup exact copies first with T17, which removes the Hamming-0
+    mass that creates degenerate buckets).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _simhash_fp(docs, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width).bitwiseAND(mask)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand.orderBy("doc_a", "doc_b")
+
+
+def decontamination_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 4,
+    eval_source: str = "src0",
+) -> DataFrame:
+    """T76 — train/eval contamination report: for every training document,
+    how much of its distinct word-``n``-gram set also appears in the
+    held-out evaluation corpus (here: documents from ``eval_source``).
+
+    The decontamination pass every LLM training pipeline runs before
+    training: benchmark text that leaked into the crawl must be found
+    (and the doc dropped or scrubbed) or eval scores are meaningless.
+
+    Scale shape: the eval/benchmark corpus is tiny next to the 100 TB
+    train corpus, so its exploded (shingle, eval_doc) inverted index is
+    BROADCAST — the train side is exploded once and joined map-side,
+    never shuffled by shingle. The only train-corpus shuffles are
+    doc_id-keyed: the aggregation of matched shingles per doc and the
+    join back onto the per-doc set sizes (both co-partitioned). Reported
+    per train doc: distinct-shingle count, how many of those shingles
+    are contaminated, how many distinct eval docs they hit, and the
+    contamination rate — zero-hit docs included (the report is the
+    keep/drop decision input, so every doc needs a row).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # cached: the train branch feeds BOTH the per-doc sizes and the
+    # exploded join side — without it the tokenize+shingle pass (the
+    # dominant cost) runs twice over the full corpus (at 100 TB this
+    # would be persist(DISK_ONLY) or a staged parquet write instead)
+    sets = _doc_shingle_arrays(docs, n, keep=("source",)).cache()
+    train = sets.where(F.col("source") != eval_source)
+    eval_idx = (
+        sets.where(F.col("source") == eval_source)
+        .select(F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("shingle"))
+    )
+    tr_sizes = train.select(
+        "doc_id", "source", F.size("shingles").cast("long").alias("n_shingles")
+    )
+    hits = (
+        train.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(eval_idx), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared"),
+            F.count_distinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+    return (
+        tr_sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce("n_eval_docs", F.lit(0)).cast("long").alias("n_eval_docs"),
+            F.when(F.col("n_shingles") > 0, F.round(F.coalesce("n_shared", F.lit(0)) / F.col("n_shingles"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def dedup_clusters(

@@ -861,3 +861,44 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T79 — TPC-H Q10 shape: lost revenue from RETURNED items per
+    customer over one quarter, top 20 customers.
+
+    customer ⋈ orders(quarter) ⋈ lineitem(returnflag='R') ⋈ nation, then
+    a per-customer revenue aggregation and a global top-20. Scale shape:
+    both selective filters are pushed to the scans (the orders date range
+    prunes ~96% of orders before the fact-fact shuffle; the 'R' flag
+    prunes ~75% of lineitem); nation is broadcast; the final top-20
+    compiles to TakeOrderedAndProject (per-partition heaps + driver
+    merge), never a full sort of the customer aggregate. Revenue uses
+    the exact-decimal accumulation recipe (order-independent sums).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        dsum(money("l_extendedprice") * one_minus("l_discount")).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+    return agg.select(
+        "c_custkey",
+        "c_name",
+        F.round(money("c_acctbal").cast("double"), 2).alias("c_acctbal"),
+        "n_name",
+        "revenue",
+        "n_items",
+    ).orderBy(F.col("revenue").desc(), "c_custkey").limit(20)

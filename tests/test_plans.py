@@ -269,3 +269,35 @@ def test_t68_sliding_distinct_avoids_global_window(spark, sf_dir):
     plan = formatted_plan(trailing_week_active_users(spark, sf_dir))
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_t76_decontamination_broadcasts_eval_index(spark, sf_dir):
+    """The eval/benchmark inverted index must broadcast (the train corpus
+    is never shuffled by shingle) and nothing may fall back to a
+    nested-loop product."""
+    from mapreduce_google_spark.operators.dedup import decontamination_report
+
+    plan = formatted_plan(decontamination_report(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_t77_simhash_pairs_band_join_not_all_pairs(spark, sf_dir):
+    """The Hamming pair join must be the banded EQUI-join over the
+    posexploded band table — an all-pairs product (BNLJ / cartesian)
+    is exactly what the banding exists to avoid."""
+    from mapreduce_google_spark.operators.dedup import simhash_near_dup_pairs
+
+    plan = formatted_plan(simhash_near_dup_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the band posexplode
+
+
+def test_t78_returned_items_pushdown_and_topk(spark, sf_dir):
+    from mapreduce_google_spark.operators.relational import returned_items_revenue
+
+    df = returned_items_revenue(spark, sf_dir)
+    assert has_pushed_filters(df, "l_returnflag", "o_orderdate"), formatted_plan(df)
+    assert has_take_ordered(df), formatted_plan(df)
