@@ -232,3 +232,35 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase") / F.count("t_click").cast("double"), 6
         ).alias("purchase_rate"),
     )
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T79 — PII-scrub stage over the JSON ``props`` payload: mask every
+    digit with ``#`` and report, per event type, how much was redacted.
+
+    The shape of every redaction pass in an LLM-data pipeline (emails,
+    phone numbers, account ids): a pure ``regexp_replace`` over the
+    payload column — JVM-side, codegen-friendly, zero Python in the hot
+    path — plus an audit aggregation so the scrub is observable (count
+    of masked characters, events touched, distinct post-scrub
+    templates). At 100 TB the scrub itself is embarrassingly parallel
+    (no shuffle); only the tiny per-type audit aggregates shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    scrubbed = F.regexp_replace("props", "[0-9]", "#")
+    stripped = F.regexp_replace("props", "[0-9]", "")
+    return (
+        events.select(
+            "event_type",
+            scrubbed.alias("scrubbed"),
+            (F.length("props") - F.length(stripped)).alias("n_masked"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("n_masked").cast("long").alias("n_masked_chars"),
+            F.sum((F.col("n_masked") > 0).cast("int")).cast("long").alias("n_touched"),
+            F.count_distinct("scrubbed").alias("n_templates"),
+        )
+        .orderBy("event_type")
+    )

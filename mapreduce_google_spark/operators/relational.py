@@ -902,3 +902,40 @@ def returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_items",
     ).orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+
+
+def big_volume_orders(
+    spark: SparkSession, sf_dir: str, min_qty: int = 150, k: int = 100
+) -> DataFrame:
+    """T81 — TPC-H Q18 shape: orders whose total line quantity exceeds
+    ``min_qty``, with their customer, top-``k`` by quantity.
+
+    The HAVING-on-a-fact-aggregate pattern: lineitem aggregates to
+    order grain FIRST (map-side partial sums — the shuffle carries one
+    row per order, not per lineitem), the > threshold filter cuts that
+    to a sliver, and only the sliver joins orders and customer. Quantity
+    is integral (1..50 per line) so the sum is cast to long — exact in
+    any accumulation order. Top-k compiles to TakeOrderedAndProject.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    return (
+        qty.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(money("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(k)
+    )

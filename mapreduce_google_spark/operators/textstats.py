@@ -8,7 +8,7 @@ has a full DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.functions.hashing import rolling_hash
@@ -296,4 +296,44 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source", "lang")
+    )
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """T80 — vocabulary report: top-``k`` tokens by corpus frequency with
+    per-token share and CUMULATIVE coverage share (the "how big must the
+    vocab be to cover X% of tokens" curve that sizes every tokenizer).
+
+    Scale shape: token counts partial-aggregate map-side; the top-k is
+    ``TakeOrderedAndProject`` (per-partition heaps), NEVER a full sort
+    of the vocabulary — a real corpus has 10^8 distinct tokens and only
+    the k winners leave the executors. The cumulative sum then runs as a
+    window over just those k driver-bound rows (a few KB): the prefix
+    sums of the global rank order depend only on the rows above rank k,
+    which are exactly the rows kept. Total token mass comes from one
+    scalar aggregate, broadcast into the projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    # cached: BOTH the top-k heap and the scalar total read the counts —
+    # one tokenize+agg pass over the corpus, not two
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n")).cache()
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    topk = counts.orderBy(F.col("n").desc(), "token").limit(k)
+    w = (
+        Window.orderBy(F.col("n").desc(), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "token")).alias("rank"),
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.sum("n").over(w) / F.col("total"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
     )

@@ -301,3 +301,25 @@ def test_t78_returned_items_pushdown_and_topk(spark, sf_dir):
     df = returned_items_revenue(spark, sf_dir)
     assert has_pushed_filters(df, "l_returnflag", "o_orderdate"), formatted_plan(df)
     assert has_take_ordered(df), formatted_plan(df)
+
+
+def test_t80_vocab_topk_is_heap_not_full_sort(spark, sf_dir):
+    """The vocabulary top-k must be TakeOrderedAndProject (per-partition
+    heaps) — a real corpus has 10^8 distinct tokens and only k rows may
+    leave the executors; the window cumsum runs over those k rows only."""
+    from mapreduce_google_spark.operators.textstats import vocab_coverage
+
+    df = vocab_coverage(spark, sf_dir)
+    assert has_take_ordered(df), formatted_plan(df)
+
+
+def test_t81_having_filter_precedes_joins(spark, sf_dir):
+    """Q18 shape: the order-grain quantity aggregate must partial-agg
+    map-side and the > threshold filter must apply BEFORE the joins to
+    orders/customer (the sliver joins, not the fact table)."""
+    from mapreduce_google_spark.operators.relational import big_volume_orders
+
+    df = big_volume_orders(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan, plan
+    assert has_take_ordered(df), plan
