@@ -425,3 +425,108 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _cell_scores(centroids: list[list[float]]) -> tuple["F.Column", "F.Column"]:
+    """(best_cos, best_cell) of the max-cosine centroid for the
+    ``embedding`` column — a PURE PROJECTION: the centroid state is
+    inlined as literals, so assignment needs no join and no shuffle.
+    Ties take the lowest cell index (``array_position`` returns the
+    FIRST exact match of the max).
+    """
+    import math
+
+    cos_exprs = []
+    emb_norm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    for c in centroids:
+        lit = F.array(*[F.lit(float(v)) for v in c])
+        num = F.aggregate(
+            F.zip_with(F.col("embedding"), lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        c_norm = math.sqrt(sum(v * v for v in c)) or 1.0
+        cos_exprs.append(num / (emb_norm * F.lit(c_norm)))
+    arr = F.array(*cos_exprs)
+    best_cos = F.array_max(arr)
+    best_cell = (F.array_position(arr, best_cos) - 1).cast("int")
+    return best_cos, best_cell
+
+
+def kmeans_fit(
+    emb: DataFrame, n_cells: int = 8, iters: int = 5
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the embedding column (cosine
+    assignment, mean update) — the missing *training* step for the IVF
+    index (:func:`ivf_assignments` seeds cells from low vec_ids only).
+
+    The MLlib recipe, restated in DataFrame ops: cluster state is k×dim
+    floats (tiny), so each iteration collects it to the driver and
+    inlines it as literals — assignment is then a narrow projection
+    (zero shuffle, no join), and the update is ONE map-side-combined
+    aggregation of (cell, dim) partial sums. Per-iteration cluster sums
+    accumulate in decimal(20,12) (order-independent), so the fit — and
+    every downstream assignment — is bit-deterministic regardless of
+    partitioning; empty cells keep their previous centroid.
+
+    Driver traffic per iteration: k·dim·partitions partial rows in, one
+    k·dim state out. At 100 TB that is still KBs — the data never moves.
+    """
+    seed = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
+    centroids = [[float(v) for v in r.embedding] for r in seed]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        _, best_cell = _cell_scores(centroids)
+        stats = (
+            emb.select(
+                best_cell.alias("cell"),
+                F.posexplode("embedding").alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(20,12)")).alias("s"),
+                F.count("*").cast("long").alias("c"),
+            )
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]
+        for r in stats:
+            nxt[r.cell][r.pos] = float(r.s) / r.c
+        centroids = nxt
+    return centroids
+
+
+def kmeans_cluster_stats(
+    spark: SparkSession, sf_dir: str, n_cells: int = 8, iters: int = 5
+) -> DataFrame:
+    """T82 — per-cluster QA report of a Lloyd's k-means fit: member
+    count, mean/min cosine to the owned centroid.
+
+    Rows-only for the driver (iterative fits aren't SQL-portable);
+    ``tests/test_similarity.py`` pins the invariants: full coverage,
+    determinism across runs, and that training improves mean
+    assignment cosine over the untrained seed centroids.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, n_cells, iters)
+    best_cos, best_cell = _cell_scores(centroids)
+    assigned = emb.select(
+        "vec_id",
+        best_cell.alias("cell_id"),
+        best_cos.alias("cos"),
+    )
+    return (
+        assigned.groupBy("cell_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.col("cos").cast("decimal(20,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_cos"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+        )
+        .orderBy("cell_id")
+    )

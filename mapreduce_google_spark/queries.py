@@ -2074,6 +2074,16 @@ register(
 
 register(
     QuerySpec(
+        name="t82_kmeans_clusters",
+        builder=sim_ops.kmeans_cluster_stats,
+        oracle=None,  # iterative fit — not SQL-portable; invariants in tests/test_approx_ops.py
+        doc="Lloyd's k-means over embeddings (driver-held k x dim state, narrow assignment projection, decimal-exact updates): per-cluster member/cosine QA",
+        tags=("llm", "similarity", "iterative"),
+    )
+)
+
+register(
+    QuerySpec(
         name="t79_pii_scrub",
         builder=event_ops.pii_scrub_stats,
         oracle="""

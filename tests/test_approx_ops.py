@@ -247,3 +247,22 @@ def test_lsh_from_band_table_equals_direct(spark, sf_dir):
         for r in minhash_lsh_pairs_from_bands(spark, sf_dir).collect()
     }
     assert from_tbl == direct
+
+
+def test_kmeans_clusters_invariants(spark, sf_dir):
+    """Lloyd's fit (t82): full coverage, deterministic across runs, and
+    training must improve mean assignment cosine over the raw seeds."""
+    from mapreduce_google_spark.operators.similarity import kmeans_cluster_stats
+
+    trained = kmeans_cluster_stats(spark, sf_dir, n_cells=8, iters=3).collect()
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in trained) == total
+    assert len(trained) <= 8
+    assert all(r.min_cos <= r.mean_cos for r in trained)
+
+    again = kmeans_cluster_stats(spark, sf_dir, n_cells=8, iters=3).collect()
+    assert [tuple(r) for r in trained] == [tuple(r) for r in again]
+
+    seed = kmeans_cluster_stats(spark, sf_dir, n_cells=8, iters=0).collect()
+    wm = lambda rows: sum(r.mean_cos * r.n_members for r in rows) / total
+    assert wm(trained) > wm(seed), (wm(trained), wm(seed))
