@@ -55,11 +55,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) columns arrive as long (spark.sql.legacy.parquet.
-    # nanosAsLong); convert to µs timestamps with exact integer division —
-    # `/ 1000` in double would lose precision above 2^53 nanos (~1970+104d).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize events.ts to a plain (LTZ) µs timestamp regardless of how
+    # the generator wrote it, so every downstream operator (unix_micros,
+    # window, date_format) sees one type:
+    # - TIMESTAMP(NANOS) arrives as long under nanosAsLong; integer-divide
+    #   (`/ 1000` in double would lose precision above 2^53 nanos).
+    # - TIMESTAMP_NTZ (µs, no zone) casts to LTZ; with the session zone
+    #   pinned to UTC above this is instant-preserving and matches DuckDB.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
