@@ -48,22 +48,41 @@ def main() -> int:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
-    timings: dict[str, float] = {}
-    for name, spec in headline.items():
-        t0 = time.perf_counter()
-        df = spec.builder(spark, SF_DIR)
-        n = df.count() if name == "t14_scalar_functions" else len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+    # n repetitions per query; per-query time = MEDIAN of n runs, with the
+    # min/max spread recorded alongside. Sub-second timings on local[32]
+    # are noisy (JIT, GC, OS scheduling); a single sample can swing ±90%
+    # (observed on t08 between rounds), so n>=5 is the default.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_N", "5"))
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    for _rep in range(n_reps):
+        for name, spec in headline.items():
+            t0 = time.perf_counter()
+            df = spec.builder(spark, SF_DIR)
+            n = df.count() if name == "t14_scalar_functions" else len(df.collect())
+            samples[name].append(time.perf_counter() - t0)
+            assert n >= 0
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
+    spread = {
+        name: [round(min(xs), 3), round(max(xs), 3)] for name, xs in samples.items()
+    }
     total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
             {
-                "metric": f"total wall-clock of {len(timings)} headline queries",
+                "metric": f"total wall-clock of {len(timings)} headline queries"
+                f" (median of {n_reps} runs each)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_min_max": spread,
+                "n_reps": n_reps,
                 "sf": sf_of(SF_DIR),
             }
         )

@@ -47,6 +47,28 @@ def _ensure_read_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events frame's ``ts`` to a plain (LTZ) µs timestamp
+    regardless of how the source was written, so every downstream operator
+    (unix_micros, window, date_format) sees one type:
+
+    - TIMESTAMP(NANOS) arrives as long under nanosAsLong; integer-divide
+      (`/ 1000` in double would lose precision above 2^53 nanos).
+    - TIMESTAMP_NTZ (µs, no zone) casts to LTZ; with the session zone
+      pinned to UTC this is instant-preserving and matches DuckDB.
+
+    Shared by the batch loader AND every streaming reader (including ones
+    over /tmp staging dirs, which may hold either representation depending
+    on which code version staged them).
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one star-schema table.
 
@@ -55,19 +77,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Normalize events.ts to a plain (LTZ) µs timestamp regardless of how
-    # the generator wrote it, so every downstream operator (unix_micros,
-    # window, date_format) sees one type:
-    # - TIMESTAMP(NANOS) arrives as long under nanosAsLong; integer-divide
-    #   (`/ 1000` in double would lose precision above 2^53 nanos).
-    # - TIMESTAMP_NTZ (µs, no zone) casts to LTZ; with the session zone
-    #   pinned to UTC above this is instant-preserving and matches DuckDB.
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = _normalize_events_ts(df)
     return df
 
 

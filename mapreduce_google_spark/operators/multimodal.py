@@ -2,14 +2,15 @@
 metadata, with decode / feature-extract / resize / frame-sample stages as
 Arrow-batched ``mapInPandas`` pipelines.
 
-Decode honesty: this container has no image/audio libraries, so the real
-codec step is STUBBED — ``use_fake=False`` raises ``NotImplementedError``
-from inside the UDF unless PIL/soundfile exist, and ``use_fake=True``
-(default in tests) runs a deterministic fake decoder (dimensions derived
-from the content hash). Everything AROUND the codec — binary column
-handling, struct metadata schema, Arrow batch iteration, partition-size
-control, UDF signatures — is real Spark plumbing and is what carries over
-to a cluster with the codec libs installed.
+Codec strategy (``use_fake=False``): PIL when importable on executors
+(the fast, full-coverage path), else the pure-stdlib native kernels in
+:mod:`.codecs` (PNG/BMP/netpbm pixel decode, GIF/JPEG header decode, WAV
+PCM frames) — so real decode WORKS in this library-free container for
+those formats; only payloads neither path recognizes raise
+``NotImplementedError``, deliberately inside the UDF so the failure
+surfaces exactly where a cluster would need the library.
+``use_fake=True`` (default in tests) runs a deterministic fake decoder
+(dimensions derived from the content hash) for corpus-independent CI.
 
 Scale notes: binary payloads ride in parquet as-is (no base64 inflation);
 ``mapInPandas`` streams Arrow batches so executor memory is bounded by
@@ -93,41 +94,52 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4
 
 
+def _real_decode_dims(payload: bytes) -> tuple[int, int, int, str]:
+    """Real header decode: PIL if importable, else the native stdlib
+    kernels. Raises NotImplementedError for unrecognized payloads."""
+    try:  # pragma: no cover - no PIL in this container
+        import io as _io
+
+        from PIL import Image
+
+        with Image.open(_io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands()), "pil"
+    except ImportError:
+        pass
+    from mapreduce_google_spark.operators import codecs
+
+    dims = codecs.parse_image_dims(payload)
+    if dims is None:
+        raise NotImplementedError(
+            f"unrecognized media payload (magic={payload[:4]!r}); native "
+            "kernels cover png/jpeg/gif/bmp/pnm — install pillow for more, "
+            "or use use_fake=True"
+        )
+    w, h, c, fmt = dims
+    return w, h, c, f"native-{fmt}"
+
+
 def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
     """Decode stage over (doc_id, blob): Arrow-batched ``mapInPandas``.
 
-    ``use_fake=False`` requires a real codec (PIL) on the executors and
-    raises ``NotImplementedError`` otherwise — deliberately inside the UDF
-    so the failure surfaces exactly where a cluster would need the
-    library.
+    ``use_fake=False`` uses PIL when present, else the pure-stdlib header
+    kernels (:func:`codecs.parse_image_dims`); payloads neither recognizes
+    raise ``NotImplementedError`` from inside the UDF.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if use_fake:
-                dims = [_fake_decode(bytes(b)) for b in pdf["blob"]]
-                decoder = "fake-sha256"
+                dims = [(*_fake_decode(bytes(b)), "fake-sha256") for b in pdf["blob"]]
             else:
-                try:
-                    from PIL import Image  # noqa: F401
-                    import io
-                except ImportError as exc:  # pragma: no cover - no PIL here
-                    raise NotImplementedError(
-                        "real image decode needs PIL on executors; "
-                        "install pillow or use use_fake=True"
-                    ) from exc
-                dims = []
-                for b in pdf["blob"]:  # pragma: no cover - no PIL here
-                    with Image.open(io.BytesIO(bytes(b))) as im:
-                        dims.append((im.width, im.height, len(im.getbands())))
-                decoder = "pil"
+                dims = [_real_decode_dims(bytes(b)) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "channels": [d[2] for d in dims],
-                    "decoder": decoder,
+                    "decoder": [d[3] for d in dims],
                 }
             )
 
@@ -157,11 +169,39 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     return df.select("doc_id", "blob").mapInPandas(featurize, FEATURES_SCHEMA)
 
 
+def _real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize: PIL when importable (any format, proper resampling),
+    else native decode → nearest-neighbor → PNG re-encode for the formats
+    the stdlib kernels cover."""
+    try:  # pragma: no cover - no PIL in this container
+        import io as _io
+
+        from PIL import Image
+
+        with Image.open(_io.BytesIO(payload)) as im:
+            buf = _io.BytesIO()
+            im.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+    except ImportError:
+        pass
+    from mapreduce_google_spark.operators import codecs
+
+    arr = codecs.decode_pixels(payload)
+    if arr is None:
+        raise NotImplementedError(
+            f"unsupported payload for native resize (magic={payload[:4]!r}); "
+            "native kernels cover 8-bit png/bmp/pnm — install pillow for "
+            "more, or use use_fake=True"
+        )
+    return codecs.encode_png(codecs.resize_nearest(arr, width, height))
+
+
 def resize_images(df: DataFrame, width: int, height: int, use_fake: bool = True) -> DataFrame:
     """Resize stage: blob → blob, same schema in and out.
 
-    Fake mode passes payloads through and restamps metadata (the honest
-    no-codec behavior); real mode needs PIL.
+    Fake mode passes payloads through and restamps metadata (deterministic
+    CI behavior); real mode resizes via PIL or the native kernels and
+    re-encodes (PNG under the native path).
     """
     out_schema = StructType(
         [
@@ -174,14 +214,14 @@ def resize_images(df: DataFrame, width: int, height: int, use_fake: bool = True)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake:
-                raise NotImplementedError(
-                    "real resize needs PIL on executors; use use_fake=True"
-                )
+            if use_fake:
+                blobs = list(pdf["blob"])
+            else:
+                blobs = [_real_resize(bytes(b), width, height) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "blob": pdf["blob"],
+                    "blob": blobs,
                     "width": width,
                     "height": height,
                 }
@@ -191,11 +231,14 @@ def resize_images(df: DataFrame, width: int, height: int, use_fake: bool = True)
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 64, use_fake: bool = True) -> DataFrame:
-    """Frame-sample stage: one row per sampled "frame" (video analog).
+    """Frame-sample stage: one row per sampled "frame" (video/audio
+    analog), exercising the 1-row-in/N-rows-out batch shape real frame
+    extraction has.
 
-    Fake mode samples every ``every_n_bytes``-th byte as a frame marker —
-    exercising the 1-row-in/N-rows-out batch shape real frame extraction
-    has.
+    Fake mode samples every ``every_n_bytes``-th byte as a frame marker.
+    Real mode handles WAV PCM natively (every ``every_n_bytes``-th audio
+    sample of the first channel, via the stdlib ``wave`` kernel); video
+    containers still need a codec (ffmpeg/PyAV) on the executors.
     """
     out_schema = StructType(
         [
@@ -206,18 +249,26 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, use_fake: bool = True)
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduce_google_spark.operators import codecs
+
         for pdf in batches:
-            if not use_fake:
-                raise NotImplementedError(
-                    "real frame sampling needs a video codec; use use_fake=True"
-                )
             rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_byte": []}
             for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
                 data = bytes(b)
-                for i, pos in enumerate(range(0, len(data), every_n_bytes)):
+                if use_fake:
+                    marks = [data[pos] for pos in range(0, len(data), every_n_bytes)]
+                elif codecs.sniff_format(data) == "wav":
+                    samples = codecs.wav_samples(data)
+                    marks = [int(v) for v in samples[::every_n_bytes]]
+                else:
+                    raise NotImplementedError(
+                        "real frame sampling covers WAV natively; video "
+                        "needs a codec on executors — use use_fake=True"
+                    )
+                for i, v in enumerate(marks):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(i)
-                    rows["frame_byte"].append(data[pos])
+                    rows["frame_byte"].append(v)
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "blob").mapInPandas(sample, out_schema)

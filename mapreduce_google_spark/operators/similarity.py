@@ -124,19 +124,7 @@ def embedding_near_dup_pairs(
     raise ``n_bits`` with corpus size to keep buckets bounded and accept
     the measured recall; the dataflow is unchanged.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    planes = np.asarray(_hyperplanes(dim, n_tables, n_bits, seed))  # (T, r, d)
-    proj = planes.reshape(n_tables * n_bits, dim).T  # (d, T·r)
-    weights = 1 << np.arange(n_bits)  # pack r sign bits per table
-
-    @pandas_udf("array<int>")
-    def lsh_buckets(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy())  # (batch, d)
-        bits = (mat @ proj >= 0).reshape(len(mat), n_tables, n_bits)
-        ids = (bits * weights).sum(axis=2).astype("int32")  # (batch, T)
-        return pd.Series(list(ids))
-
+    lsh_buckets = _lsh_bucket_udf(dim, n_tables, n_bits, seed)
     emb = load_table(spark, sf_dir, "embeddings")
     banded = emb.select(
         "vec_id",
@@ -295,6 +283,35 @@ def _hyperplanes(
     ]
 
 
+def _lsh_bucket_udf(dim: int, n_tables: int, n_bits: int, seed: int = 42):
+    """THE hyperplane-signature kernel, shared by every LSH operator
+    (t24 near-dup pairs, t47 ANN top-k): one Arrow-batched GEMM per
+    partition — (batch × dim) @ (dim × tables·bits) — then sign-bit
+    packing per table. Returns a ``pandas_udf`` mapping
+    ``array<float> → array<int>`` of ``n_tables`` bucket ids.
+
+    A GEMM beats both per-element codegen AND per-row literal plane
+    expressions (the r2-flagged anti-shape: n_tables·n_bits array
+    literals per row bloat the expression tree and fall out of
+    whole-stage codegen as the parameters grow); here plane count only
+    changes a broadcast numpy constant.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(_hyperplanes(dim, n_tables, n_bits, seed))  # (T, r, d)
+    proj = planes.reshape(n_tables * n_bits, dim).T  # (d, T·r)
+    weights = 1 << np.arange(n_bits)  # pack r sign bits per table
+
+    @pandas_udf("array<int>")
+    def lsh_buckets(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())  # (batch, d)
+        bits = (mat @ proj >= 0).reshape(len(mat), n_tables, n_bits)
+        ids = (bits * weights).sum(axis=2).astype("int32")  # (batch, T)
+        return pd.Series(list(ids))
+
+    return lsh_buckets
+
+
 def hyperplane_lsh_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -311,35 +328,24 @@ def hyperplane_lsh_topk(
     Signature: bit b of table t = sign(v · plane_{t,b}); bucket key =
     (table, packed bits). Collision probability per bit is 1 − θ/π, so
     near neighbors (small angle) collide with high probability in at
-    least one table. Signatures are computed PER ROW with literal plane
-    vectors folded into the expression tree (no shuffle, no Python);
-    the only exchanges are the candidate join against the broadcast
-    probe buckets and the final per-probe top-k. Versus IVF
-    (:func:`ivf_topk`): no training/assignment pass — the index is
-    stateless, which at 100 TB means new data buckets itself on
-    ingestion with zero coordination.
+    least one table. Signatures come from the SAME Arrow-GEMM kernel as
+    t24 (:func:`_lsh_bucket_udf` — one matrix multiply per batch, no
+    per-row plane literals); the only exchanges are the candidate join
+    against the broadcast probe buckets and the final per-probe top-k.
+    Versus IVF (:func:`ivf_topk`): no training/assignment pass — the
+    index is stateless, which at 100 TB means new data buckets itself
+    on ingestion with zero coordination.
 
     Rows-only for the driver (the plane family isn't SQL-portable);
     ``tests/test_approx_ops.py`` checks recall vs :func:`cosine_topk`
     and exactness of returned cosines.
     """
-    planes = _hyperplanes(dim, n_tables, n_bits, seed)
-
-    def bucket(vec, t: int):
-        packed = F.lit(0)
-        for b in range(n_bits):
-            plane = F.array(*[F.lit(w) for w in planes[t][b]])
-            packed = packed + F.when(dot(vec, plane) >= 0, F.lit(1 << b)).otherwise(
-                F.lit(0)
-            )
-        return packed
+    lsh_buckets = _lsh_bucket_udf(dim, n_tables, n_bits, seed)
 
     emb = load_table(spark, sf_dir, "embeddings")
     buckets_of = lambda df, vec_col: df.select(  # noqa: E731
         "*",
-        F.posexplode(
-            F.array(*[bucket(F.col(vec_col), t) for t in range(n_tables)])
-        ).alias("tbl", "bucket"),
+        F.posexplode(lsh_buckets(vec_col)).alias("tbl", "bucket"),
     )
     vec_buckets = buckets_of(emb.select("vec_id", "embedding"), "embedding").select(
         "vec_id", "tbl", "bucket"

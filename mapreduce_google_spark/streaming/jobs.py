@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.functions.numeric import dsum, money
-from mapreduce_google_spark.io import _ensure_read_confs, cache_tag, load_table
+from mapreduce_google_spark.io import (
+    _ensure_read_confs,
+    _normalize_events_ts,
+    cache_tag,
+    load_table,
+)
 from mapreduce_google_spark.operators.events import TS_FMT
 
 
@@ -36,12 +41,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return _normalize_events_ts(stream)
 
 
 def tumbling_window_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -137,9 +137,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
         ev.union(ev).repartition(4).write.mode("overwrite").parquet(doubled)
     schema = spark.read.parquet(doubled).schema
-    stream = spark.readStream.schema(schema).parquet(doubled)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_events_ts(spark.readStream.schema(schema).parquet(doubled))
     deduped = dedup_stream(stream, keys=["event_id"])
     sink = run_available_now(
         deduped, f"t49_dedup_{tag}", output_mode="append"
@@ -177,10 +175,7 @@ def stream_event_pairs(
     schema = spark.read.parquet(staged).schema
 
     def src() -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(staged)
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
+        return _normalize_events_ts(spark.readStream.schema(schema).parquet(staged))
 
     left = (
         src()

@@ -176,8 +176,9 @@ def test_stream_dedup_actually_drops_redeliveries(spark, sf_dir):
     total = sum(r.n_events for r in out.collect())
     assert total == n_orig, (total, n_orig)
     # doubled copy really is doubled
-    import os, re
-    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    from mapreduce_google_spark.io import cache_tag
+
+    tag = cache_tag(sf_dir, "events")
     doubled = spark.read.parquet(f"/tmp/mgs_doubled_events_{tag}")
     assert doubled.count() == 2 * n_orig
 
