@@ -264,3 +264,154 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T99 — cohort retention matrix: users grouped by first-seen week,
+    distinct-user counts per (cohort week, weeks-since-cohort).
+
+    The product-analytics staple. Scale: first-seen is one hash-agg to
+    user grain; the join back is user-key equi (at 100 TB the cohort
+    frame is the same cardinality as the user dim — shuffle-join on
+    user_id, never broadcast); the matrix agg is tiny (weeks²).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", TS_FMT).alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def event_type_transitions(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """T100 — behavioral bigrams: per-user consecutive event-type pairs
+    (ordered by time, event_id tie-break), global top-k transitions.
+
+    Scale: ONE window pass partitioned by user (the shuffle is on
+    user_id, state per task is one row), then a hash-agg on 25 possible
+    pairs — the classic sessionless sequence-mining primitive.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+        .orderBy(F.col("n_transitions").desc(), "src", "dst")
+        .limit(k)
+    )
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T101 — RFM segmentation: per-user Recency (days since last event
+    vs corpus end), Frequency (events), Monetary (exact-decimal value
+    sum), each cut into quartiles with ``ntile(4)``.
+
+    Determinism: every ntile orders by (metric, user_id) — a total
+    order, so quartile boundaries are stable under any partitioning.
+    Scale: one user-grain hash-agg; three window passes over the USER
+    table (not events); corpus end is a broadcast single-row crossJoin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    end = ev.agg(F.max(F.col("ts").cast("date")).alias("end_date"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_date"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,12)")).cast("double"), 6
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            "user_id",
+            F.datediff("end_date", "last_date").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        .alias("m_quartile"),
+    ).orderBy("user_id")
+
+
+def hourly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T102 — view→purchase conversion by hour of day: conditional
+    counts + one IEEE division, single hash-agg over 24 groups."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("int").alias("hour_of_day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_views"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .withColumn(
+            "conversion",
+            F.round(
+                F.col("n_purchases").cast("double") / F.col("n_views"), 6
+            ),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+def error_bursts(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """T103 — error-burst detection: 5-minute tumbling buckets per user
+    with ≥2 error events, top-k heaviest bursts.
+
+    Bucketing is integer µs arithmetic (``unix_micros div`` — no
+    timezone, no double), so Spark and DuckDB agree bit-for-bit. Scale:
+    the error filter pushes to the scan; the agg key (user, bucket) is
+    high-cardinality but each group is tiny — classic map-side-combine
+    friendly.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    )
+    bucket = F.expr("unix_micros(ts) div 300000000")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.timestamp_micros(bucket * 300 * 1_000_000)
+            .cast("timestamp")
+            .alias("bucket_ts"),
+        )
+        .agg(F.count("*").cast("long").alias("n_errors"))
+        .where(F.col("n_errors") >= 2)
+        .select(
+            "user_id",
+            F.date_format("bucket_ts", TS_FMT).alias("bucket_start"),
+            "n_errors",
+        )
+        .orderBy(F.col("n_errors").desc(), "user_id", "bucket_start")
+        .limit(k)
+    )

@@ -939,3 +939,532 @@ def big_volume_orders(
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(k)
     )
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T85 — TPC-H Q4 shape: per-priority count of a quarter's orders that
+    have at least one late-shipping line (EXISTS → left-semi join).
+
+    Scale: the date predicate pushes to the orders scan; lineitem is
+    reduced to DISTINCT l_orderkey with the ship-after-order predicate
+    applied AT the join (semi join keeps orders grain — no fan-out, no
+    dedup pass); the final agg is a 5-value hash-agg.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T86 — TPC-H Q7 shape: shipping volume between two nations by year,
+    in both directions (supplier nation ↔ customer nation).
+
+    Scale: supplier/customer/nation are broadcast dims; lineitem joins
+    orders on orderkey (the one fact-fact shuffle); the nation-pair
+    filter applies as soon as both sides are tagged, before the year agg.
+    """
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(money("l_extendedprice") * one_minus("l_discount")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T87 — TPC-H Q8 shape: one supplier-nation's share of a customer
+    region's revenue, per order year.
+
+    Scale: share = conditional-sum / sum inside ONE aggregation pass —
+    no self-join, no second scan; all dims broadcast; the region filter
+    prunes customers before the fact join.
+    """
+    target = "NATION_3"
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cust_in_region = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            nation.join(
+                region, F.col("n_regionkey") == F.col("r_regionkey")
+            ).select("n_nationkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            nation.select(F.col("n_nationkey").alias("sn_key"), "n_name"),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (money("l_extendedprice") * one_minus("l_discount")).alias("vol_dec"),
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target, F.col("vol_dec"))
+                    .otherwise(F.lit(0).cast("decimal(12,2)"))
+                ).cast("double")
+                / F.sum("vol_dec").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T88 — TPC-H Q9 shape: revenue of one product type by supplier
+    nation and order year.
+
+    Scale: the part filter prunes the (broadcast) part dim to one type
+    before the fact join — the lineitem side never carries non-matching
+    rows past the scan-side semi-ish broadcast hash join.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg(
+            F.round(
+                F.sum(money("l_extendedprice") * one_minus("l_discount")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T89 — TPC-H Q13 shape: distribution of customers by order count,
+    including zero-order customers (left outer join, two-level agg).
+
+    Scale: first agg collapses orders to customer grain (shuffle on
+    custkey); second agg is over ≤ a few hundred distinct counts — the
+    canonical two-phase "histogram of a grouped count".
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T90 — TPC-H Q14 shape: PROMO parts' percentage of one month's
+    revenue — conditional aggregation, single pass, broadcast part dim.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    vol = money("l_extendedprice") * one_minus("l_discount")
+    return joined.agg(
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).cast("double")
+            )
+            / F.sum(vol).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T91 — TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter (grouped revenue, then keep-the-max via a window max — one
+    extra exchange-free projection instead of a self-join).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(money("l_extendedprice") * one_minus("l_discount")).alias("rev_dec")
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("max_rev", F.max("rev_dec").over(w)).where(
+        F.col("rev_dec") == F.col("max_rev")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        best.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            "s_name",
+            F.round(F.col("rev_dec").cast("double"), 6).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T92 — TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, size-bucket), excluding one brand — distinct-agg after a
+    broadcast part join over lineitem's (partkey, suppkey) pairs.
+
+    Scale: lineitem first collapses to DISTINCT (l_partkey, l_suppkey) —
+    the only shuffle carries key pairs, never line rows.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") != "Brand#1")
+        .select("p_partkey", "p_brand", (F.col("p_size") % 5).alias("size_bucket"))
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "size_bucket")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "size_bucket")
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T93 — TPC-H Q17 shape: yearly-average revenue lost to
+    small-quantity orders of one brand: lineitems below 20% of their
+    part's average quantity.
+
+    Scale: the per-part average is computed on the SAME filtered
+    lineitem slice and joined back part-to-part (shuffle carries one row
+    per brand part — thousands, not millions); the brand filter prunes
+    via the broadcast part dim before any shuffle.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    # exact-decimal sum ÷ count (one IEEE division) — avg(double)'s
+    # running accumulation is partitioning-order-dependent
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    below = li.join(avg_qty, F.col("l_partkey") == F.col("a_partkey")).where(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return below.agg(
+        F.round(
+            F.sum(money("l_extendedprice")).cast("double") / 7.0, 6
+        ).alias("avg_yearly")
+    )
+
+
+def branded_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T94 — TPC-H Q19 shape: revenue under an OR-of-ANDs predicate
+    (brand × size range × quantity range branches).
+
+    Scale: the whole disjunction evaluates inside one broadcast hash
+    join + filter — Catalyst pushes the part-side conjuncts to the part
+    scan and the quantity conjuncts to the lineitem scan (common
+    predicate extraction), no union-of-three-scans needed.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_size"
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.where(branch).agg(
+        F.round(
+            F.sum(money("l_extendedprice") * one_minus("l_discount")).cast("double"),
+            6,
+        ).alias("revenue")
+    )
+
+
+def suppliers_who_failed_alone(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """T95 — TPC-H Q21 shape: suppliers with a returned ('R') line on a
+    multi-supplier order where they are the ONLY supplier with a return —
+    the exists/not-exists pair, expressed as one order-grain aggregation.
+
+    Scale: instead of two correlated self-joins (Q21's textbook form),
+    collapse lineitem to order grain ONCE — n_suppliers, n_failing,
+    the single failing suppkey — then semi-filter; one shuffle on
+    orderkey, one on suppkey for the final count.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_failing"),
+        F.min(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("failing_suppkey"),
+    )
+    culprits = per_order.where(
+        (F.col("n_suppliers") >= 2) & (F.col("n_failing") == 1)
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        culprits.groupBy("failing_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(supp, F.col("failing_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )
+
+
+def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T96 — TPC-H Q22 shape: per-segment count/balance of
+    above-average-balance customers gone inactive (no orders since a
+    cutoff) — scalar-subquery average + anti join.
+
+    Scale: the average is a broadcast single-row crossJoin (no
+    collect); the anti join streams customers against the date-pruned
+    orders custkey side; both aggs are tiny hash-aggs.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    # exact-decimal sum ÷ count, not avg(double) (order-dependent)
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            dsum(money("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T97 — TPC-H Q11 shape: parts whose revenue from one nation's
+    suppliers exceeds a fixed fraction of that nation's total — grouped
+    value vs broadcast grand total (scalar subquery as crossJoin).
+    """
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_5"
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        supp, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    value = money("l_extendedprice") * one_minus("l_discount")
+    per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.001
+        )
+        .select(
+            F.col("l_partkey").cast("long").alias("partkey"),
+            F.round(F.col("value_dec").cast("double"), 6).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+def eligible_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T98 — TPC-H Q20 shape: suppliers who shipped a meaningful volume
+    (> 100 units) of SMALL-type parts in 1997 — the semi-join chain
+    part→lineitem→supplier, with the HAVING applied at (supp, part)
+    grain before the supplier-level semi join.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    qualifying = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            "s_name",
+            F.col("s_nationkey").cast("int").alias("nationkey"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T104 — month-grain order revenue with running cumulative total and
+    share-of-grand-total — the finance "pacing" view (exact decimal
+    everywhere; the running sum is a window over ~tens of month rows, so
+    the unbounded-preceding frame is cheap by construction).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.sum(money("o_totalprice")).alias("rev_dec"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    total = monthly.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        monthly.crossJoin(F.broadcast(total))
+        .select(
+            "month",
+            F.round(F.col("rev_dec").cast("double"), 6).alias("revenue"),
+            F.round(F.sum("rev_dec").over(w).cast("double"), 6).alias(
+                "cum_revenue"
+            ),
+            F.round(
+                F.col("rev_dec").cast("double")
+                / F.col("total_dec").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("month")
+    )

@@ -536,3 +536,41 @@ def kmeans_cluster_stats(
         )
         .orderBy("cell_id")
     )
+
+
+def kmeans_invariants(
+    spark: SparkSession, sf_dir: str, n_cells: int = 8, iters: int = 5
+) -> DataFrame:
+    """T84 — SQL-checkable invariant summary of the k-means fit +
+    assignment (t82's training loop is iterative and not SQL-portable,
+    but its coverage laws are):
+
+    - every vector assigned exactly once → ``n_assigned`` equals
+      ``count(embeddings)`` and ``n_distinct_vecs`` matches;
+    - every assigned cell id is in ``[0, n_cells)`` → 0 violations;
+    - every assignment cosine is a valid cosine (|cos| ≤ 1 + ε) →
+      0 violations.
+
+    A dropped vector, duplicated assignment, or out-of-range cell in the
+    driver-held centroid loop breaks a count against the DuckDB oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, n_cells, iters)
+    best_cos, best_cell = _cell_scores(centroids)
+    assigned = emb.select(
+        "vec_id", best_cell.alias("cell_id"), best_cos.alias("cos")
+    )
+    return assigned.agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.countDistinct("vec_id").cast("long").alias("n_distinct_vecs"),
+        F.sum(
+            F.when(
+                (F.col("cell_id") < 0) | (F.col("cell_id") >= n_cells), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_cells"),
+        F.sum(F.when(F.abs("cos") > 1.000001, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_cosines"),
+    )

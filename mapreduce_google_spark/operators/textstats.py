@@ -337,3 +337,145 @@ def vocab_coverage(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T105 — corpus length profile: documents cut into 10 equal-count
+    buckets by character length (``ntile`` over a total order), per-decile
+    count / min / max / exact-decimal mean.
+
+    The pre-training curriculum/filtering view ("what does the tail look
+    like"). Determinism: ntile orders by (n_chars, doc_id) — a total
+    order. Scale: single window pass + 10-group agg; at 100 TB swap the
+    exact ntile for approx_percentile cuts, same output schema.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    decile = F.ntile(10).over(
+        Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    )
+    return (
+        docs.select("doc_id", "n_chars", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(20,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T106 — per-document lexical diversity: token count, distinct
+    types, hapax legomena (tokens occurring once), type-token ratio.
+
+    The repetition/quality signal family (template spam has low TTR).
+    Scale: explode → (doc, token) hash-agg → doc-grain re-agg; both
+    shuffles key on doc_id so AQE coalesces them; the token column never
+    leaves the first agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias("token"),
+    )
+    per_token = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_token.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .withColumn(
+            "ttr",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T107 — per (source, lang) corpus composition: doc count, exact
+    mean token count, exact mean char length — the mix report a data
+    curator reads before weighting sources.
+
+    Scale: one narrow projection (token count via HOF size, no explode)
+    into a (sources × langs)-group hash-agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.filter(tokenize("text"), lambda t: t != "")).alias("n_toks"),
+    )
+    return (
+        with_counts.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_toks").cast("decimal(20,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_tokens"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(20,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+#: deliberately tiny deterministic stopword list (mirrors LANG_MARKERS
+#: honesty: a real list is a broadcast lookup with the same plan shape)
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def stopword_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T108 — quality-filter audit per source: docs pass when their
+    stopword ratio sits in a sane band (natural prose) and they clear a
+    minimum length; report pass counts and rate.
+
+    Scale: ratio is a per-row HOF fold (no explode, no shuffle); one
+    hash-agg on source. The thresholds are the standard C4/Gopher-style
+    heuristic band.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda t: t != "")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    with_ratio = docs.select(
+        "source",
+        F.size(toks).alias("n_toks"),
+        (n_stop.cast("double") / F.size(toks)).alias("stop_ratio"),
+    )
+    passed = (
+        (F.col("n_toks") >= 10)
+        & (F.col("stop_ratio") >= 0.05)
+        & (F.col("stop_ratio") <= 0.6)
+    )
+    return (
+        with_ratio.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(passed, 1).otherwise(0)).cast("long").alias("n_pass"),
+        )
+        .withColumn(
+            "pass_rate",
+            F.round(F.col("n_pass").cast("double") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )

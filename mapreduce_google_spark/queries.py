@@ -2167,6 +2167,673 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t83_pack_invariants",
+        builder=text_ops.pack_invariants,
+        oracle="""
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(string_split_regex(lower(text),
+                                                               '\\s+'),
+                                            t -> t <> ''))) AS BIGINT)
+                       AS total_tokens,
+                   CAST(0 AS BIGINT) AS over_budget_packs
+            FROM documents
+        """,
+        doc="conservation-law oracle for t64 greedy packing: every doc packed once, corpus tokens conserved, no multi-doc pack over budget",
+        tags=("llm", "packing", "invariant"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t84_kmeans_invariants",
+        builder=sim_ops.kmeans_invariants,
+        oracle="""
+            SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+                   CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct_vecs,
+                   CAST(0 AS BIGINT) AS bad_cells,
+                   CAST(0 AS BIGINT) AS bad_cosines
+            FROM embeddings
+        """,
+        doc="coverage-law oracle for t82 k-means: every vector assigned exactly once to a valid cell with a valid cosine",
+        tags=("llm", "similarity", "invariant"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t85_order_priority_check",
+        builder=rel_ops.order_priority_check,
+        oracle="""
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        doc="TPC-H Q4 shape: per-priority count of orders with a late-shipping line (EXISTS -> left-semi join)",
+        tags=("relational", "semijoin"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t86_nation_pair_volume",
+        builder=rel_ops.nation_pair_volume,
+        oracle="""
+            SELECT supp_nation, cust_nation, l_year,
+                   round(CAST(sum(vol) AS DOUBLE), 6) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                       CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2))) AS vol
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        doc="TPC-H Q7 shape: bidirectional nation-pair shipping volume by year (broadcast dims, one fact-fact shuffle)",
+        tags=("relational", "join"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t87_nation_market_share",
+        builder=rel_ops.nation_market_share,
+        oracle="""
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                                       ELSE CAST(0 AS DECIMAL(12,2)) END)
+                              AS DOUBLE)
+                         / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+            FROM (
+                SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                       sn.n_name AS supp_nation,
+                       CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2))) AS vol
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE r_name = 'EUROPE'
+            )
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        doc="TPC-H Q8 shape: one supplier-nation's market share of a customer region per year (conditional agg, single pass)",
+        tags=("relational", "join", "share"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t88_product_type_profit",
+        builder=rel_ops.product_type_profit,
+        oracle="""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(3,2))))
+                              AS DOUBLE), 6) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_type = 'PROMO'
+            GROUP BY 1, 2
+            ORDER BY 1, 2 DESC
+        """,
+        doc="TPC-H Q9 shape: one product type's revenue by supplier nation and order year (filtered broadcast part dim)",
+        tags=("relational", "join"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t89_customer_order_distribution",
+        builder=rel_ops.customer_order_distribution,
+        oracle="""
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey,
+                       CAST(count(o_orderkey) AS BIGINT) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        doc="TPC-H Q13 shape: histogram of customers by order count incl. zero (left join, two-level agg)",
+        tags=("relational", "join", "histogram"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t90_promo_revenue_share",
+        builder=rel_ops.promo_revenue_share,
+        oracle="""
+            SELECT round(
+                (100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol
+                                       ELSE CAST(0 AS DECIMAL(12,2)) END)
+                              AS DOUBLE))
+                / CAST(sum(vol) AS DOUBLE), 6) AS promo_revenue_pct
+            FROM (
+                SELECT p_type,
+                       CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2))) AS vol
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            )
+        """,
+        doc="TPC-H Q14 shape: PROMO parts' share of one month's revenue (conditional agg, broadcast part)",
+        tags=("relational", "share"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t91_top_supplier",
+        builder=rel_ops.top_supplier,
+        oracle="""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2)))) AS rev_dec
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT CAST(l_suppkey AS BIGINT) AS suppkey, s_name,
+                   round(CAST(rev_dec AS DOUBLE), 6) AS total_revenue
+            FROM rev
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+            ORDER BY suppkey
+        """,
+        doc="TPC-H Q15 shape: supplier(s) with max quarterly revenue (grouped agg + keep-the-max, exact decimal ties)",
+        tags=("relational", "window"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t92_parts_supplier_counts",
+        builder=rel_ops.parts_supplier_counts,
+        oracle="""
+            SELECT p_brand,
+                   CAST(p_size % 5 AS INTEGER) AS size_bucket,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY p_brand, size_bucket
+            ORDER BY supplier_cnt DESC, p_brand, size_bucket
+        """,
+        doc="TPC-H Q16 shape: distinct supplier count per (brand, size bucket), key-pair dedup before the join",
+        tags=("relational", "distinct"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t93_small_quantity_revenue",
+        builder=rel_ops.small_quantity_revenue,
+        oracle="""
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#2'
+            ),
+            avgq AS (
+                SELECT l_partkey AS a_partkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                           / count(*) AS avg_qty
+                FROM li GROUP BY l_partkey
+            )
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                              AS DOUBLE) / 7.0, 6) AS avg_yearly
+            FROM li
+            JOIN avgq ON l_partkey = a_partkey
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        doc="TPC-H Q17 shape: revenue lost to below-20%%-of-average-quantity lines of one brand (grouped avg joined back)",
+        tags=("relational", "join", "correlated"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t94_branded_discount_revenue",
+        builder=rel_ops.branded_discount_revenue,
+        oracle="""
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(3,2))))
+                              AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        doc="TPC-H Q19 shape: OR-of-ANDs predicate revenue (brand x size x quantity branches in one join+filter)",
+        tags=("relational", "predicate"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t95_suppliers_who_failed_alone",
+        builder=rel_ops.suppliers_who_failed_alone,
+        oracle="""
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_suppliers,
+                       count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                           THEN l_suppkey END) AS n_failing,
+                       min(CASE WHEN l_returnflag = 'R'
+                                THEN l_suppkey END) AS failing_suppkey
+                FROM lineitem
+                GROUP BY l_orderkey
+            )
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM per_order
+            JOIN supplier ON failing_suppkey = s_suppkey
+            WHERE n_suppliers >= 2 AND n_failing = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        doc="TPC-H Q21 shape: sole-failing supplier on multi-supplier orders via ONE order-grain agg (no correlated self-joins)",
+        tags=("relational", "antijoin", "topk"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t96_global_sales_opportunity",
+        builder=rel_ops.global_sales_opportunity,
+        oracle="""
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                              AS DOUBLE), 6) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                                AS DOUBLE) / count(*)
+                    FROM customer WHERE c_acctbal > 0
+                  )
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+                  )
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        doc="TPC-H Q22 shape: above-average-balance customers inactive since a cutoff, per segment (broadcast scalar avg + anti join)",
+        tags=("relational", "antijoin"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t97_important_part_values",
+        builder=rel_ops.important_part_values,
+        oracle="""
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2)))) AS value_dec
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_5'
+                GROUP BY l_partkey
+            )
+            SELECT CAST(l_partkey AS BIGINT) AS partkey,
+                   round(CAST(value_dec AS DOUBLE), 6) AS part_value
+            FROM per_part
+            WHERE CAST(value_dec AS DOUBLE) >
+                  CAST((SELECT sum(value_dec) FROM per_part) AS DOUBLE) * 0.001
+            ORDER BY part_value DESC, partkey
+        """,
+        doc="TPC-H Q11 shape: parts whose one-nation revenue exceeds a fraction of the grand total (broadcast scalar subquery)",
+        tags=("relational", "having"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t98_eligible_bulk_suppliers",
+        builder=rel_ops.eligible_bulk_suppliers,
+        oracle="""
+            SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name,
+                   CAST(s_nationkey AS INTEGER) AS nationkey
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'SMALL'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 60
+            )
+            ORDER BY suppkey
+        """,
+        doc="TPC-H Q20 shape: suppliers shipping bulk volume of one part type (HAVING at pair grain, then left-semi)",
+        tags=("relational", "semijoin"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t99_weekly_cohort_retention",
+        builder=event_ops.weekly_cohort_retention,
+        oracle="""
+            WITH ev AS (
+                SELECT user_id, date_trunc('week', ts) AS week FROM events
+            ),
+            cohort AS (
+                SELECT user_id, min(week) AS cw FROM ev GROUP BY user_id
+            )
+            SELECT strftime(cw, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+                   CAST(date_diff('day', cw, week) / 7 AS INTEGER)
+                       AS week_offset,
+                   CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+            FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        doc="weekly cohort retention matrix: distinct users per (first-seen week, weeks-since)",
+        tags=("events", "cohort"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t100_event_type_transitions",
+        builder=event_ops.event_type_transitions,
+        oracle="""
+            WITH pairs AS (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS dst
+                FROM events
+            )
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+            FROM pairs WHERE dst IS NOT NULL
+            GROUP BY src, dst
+            ORDER BY n_transitions DESC, src, dst
+            LIMIT 20
+        """,
+        doc="per-user consecutive event-type bigrams (lead window), global top-20 transitions",
+        tags=("events", "window", "sequence"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t101_user_rfm_segments",
+        builder=event_ops.user_rfm_segments,
+        oracle="""
+            WITH per_user AS (
+                SELECT user_id,
+                       CAST(date_diff('day', CAST(max(ts) AS DATE),
+                                      (SELECT CAST(max(ts) AS DATE)
+                                       FROM events)) AS INTEGER)
+                           AS recency_days,
+                       CAST(count(*) AS BIGINT) AS frequency,
+                       round(CAST(sum(CAST(value AS DECIMAL(20,12)))
+                                  AS DOUBLE), 6) AS monetary
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, recency_days, frequency, monetary,
+                   CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id)
+                        AS INTEGER) AS r_quartile,
+                   CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id)
+                        AS INTEGER) AS f_quartile,
+                   CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id)
+                        AS INTEGER) AS m_quartile
+            FROM per_user
+            ORDER BY user_id
+        """,
+        doc="RFM segmentation: per-user recency/frequency/exact-decimal monetary with deterministic ntile(4) quartiles",
+        tags=("events", "window", "segmentation"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t102_hourly_conversion",
+        builder=event_ops.hourly_conversion,
+        oracle="""
+            SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_views,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchases,
+                   round(CAST(sum(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / NULLIF(sum(CASE WHEN event_type = 'view'
+                                           THEN 1 ELSE 0 END), 0), 6)
+                       AS conversion
+            FROM events
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        doc="view-to-purchase conversion rate by hour of day (conditional counts, one agg)",
+        tags=("events", "funnel"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t103_error_bursts",
+        builder=event_ops.error_bursts,
+        oracle="""
+            WITH buckets AS (
+                SELECT user_id, epoch_us(ts) // 300000000 AS bucket
+                FROM events WHERE event_type = 'error'
+            ),
+            agg AS (
+                SELECT user_id, bucket,
+                       CAST(count(*) AS BIGINT) AS n_errors
+                FROM buckets GROUP BY user_id, bucket
+                HAVING count(*) >= 2
+            )
+            SELECT user_id,
+                   strftime(make_timestamp(bucket * 300000000),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                   n_errors
+            FROM agg
+            ORDER BY n_errors DESC, user_id, bucket_start
+            LIMIT 20
+        """,
+        doc="error-burst detection: 5-min tumbling buckets per user with >=2 errors, top-20 (integer-us bucketing)",
+        tags=("events", "anomaly"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t104_cumulative_monthly_revenue",
+        builder=rel_ops.cumulative_monthly_revenue,
+        oracle="""
+            WITH monthly AS (
+                SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                           AS month,
+                       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+                FROM orders GROUP BY 1
+            )
+            SELECT month,
+                   round(CAST(rev_dec AS DOUBLE), 6) AS revenue,
+                   round(CAST(sum(rev_dec) OVER (
+                       ORDER BY month ROWS UNBOUNDED PRECEDING
+                   ) AS DOUBLE), 6) AS cum_revenue,
+                   round(CAST(rev_dec AS DOUBLE)
+                         / CAST((SELECT sum(rev_dec) FROM monthly)
+                                AS DOUBLE), 6) AS share
+            FROM monthly
+            ORDER BY month
+        """,
+        doc="month-grain revenue with running cumulative and share-of-total (exact decimal, window cumsum)",
+        tags=("relational", "window"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t105_doc_length_deciles",
+        builder=ts_ops.doc_length_deciles,
+        oracle="""
+            WITH d AS (
+                SELECT doc_id, n_chars,
+                       ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+                FROM documents
+            )
+            SELECT CAST(decile AS INTEGER) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   round(CAST(sum(CAST(n_chars AS DECIMAL(20,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_chars
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        doc="corpus length profile: exact decile buckets over (n_chars, doc_id) with per-decile stats",
+        tags=("llm", "text", "profile"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t106_lexical_diversity",
+        builder=ts_ops.lexical_diversity,
+        oracle="""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text),
+                                                             '\\s+'),
+                                          t -> t <> '')) AS token
+                FROM documents
+            ),
+            counts AS (
+                SELECT doc_id, token, count(*) AS c
+                FROM tok GROUP BY doc_id, token
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+            FROM counts GROUP BY doc_id ORDER BY doc_id
+        """,
+        doc="per-document lexical diversity: tokens, types, hapax legomena, type-token ratio",
+        tags=("llm", "text", "quality"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t107_source_quality_matrix",
+        builder=ts_ops.source_quality_matrix,
+        oracle="""
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(sum(CAST(len(list_filter(
+                                string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS DECIMAL(20,2)))
+                              AS DOUBLE) / count(*), 6) AS avg_tokens,
+                   round(CAST(sum(CAST(n_chars AS DECIMAL(20,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_chars
+            FROM documents
+            GROUP BY source, lang
+            ORDER BY source, lang
+        """,
+        doc="per (source, lang) corpus composition: doc counts, exact mean tokens/chars",
+        tags=("llm", "text", "profile"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t108_stopword_quality_gate",
+        builder=ts_ops.stopword_quality_gate,
+        oracle="""
+            WITH r AS (
+                SELECT source,
+                       len(list_filter(string_split_regex(lower(text),
+                                                          '\\s+'),
+                                       t -> t <> '')) AS n_toks,
+                       CAST(len(list_filter(string_split_regex(lower(text),
+                                                               '\\s+'),
+                                            t -> t IN ('the','a','of','and',
+                                                       'to','in','is','it')))
+                            AS DOUBLE)
+                           / len(list_filter(string_split_regex(lower(text),
+                                                                '\\s+'),
+                                             t -> t <> '')) AS stop_ratio
+                FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_toks >= 10 AND stop_ratio >= 0.05
+                                      AND stop_ratio <= 0.6
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   round(CAST(sum(CASE WHEN n_toks >= 10
+                                            AND stop_ratio >= 0.05
+                                            AND stop_ratio <= 0.6
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS pass_rate
+            FROM r GROUP BY source ORDER BY source
+        """,
+        doc="C4/Gopher-style stopword-band quality gate: per-source pass counts and rate (per-row HOF fold, no explode)",
+        tags=("llm", "text", "quality"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
@@ -2179,58 +2846,68 @@ register(
 # tests/test_registry_contract.py pins this ordering invariant.
 # --------------------------------------------------------------------------
 
-#: first-50 window, in the order the driver will check them
+#: first-50 window, in the order the driver will check them.
+#: Round-3 composition: the 26 queries NEW this round (t83–t108, which
+#: need their first driver-side evidence), 3 fixed canaries — one per
+#: family, green in r01, never to rotate out again (VERDICT r2 item 3) —
+#: and 21 regression slots re-proving r01-proven queries that r02's
+#: rotation left without fresh driver evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "t07_filter_agg_revenue",
-    "t08_pricing_summary",
+    # --- canaries (keep in every round's window) ---
+    "t01_word_count",
     "t09_revenue_per_region",
-    "t12_revenue_rollup",
-    "t15_tumbling_window",
-    "t15b_sliding_window",
-    "t16_session_window",
-    "t18_cosine_topk",
-    "t23_simhash",
-    "t24_embedding_near_dup",
-    "t33_asof_latest_order",
-    "t37_json_props_stats",
-    "t40_bucketed_segment_revenue",
-    "t41_salted_brand_revenue",
-    "t42_partition_pruned_daily",
-    "t43_revenue_grouping_sets",
-    "t44_above_segment_avg",
-    "t45_event_pairs_within_minute",
-    "t46_embedding_norm_stats",
-    "t49_stream_dedup_counts",
-    "t50_asof_latest_order_pandas",
-    "t51_hash_split_stats",
-    "t52_latest_order_per_customer",
-    "t53_local_supplier_revenue",
-    "t54_udtf_token_positions",
-    "t55_stream_event_pairs",
-    "t56_foreachbatch_ingest",
-    "t57_stratified_sample",
-    "t58_price_histogram",
-    "t59_customer_order_reconciliation",
-    "t60_segment_nation_grid",
-    "t61_customer_spend_ranks",
-    "t62_unshipped_orders_topk",
-    "t63_chunk_documents",
-    "t65_incremental_dedup",
-    "t66_jsonl_ingest",
-    "t67_bigram_lm_score",
-    "t68_trailing_active_users",
-    "t69_repetition_stats",
-    "t70_corpus_mix",
-    "t72_stream_dedup_store",
-    "t73_embedding_quantization",
-    "t74_monthly_revenue_trend",
-    "t75_event_funnel",
-    "t76_decontamination",
-    "t77_simhash_near_dup",
-    "t78_returned_items_topk",
-    "t79_pii_scrub",
-    "t80_vocab_coverage",
-    "t81_big_volume_orders",
+    "t17_exact_dedup",
+    # --- new this round: invariant oracles for Python-kernel ops ---
+    "t83_pack_invariants",
+    "t84_kmeans_invariants",
+    # --- new this round: TPC-H shapes ---
+    "t85_order_priority_check",
+    "t86_nation_pair_volume",
+    "t87_nation_market_share",
+    "t88_product_type_profit",
+    "t89_customer_order_distribution",
+    "t90_promo_revenue_share",
+    "t91_top_supplier",
+    "t92_parts_supplier_counts",
+    "t93_small_quantity_revenue",
+    "t94_branded_discount_revenue",
+    "t95_suppliers_who_failed_alone",
+    "t96_global_sales_opportunity",
+    "t97_important_part_values",
+    "t98_eligible_bulk_suppliers",
+    # --- new this round: events / pipeline analytics ---
+    "t99_weekly_cohort_retention",
+    "t100_event_type_transitions",
+    "t101_user_rfm_segments",
+    "t102_hourly_conversion",
+    "t103_error_bursts",
+    "t104_cumulative_monthly_revenue",
+    "t105_doc_length_deciles",
+    "t106_lexical_diversity",
+    "t107_source_quality_matrix",
+    "t108_stopword_quality_gate",
+    # --- regression slots: r01-proven, no driver evidence since r01 ---
+    "t02b_grep_hit",
+    "t04_md5_partition_histogram",
+    "t05_distinct_tokens",
+    "t06_top_k_tokens",
+    "t10_semi_anti_join",
+    "t11_top_orders_per_customer",
+    "t13_segment_set_ops",
+    "t14_scalar_functions",
+    "t19_text_stats",
+    "t20_pipe_word_count",
+    "t21_ngram_jaccard_pairs",
+    "t26_language_id",
+    "t27_quality_score",
+    "t28_token_counts",
+    "t29_fingerprints",
+    "t31_revenue_cube",
+    "t32_price_band_join",
+    "t34_running_order_analytics",
+    "t35_segment_percentiles",
+    "t36_pricing_pivot",
+    "t38_top_orders_global",
 )
 
 

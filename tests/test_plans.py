@@ -323,3 +323,65 @@ def test_t81_having_filter_precedes_joins(spark, sf_dir):
     plan = formatted_plan(df)
     assert "partial_sum" in plan, plan
     assert has_take_ordered(df), plan
+
+
+def test_t41_salt_leaves_no_oversized_partition(spark, sf_dir):
+    """The skew story, tested not narrated (r2 advice): after salting,
+    (a) the EXECUTED plan needs no AQE skew-split — the salt already
+    flattened the hot key before the exchange — and (b) the heaviest
+    (key, salt) cell is provably a ~1/salts slice of the heaviest raw
+    key, so no single post-shuffle partition can be salts× oversized."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.io import load_table
+    from mapreduce_google_spark.operators.scale import salted_brand_revenue
+
+    df = salted_brand_revenue(spark, sf_dir, salts=8)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" not in plan, plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot_key = (
+        li.groupBy("l_partkey").count().agg(F.max("count")).first()[0]
+    )
+    salted = li.select(
+        "l_partkey",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8))
+        .cast("int")
+        .alias("salt"),
+    )
+    hot_cell = (
+        salted.groupBy("l_partkey", "salt").count().agg(F.max("count")).first()[0]
+    )
+    # a perfectly uniform salt gives hot_key/8 per cell; allow 2x
+    # multiplicative slack (what matters at scale) + a small additive
+    # term for Poisson variance at test scale (cells of mean ~6 rows)
+    assert hot_cell <= hot_key / 8 * 2 + 8, (hot_cell, hot_key)
+
+
+def test_new_tpch_shapes_plan_properties(spark, sf_dir):
+    """Batch plan gate for the round-3 TPC-H shapes: dims broadcast,
+    semi/anti joins stay semi/anti (no fan-out rewrite), top-ks heap."""
+    from mapreduce_google_spark.operators.relational import (
+        global_sales_opportunity,
+        nation_pair_volume,
+        order_priority_check,
+        parts_supplier_counts,
+        suppliers_who_failed_alone,
+    )
+
+    plan = formatted_plan(order_priority_check(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+    plan = formatted_plan(global_sales_opportunity(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+    df = nation_pair_volume(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
+
+    df = suppliers_who_failed_alone(spark, sf_dir)
+    assert has_take_ordered(df), formatted_plan(df)
+
+    df = parts_supplier_counts(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)

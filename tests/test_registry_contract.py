@@ -12,7 +12,7 @@ from mapreduce_google_spark.queries import REGISTRY
 def test_names_are_unique_and_well_formed():
     assert len(REGISTRY) == len(set(REGISTRY))
     for name in REGISTRY:
-        assert re.fullmatch(r"t\d{2}b?_[a-z0-9_]+", name), name
+        assert re.fullmatch(r"t\d{2,3}b?_[a-z0-9_]+", name), name
 
 
 def test_oracles_reference_only_known_tables():
