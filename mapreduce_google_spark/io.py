@@ -288,8 +288,9 @@ def read_json_with_dead_letters(
     return good, dead
 
 
-def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read with schema merging across files.
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet read with schema merging across files (one or more dirs —
+    e.g. per-schema-version subdirectories of an evolving table).
 
     The schema-evolution read: files written before a column existed and
     files written after read as one table, old rows null-filled. Merging
@@ -298,4 +299,4 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     explicitly (``spark.read.schema(unified).parquet(path)``) to skip
     the pre-scan entirely; this helper is the evolving-table path.
     """
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -1468,3 +1468,44 @@ def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T111 — time-series densification: revenue per day over one month
+    with missing days zero-filled (calendar spine ⋈ left join).
+
+    The resample/gap-fill operator every downstream charting or
+    forecasting step needs: a generated day spine (``sequence`` +
+    ``explode`` — no source scan) left-joins the date-pruned daily agg;
+    absent days surface as 0.00 rather than silently missing. Scale: the
+    spine is O(days) rows on one task and broadcast; the fact side is
+    date-pruned at the parquet scan.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-02-01")
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(money("o_totalprice")).alias("rev_dec"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-01-31").cast("date"),
+            )
+        ).alias("day")
+    )
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("rev_dec").cast("double"), F.lit(0.0)), 6
+            ).alias("revenue"),
+        )
+        .orderBy("day")
+    )

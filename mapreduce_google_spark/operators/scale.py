@@ -362,3 +362,46 @@ def jsonl_ingest_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def schema_evolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T110 — schema-evolution read: two parquet batches written at
+    different "schema versions" (the second adds a ``lang`` column) read
+    back as ONE table via ``io.read_parquet_evolved`` (mergeSchema),
+    old rows null-filled, then profiled per coalesced lang.
+
+    The table-evolves-in-place reality of any long-lived 100 TB corpus:
+    files predate columns. mergeSchema costs a footer pass over all
+    files — acceptable on evolving tables, or pin the unified schema
+    explicitly (io.read_parquet_evolved docstring). Oracle: the same
+    profile computed straight from ``documents`` with the version split
+    re-derived from doc_id — a lossy merge fails the hash.
+    """
+    from mapreduce_google_spark.io import read_parquet_evolved
+
+    tag = _tag(sf_dir, "documents")
+    staged = f"/tmp/mgs_evolved_docs_{tag}"
+    docs = load_table(spark, sf_dir, "documents")
+    if not (
+        os.path.exists(os.path.join(staged, "v1", "_SUCCESS"))
+        and os.path.exists(os.path.join(staged, "v2", "_SUCCESS"))
+    ):
+        docs.where(F.col("doc_id") < 250).select("doc_id", "n_chars").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, "v1"))
+        docs.where(F.col("doc_id") >= 250).select(
+            "doc_id", "n_chars", "lang"
+        ).write.mode("overwrite").parquet(os.path.join(staged, "v2"))
+    merged = read_parquet_evolved(
+        spark, os.path.join(staged, "v1"), os.path.join(staged, "v2")
+    )
+    return (
+        merged.groupBy(F.coalesce("lang", F.lit("_pre_schema")).alias("lang"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -479,3 +479,31 @@ def stopword_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str, n_buckets: int = 64) -> DataFrame:
+    """T112 — the hashing trick: tokens of each document folded into a
+    fixed ``n_buckets``-dim count vector via md5 bucketing, emitted as
+    sparse (doc_id, bucket, count) rows.
+
+    The vocabulary-free vectorizer for training-data prep: no global
+    dictionary build (the step that doesn't scale), collisions accepted
+    by construction. Bucketing reuses the reference's md5 arithmetic
+    (functions.hashing.md5_bucket — JVM-side, power-of-two tail-digit
+    form), so Spark and DuckDB agree exactly. One explode + one
+    (doc, bucket) hash-agg; the token string never leaves the map side.
+    Restricted to doc_id < 100 to keep the driver compare tight.
+    """
+    from mapreduce_google_spark.functions.hashing import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias("token"),
+    )
+    return (
+        toks.select("doc_id", md5_bucket("token", n_buckets).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )

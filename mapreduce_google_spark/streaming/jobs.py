@@ -355,3 +355,38 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fingerprint", "doc_id", "n_dups")
         .orderBy("doc_id")
     )
+
+
+def stream_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T109 — stream-static enrichment join: the events stream joined to
+    the static customer dimension (user_id → market segment) inside the
+    micro-batch, then aggregated per (segment, event_type).
+
+    THE canonical streaming-ETL shape: a static (or slowly-refreshed)
+    dimension is broadcast into every micro-batch — no state store, no
+    watermark needed for the join itself, and at 100 TB/day the stream
+    side never shuffles for the join. Events whose user has no customer
+    row keep flowing as segment='UNKNOWN' (left join — an enrichment
+    must never drop facts).
+
+    Oracle: identical batch join/agg straight from the parquet tables.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    enriched = stream.join(dim, "user_id", "left")
+    agg = enriched.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        dsum(F.col("value").cast("decimal(20,12)")).alias("total_value"),
+    )
+    tag = cache_tag(sf_dir, "events", "customer")
+    sink = run_available_now(
+        agg, f"t109_enrich_{tag}", output_mode="complete"
+    )
+    return sink.orderBy("segment", "event_type")
