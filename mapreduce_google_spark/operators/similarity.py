@@ -484,10 +484,12 @@ def kmeans_fit(
     centroids = [[float(v) for v in r.embedding] for r in seed]
     dim = len(centroids[0])
     for _ in range(iters):
-        _, best_cell = _cell_scores(centroids)
+        # GEMM assignment: constant plan shape across iterations (no
+        # per-round codegen recompile of a k·dim-literal tree)
+        assign = _cell_scores_gemm(centroids)
         stats = (
             emb.select(
-                best_cell.alias("cell"),
+                assign("embedding").getField("cell").alias("cell"),
                 F.posexplode("embedding").alias("pos", "x"),
             )
             .groupBy("cell", "pos")
@@ -517,11 +519,11 @@ def kmeans_cluster_stats(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(emb, n_cells, iters)
-    best_cos, best_cell = _cell_scores(centroids)
-    assigned = emb.select(
+    assign = _cell_scores_gemm(centroids)
+    assigned = emb.select("vec_id", assign("embedding").alias("a")).select(
         "vec_id",
-        best_cell.alias("cell_id"),
-        best_cos.alias("cos"),
+        F.col("a.cell").alias("cell_id"),
+        F.col("a.cos").alias("cos"),
     )
     return (
         assigned.groupBy("cell_id")
@@ -556,9 +558,11 @@ def kmeans_invariants(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(emb, n_cells, iters)
-    best_cos, best_cell = _cell_scores(centroids)
-    assigned = emb.select(
-        "vec_id", best_cell.alias("cell_id"), best_cos.alias("cos")
+    assign = _cell_scores_gemm(centroids)
+    assigned = emb.select("vec_id", assign("embedding").alias("a")).select(
+        "vec_id",
+        F.col("a.cell").alias("cell_id"),
+        F.col("a.cos").alias("cos"),
     )
     return assigned.agg(
         F.count("*").cast("long").alias("n_assigned"),
@@ -574,3 +578,40 @@ def kmeans_invariants(
         .cast("long")
         .alias("bad_cosines"),
     )
+
+
+def _cell_scores_gemm(centroids: list[list[float]]):
+    """GEMM form of :func:`_cell_scores`: one Arrow-batched
+    ``pandas_udf`` computing ``struct(cos, cell)`` of the max-cosine
+    centroid via ``(batch × dim) @ (dim × k)``.
+
+    Why it exists: the literal-expression form re-materializes k·dim
+    literals into the plan — fine for ONE assignment pass (t25 IVF), but
+    Lloyd's loop rebuilds it EVERY iteration, paying a fresh
+    whole-stage-codegen compile of a 512-literal tree per round (the
+    dominant cost of t82 at small data: ~39 s for 5 rounds at sf0.1).
+    Here the centroid state is a broadcast numpy constant — the plan
+    shape (and its compiled code) is identical every iteration, and the
+    kernel is one BLAS call per batch. Same argmax/lowest-index
+    tie-break; numpy float64 vs expression-fold sums may differ in the
+    last ulp, which only matters for exact-tie pathologies absent from
+    real embeddings.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    c_norms = np.linalg.norm(C, axis=1)
+    c_norms[c_norms == 0.0] = 1.0
+
+    @pandas_udf("struct<cos: double, cell: int>")
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (b, d)
+        v_norms = np.linalg.norm(mat, axis=1)
+        v_norms[v_norms == 0.0] = 1.0
+        cos = (mat @ C.T) / (v_norms[:, None] * c_norms[None, :])
+        cell = cos.argmax(axis=1).astype("int32")  # first max = lowest idx
+        return pd.DataFrame(
+            {"cos": cos[np.arange(len(cell)), cell], "cell": cell}
+        )
+
+    return assign
