@@ -67,6 +67,9 @@ def _lineitem_view(spark, sf_dir):
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
         "fuzz_lineitem"
     )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "fuzz_orders"
+    )
 
 
 _FUZZ_SETTINGS = settings(
@@ -117,3 +120,50 @@ def test_groupby_fuzz_spark_matches_duckdb(
         assert g[:-2] == w[:-2], q
         assert g[-2] == pytest.approx(w[-2], rel=1e-9, abs=1e-9), q
         assert g[-1] == w[-1], q
+
+
+_ORDER_PREDS = st.sampled_from(
+    [
+        "o_totalprice > 50000",
+        "o_orderstatus = 'F'",
+        "o_orderpriority = '1-URGENT'",
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+        "o_custkey % 7 = 0",
+    ]
+)
+
+
+@given(
+    jt=st.sampled_from(["inner", "left", "semi", "anti"]),
+    lpred=_leaf(),
+    opred=_ORDER_PREDS,
+)
+@_FUZZ_SETTINGS
+def test_join_fuzz_spark_matches_duckdb(spark, duck, jt, lpred, opred):
+    """Random equi-joins (incl. EXISTS/NOT EXISTS semi/anti forms) must
+    produce identical counts and sums in both engines — covers join-type
+    semantics, NULL propagation through outer joins, and correlated
+    subquery decorrelation, none of which the fixed inventory fuzzes."""
+    if jt in ("inner", "left"):
+        kw = "JOIN" if jt == "inner" else "LEFT JOIN"
+        q = (
+            "SELECT count(*) AS c, count(l_orderkey) AS k, "
+            "sum(o_totalprice) AS s "
+            f"FROM {{o}} {kw} (SELECT * FROM {{t}} WHERE {lpred}) li "
+            f"ON o_orderkey = l_orderkey WHERE {opred}"
+        )
+    else:
+        ex = "EXISTS" if jt == "semi" else "NOT EXISTS"
+        q = (
+            "SELECT count(*) AS c, count(*) AS k, sum(o_totalprice) AS s "
+            f"FROM {{o}} WHERE {opred} AND {ex} "
+            f"(SELECT 1 FROM {{t}} WHERE l_orderkey = o_orderkey AND {lpred})"
+        )
+    got = spark.sql(q.format(o="fuzz_orders", t="fuzz_lineitem")).first()
+    want = duck.execute(q.format(o="orders", t="lineitem")).fetchone()
+    assert got["c"] == want[0], q
+    assert got["k"] == want[1], q
+    if want[2] is None:
+        assert got["s"] is None, q
+    else:
+        assert got["s"] == pytest.approx(want[2], rel=1e-9), q
