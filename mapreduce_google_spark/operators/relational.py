@@ -1584,3 +1584,58 @@ def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
     ).orderBy("p_brand")
+
+
+def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T114 — array aggregation: each customer's distinct order years as
+    a SORTED array (deterministic — ``collect_set`` alone has no order)
+    plus order count.
+
+    The nested-result shape (one row per entity, list-valued column)
+    that feeds feature stores and JSON exports. Scale: one hash-agg on
+    custkey; the array is bounded by the year span, not the order count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").cast("long").alias("custkey"))
+        .agg(
+            F.sort_array(
+                F.collect_set(F.year("o_orderdate").cast("int"))
+            ).alias("years"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def segment_priority_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T115 — the full rank-function family over one grouped frame:
+    ``rank``, ``dense_rank``, ``percent_rank``, ``cume_dist`` of order
+    priorities by order count within each customer segment.
+
+    Determinism: the window orders by (n_orders DESC, priority) — a
+    total order, so every rank flavor is stable under any partitioning.
+    Scale: the window runs over segments × priorities ≈ 25 rows, AFTER
+    the aggregation collapsed the fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    counts = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n_orders").desc(), F.col("o_orderpriority").asc()
+    )
+    return counts.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n_orders",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("dense_rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_mktsegment", "rnk", "o_orderpriority")
