@@ -405,3 +405,81 @@ def schema_evolution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def dead_letter_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T116 — corrupt-tolerant ingest: a JSONL batch where every 13th
+    record is malformed is split into good rows vs a dead-letter side
+    channel (``io.read_json_with_dead_letters`` — PERMISSIVE mode +
+    ``_corrupt_record``), then audited: good/dead counts and a checksum
+    over the surviving rows.
+
+    The non-negotiable ingest property at 100 TB: bad records NEVER
+    abort the job and NEVER silently vanish — they land in a quarantine
+    table with the raw payload for replay. Corruption here is
+    deterministic (doc_id % 13) so the DuckDB oracle re-derives the
+    exact split from the source table; a parser that drops or
+    mis-classifies one record fails the hash.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mapreduce_google_spark.io import read_json_with_dead_letters
+
+    tag = _tag(sf_dir, "documents")
+    staged = f"/tmp/mgs_deadletter_docs_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        lines = docs.select(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit("{corrupt!"), F.col("doc_id").cast("string")),
+            )
+            .otherwise(F.to_json(F.struct("doc_id", "n_chars")))
+            .alias("value")
+        )
+        lines.write.mode("overwrite").text(staged)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("n_chars", LongType())]
+    )
+    good, dead = read_json_with_dead_letters(spark, staged, schema)
+    g = good.agg(
+        F.count("*").cast("long").alias("n_good"),
+        F.sum("n_chars").cast("long").alias("total_chars_good"),
+    )
+    d = dead.agg(F.count("*").cast("long").alias("n_dead"))
+    return g.crossJoin(F.broadcast(d)).select(
+        "n_good", "n_dead", "total_chars_good"
+    )
+
+
+def bucketed_distinct_suppliers(
+    spark: SparkSession, sf_dir: str, buckets: int = 16
+) -> DataFrame:
+    """T117 — skew-safe COUNT DISTINCT: per returnflag (3 hot groups that
+    each hold ~1/3 of the table at any scale), distinct suppliers counted
+    via value-space bucketing — phase 1 counts distincts within
+    ``suppkey % buckets`` sub-groups, phase 2 SUMS the partials.
+
+    Why: map-side partial agg makes plain sums skew-proof, but a naive
+    ``countDistinct`` over 3 giant groups concentrates the distinct-set
+    state on 3 reducers. Bucketing the VALUE space makes the partials
+    additive (buckets partition suppkey), so the heavy exchange carries
+    (flag × buckets) rows and the final agg is trivial — the standard
+    rewrite for distinct-count skew; built-in exact decimal revenue
+    partials ride along. Oracle: plain COUNT(DISTINCT)/sum per flag.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag", F.pmod("l_suppkey", F.lit(buckets)).alias("b")
+    ).agg(
+        F.countDistinct("l_suppkey").alias("d"),
+        F.sum(money("l_extendedprice")).alias("rev_part"),  # exact partial
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(
+            F.sum("d").cast("long").alias("n_suppliers"),
+            F.round(F.sum("rev_part").cast("double"), 6).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
