@@ -1639,3 +1639,33 @@ def segment_priority_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("c_mktsegment", "rnk", "o_orderpriority")
+
+
+def unpivoted_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T118 — UNPIVOT (wide → long): the per-(returnflag, linestatus)
+    pricing summary melted into (flag, status, metric, value) rows.
+
+    The inverse of T36's pivot, and the standard bridge from wide
+    aggregate tables to metric-per-row stores (dashboards, time-series
+    sinks). ``unpivot`` is a zero-shuffle projection — each wide row
+    yields one narrow row per metric column, after aggregation has
+    already collapsed the data, so the operator costs nothing at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity")).alias("sum_qty"),
+            dsum(money("l_extendedprice")).alias("sum_price"),
+            davg(rate("l_discount")).alias("avg_disc"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty", "sum_price", "avg_disc"],
+            "metric",
+            "value",
+        )
+        .orderBy("l_returnflag", "l_linestatus", "metric")
+    )
