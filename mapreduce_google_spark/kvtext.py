@@ -1,0 +1,88 @@
+"""Spark 4 Python DataSource for the reference's native text formats.
+
+The reference's entire storage layer is directories of line-oriented text
+files — job input (any text lines, reference ``manager/__main__.py:321-327``
+lists + sorts the directory) and intermediate/final ``key\tvalue`` records
+(key = everything before the FIRST tab, reference
+``worker/__main__.py:183``). :mod:`mapreduce_google_spark.io` already reads
+both through Spark's built-in text source; THIS module re-exposes the
+format as a first-class pluggable source via the Spark 4 Python
+DataSource API (``spark.read.format("kvtext")``), demonstrating the
+engine's extension surface:
+
+* one input partition PER FILE — exactly the reference's map-task split
+  (one file = one map task), so ``num_mappers`` parity comes free;
+* deterministic file ordering (sorted names, like the reference's
+  ``sorted(os.listdir())``);
+* the TAB-split contract (first tab only, empty keys legal) implemented
+  once, in the reader.
+
+Honesty at scale: a Python reader is interpreter-bound (~the rdd.pipe
+compatibility tier, NOT the parquet hot path) — it exists for format
+compatibility and as the template for plugging genuinely custom formats
+into this engine; columnar data belongs in parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class KVTextDataSource(DataSource):
+    """``spark.read.format("kvtext").load(dir)`` → ``key, value`` table.
+
+    Options: ``path`` (directory). Schema is fixed 2×string — untyped
+    strings ARE the reference's type system (SURVEY.md §1).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kvtext"
+
+    def schema(self) -> str:
+        return "key string, value string"
+
+    def reader(self, schema) -> "DataSourceReader":
+        return _KVTextReader(self.options)
+
+
+class _KVTextReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvtext source requires a path")
+
+    def partitions(self):
+        files = sorted(
+            f
+            for f in os.listdir(self.path)
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(self.path, f))
+        )
+        # one partition per file == one reference map task per file
+        return [InputPartition(os.path.join(self.path, f)) for f in files]
+
+    def read(self, partition):
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                key, _, value = line.rstrip("\n").partition("\t")
+                yield (key, value)
+
+
+_REGISTERED: set[int] = set()
+
+
+def ensure_registered(spark) -> None:
+    """Register the source once per SparkSession (idempotent)."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(KVTextDataSource)
+        _REGISTERED.add(key)
+
+
+def read_kvtext(spark, path: str):
+    """Read a reference-format text dir through the pluggable source."""
+    ensure_registered(spark)
+    return spark.read.format("kvtext").load(path)

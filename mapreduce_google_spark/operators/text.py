@@ -268,3 +268,38 @@ def pack_invariants(
         .cast("long")
         .alias("over_budget_packs"),
     )
+
+
+def pysource_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T119 — T01 word count read through the pluggable Python
+    DataSource (:mod:`mapreduce_google_spark.kvtext`): documents.text is
+    staged once as a reference-format text dir, loaded via
+    ``format("kvtext")`` (one input partition per file = one reference
+    map task), tokenized and counted.
+
+    Must hash-equal T01 computed straight from parquet — proving the
+    custom source round-trips the reference's storage contract
+    losslessly. The Python reader is the compatibility tier (see module
+    docstring); the aggregation above it is the same JVM hash-agg as T01.
+    """
+    import os
+
+    from mapreduce_google_spark.io import cache_tag, write_text_dir
+    from mapreduce_google_spark.kvtext import read_kvtext
+
+    tag = cache_tag(sf_dir, "documents")
+    staged = f"/tmp/mgs_kvsrc_docs_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        write_text_dir(
+            load_table(spark, sf_dir, "documents").select("text"),
+            staged,
+            num_files=4,
+        )
+    lines = read_kvtext(spark, staged)
+    toks = F.filter(F.split(F.lower("key"), r"\s+"), lambda t: t != "")
+    return (
+        lines.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("token")
+    )

@@ -1,0 +1,44 @@
+"""The Spark-4 Python DataSource speaking the reference's kv-text
+format: TAB contract (first tab only, empty keys legal — reference
+worker/__main__.py:183, test_worker_08), per-file partitions."""
+
+from __future__ import annotations
+
+import os
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text, encoding="utf-8")
+    return str(p)
+
+
+def test_kvtext_tab_contract(spark, tmp_path):
+    from mapreduce_google_spark.kvtext import read_kvtext
+
+    _write(tmp_path, "part-00000", "a\t1\n\t2\nplain line\nk\tv\twith\ttabs\n")
+    rows = read_kvtext(spark, str(tmp_path)).collect()
+    got = [(r.key, r.value) for r in rows]
+    assert ("a", "1") in got
+    assert ("", "2") in got  # empty key is DATA (reference golden file)
+    assert ("plain line", "") in got  # no tab → whole line is the key
+    assert ("k", "v\twith\ttabs") in got  # split on FIRST tab only
+
+
+def test_kvtext_one_partition_per_file(spark, tmp_path):
+    from mapreduce_google_spark.kvtext import read_kvtext
+
+    for i in range(3):
+        _write(tmp_path, f"part-{i:05d}", f"k{i}\t{i}\n")
+    df = read_kvtext(spark, str(tmp_path))
+    assert df.rdd.getNumPartitions() == 3  # reference: one map task per file
+    assert df.count() == 3
+
+
+def test_kvtext_skips_hidden_and_success_files(spark, tmp_path):
+    from mapreduce_google_spark.kvtext import read_kvtext
+
+    _write(tmp_path, "part-00000", "a\t1\n")
+    _write(tmp_path, "_SUCCESS", "")
+    _write(tmp_path, ".hidden", "junk\tx\n")
+    assert read_kvtext(spark, str(tmp_path)).count() == 1
