@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -284,3 +285,65 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.sha256").alias("sha256"),
     ).orderBy("doc_id")
+
+
+def synthetic_image_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob) — a deterministic tiny image per document, ENCODED
+    by the native codec kernels (:mod:`.codecs`), with format and
+    dimensions closed-form in ``doc_id``:
+
+    - ``doc_id % 4``: 0 → PNG gray, 1 → PNG RGB, 2 → P6 PPM (RGB),
+      3 → P5 PGM (gray)
+    - ``width  = 4 + doc_id % 13``, ``height = 3 + doc_id % 7``
+
+    Pixel content is a byte gradient seeded by doc_id, so re-encoding is
+    bit-stable. This makes the encode→decode round trip oracle-checkable:
+    DuckDB can state the expected (width, height, channels, decoder) from
+    doc_id arithmetic alone.
+    """
+    import numpy as np
+
+    from mapreduce_google_spark.operators import codecs
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 3 + d % 7
+                kind = d % 4
+                ch = 3 if kind in (1, 2) else 1
+                size = h * w if ch == 1 else h * w * ch
+                arr = ((np.arange(size) * 31 + d * 7) % 256).astype(np.uint8)
+                arr = arr.reshape((h, w) if ch == 1 else (h, w, ch))
+                if kind in (0, 1):
+                    blobs.append(codecs.encode_png(arr))
+                else:
+                    blobs.append(codecs.encode_ppm(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(encode, out_schema)
+
+
+def image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T121 — REAL native-codec decode with an oracle: synthesize one
+    tiny PNG/PPM per document (:func:`synthetic_image_blobs`), decode
+    headers with ``use_fake=False`` (:func:`decode_images` → the stdlib
+    kernels in :mod:`.codecs` — PIL is absent in this container, so the
+    ``native-*`` path is what runs), and emit the decoded dimensions.
+
+    The oracle states (width, height, channels, decoder) in closed form
+    from doc_id — any drift in either the encoders or the header parsers
+    breaks the hash. This gives the codec path driver-side evidence
+    beyond unit tests (VERDICT r03 item 3).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = synthetic_image_blobs(docs)
+    return decode_images(blobs, use_fake=False).orderBy("doc_id")

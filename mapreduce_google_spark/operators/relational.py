@@ -154,12 +154,14 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12 — revenue by (region, nation) with ROLLUP subtotals.
 
-    lineitem is pre-aggregated to order grain BEFORE the fact-fact join:
+    lineitem is pre-aggregated to order grain BEFORE the fact-fact join,
+    then collapsed again to CUSTOMER grain before the customer join:
     exact decimal accumulation is associative (unlike double sums, whose
-    value depends on add order), so pushing the partial sum below the
-    join is safe — and it shrinks the heavy lineitem→orders exchange by
-    the lines-per-order factor, the optimization that matters most at
-    100 TB. customer is mid-size (broadcast at test sf, bucketed join at
+    value depends on add order), so pushing partial sums below joins is
+    safe — the first collapse shrinks the heavy lineitem→orders exchange
+    by the lines-per-order factor, the second shrinks the customer-join
+    exchange by the orders-per-customer factor (the same trick T09
+    uses). customer is mid-size (broadcast at test sf, bucketed join at
     scale); nation/region broadcast. Rollup adds grouping-set expansion
     after aggregation — no extra scan.
     """
@@ -173,9 +175,19 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(revenue).alias("rev_dec"),  # exact decimal partial sum
         F.count("*").alias("n_lines"),
     )
+    per_cust = (
+        li_per_order.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li_per_order.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev_dec").alias("rev_dec"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+    )
     joined = (
-        li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
     )
@@ -1608,6 +1620,22 @@ def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_order_years_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T114 (driver form) — :func:`customer_order_years` with the
+    ``years`` array emitted as a canonical comma-joined string.
+
+    The oracle harness canonicalizes results with pandas, which cannot
+    factorize list-valued cells; joining the already-sorted array into
+    one string keeps the comparison bit-stable while the array-returning
+    operator above stays available to library callers.
+    """
+    return customer_order_years(spark, sf_dir).select(
+        "custkey",
+        F.array_join(F.col("years").cast("array<string>"), ",").alias("years"),
+        "n_orders",
+    )
+
+
 def segment_priority_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T115 — the full rank-function family over one grouped frame:
     ``rank``, ``dense_rank``, ``percent_rank``, ``cume_dist`` of order
@@ -1668,4 +1696,59 @@ def unpivoted_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .orderBy("l_returnflag", "l_linestatus", "metric")
+    )
+
+
+def percentile_rank_invariants(
+    spark: SparkSession, sf_dir: str, accuracy: int = 1000
+) -> DataFrame:
+    """T124 — rank-error-bound oracle for :func:`approx_segment_percentiles`
+    (t71; GK sketch values aren't SQL-portable, but the GK GUARANTEE is).
+
+    ``percentile_approx(q, accuracy)`` returns an element of the data
+    whose rank is within ``n / accuracy`` of the target rank ``q·n``
+    (Greenwald-Khanna bound). For each segment we recompute the returned
+    value's true rank interval ``[count(< v) + 1, count(<= v)]`` against
+    the raw customer table and flag a violation when the target rank
+    falls outside that interval widened by ``n/accuracy + 1`` (the +1
+    absorbs ceil-vs-floor rank conventions).
+
+    Oracle columns: ``segments_checked`` (count of distinct segments —
+    source-derived non-vacuity), ``median_violations = 0``,
+    ``p90_violations = 0``.
+    """
+    approx = approx_segment_percentiles(spark, sf_dir, accuracy)
+    cust = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    joined = cust.join(F.broadcast(approx), "c_mktsegment")
+    per_seg = joined.groupBy("c_mktsegment", "median_acctbal", "p90_acctbal").agg(
+        F.count("*").cast("double").alias("n"),
+        F.count(F.when(F.col("c_acctbal") < F.col("median_acctbal"), 1))
+        .cast("double")
+        .alias("lt_med"),
+        F.count(F.when(F.col("c_acctbal") <= F.col("median_acctbal"), 1))
+        .cast("double")
+        .alias("le_med"),
+        F.count(F.when(F.col("c_acctbal") < F.col("p90_acctbal"), 1))
+        .cast("double")
+        .alias("lt_p90"),
+        F.count(F.when(F.col("c_acctbal") <= F.col("p90_acctbal"), 1))
+        .cast("double")
+        .alias("le_p90"),
+    )
+    slack = F.col("n") / F.lit(float(accuracy)) + F.lit(1.0)
+
+    def _viol(q: float, lt: str, le: str):
+        target = F.lit(q) * F.col("n")
+        return F.count(
+            F.when(
+                (target < F.col(lt) + F.lit(1.0) - slack)
+                | (target > F.col(le) + slack),
+                1,
+            )
+        ).cast("long")
+
+    return per_seg.agg(
+        F.count("*").cast("long").alias("segments_checked"),
+        _viol(0.5, "lt_med", "le_med").alias("median_violations"),
+        _viol(0.9, "lt_p90", "le_p90").alias("p90_violations"),
     )

