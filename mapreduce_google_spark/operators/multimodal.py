@@ -347,3 +347,69 @@ def image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = synthetic_image_blobs(docs)
     return decode_images(blobs, use_fake=False).orderBy("doc_id")
+
+
+def synthetic_wav_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob) — a deterministic 16-bit mono PCM WAV per document
+    (stdlib ``wave`` encoder), closed-form in doc_id:
+
+    - ``n_samples = 32 + doc_id % 97`` at 8 kHz
+    - ``sample[i] = (i·13 + doc_id·7) % 256 − 128``
+
+    The audio counterpart of :func:`synthetic_image_blobs`: makes the
+    WAV decode → frame-sample path oracle-checkable end to end.
+    """
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blob", BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 32 + d % 97
+                samples = ((np.arange(n) * 13 + d * 7) % 256 - 128).astype("<i2")
+                buf = _io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(samples.tobytes())
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(encode, out_schema)
+
+
+def wav_frame_stats(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataFrame:
+    """T128 — real WAV decode with an oracle: synthesize one PCM WAV per
+    document (:func:`synthetic_wav_blobs`), frame-sample every
+    ``every_n``-th sample with ``use_fake=False`` (the stdlib ``wave``
+    kernel in :func:`sample_frames`), and aggregate per-document frame
+    statistics. Sample values are closed-form in doc_id, so DuckDB
+    states the expected (n_frames, sum/min/max) exactly — the audio
+    decode path's driver-side evidence, completing what t121 does for
+    images.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = synthetic_wav_blobs(docs)
+    frames = sample_frames(blobs, every_n_bytes=every_n, use_fake=False)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("frame_byte").cast("long").alias("sum_frames"),
+            F.min("frame_byte").cast("int").alias("min_frame"),
+            F.max("frame_byte").cast("int").alias("max_frame"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1752,3 +1752,66 @@ def percentile_rank_invariants(
         _viol(0.5, "lt_med", "le_med").alias("median_violations"),
         _viol(0.9, "lt_p90", "le_p90").alias("p90_violations"),
     )
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T125 — MERGE INTO (SCD-1 upsert): apply a changeset of updates /
+    deletes / inserts to a snapshot in one pass.
+
+    The data-management primitive every warehouse sink needs (Delta/
+    Iceberg MERGE; the reference has no equivalent — its sinks are
+    append-only files). Spark-first shape: ONE full-outer join on the
+    key, then row-level CASE — no per-row driver logic, and with both
+    sides bucketed by key at 100 TB the join is shuffle-free.
+
+    The changeset is derived deterministically from the snapshot itself
+    so the oracle can state the result in closed form: custkey % 17 = 0
+    rows are deleted, custkey % 10 = 0 (and not deleted) get acctbal +
+    100, and custkey % 23 = 0 rows re-enter as fresh inserts under key +
+    1,000,000.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        "c_name",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+    )
+    updates = cust.where(
+        (F.col("custkey") % 10 == 0) & (F.col("custkey") % 17 != 0)
+    ).select(
+        "custkey",
+        F.lit("U").alias("op"),
+        F.lit(None).cast("string").alias("new_name"),
+        (F.col("acctbal") + F.lit(100).cast("decimal(12,2)")).alias("new_acctbal"),
+    )
+    deletes = cust.where(F.col("custkey") % 17 == 0).select(
+        "custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_name"),
+        F.lit(None).cast("decimal(12,2)").alias("new_acctbal"),
+    )
+    inserts = cust.where(F.col("custkey") % 23 == 0).select(
+        (F.col("custkey") + F.lit(1000000)).alias("custkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("NEW-"), F.col("custkey").cast("string")).alias("new_name"),
+        F.lit(0).cast("decimal(12,2)").alias("new_acctbal"),
+    )
+    changes = updates.unionAll(deletes).unionAll(inserts)
+    merged = cust.alias("s").join(changes.alias("c"), "custkey", "full_outer")
+    return (
+        merged.where(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            "custkey",
+            F.coalesce(F.col("c.new_name"), F.col("s.c_name")).alias("name"),
+            F.round(
+                F.coalesce(F.col("c.new_acctbal"), F.col("s.acctbal")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("acctbal"),
+            F.when(F.col("c.op") == "U", F.lit("updated"))
+            .when(F.col("c.op") == "I", F.lit("inserted"))
+            .otherwise(F.lit("kept"))
+            .alias("row_op"),
+        )
+        .orderBy("custkey")
+    )

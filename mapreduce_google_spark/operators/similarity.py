@@ -735,3 +735,41 @@ def ann_topk_invariants(
             "found_nonempty",
         )
     )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T127 — per-label embedding centroid (element-wise mean vector),
+    emitted long-form as (label, dim_idx, n_vectors, mean_val).
+
+    The distributed vector-mean recipe: ``posexplode`` the array (narrow,
+    no shuffle), then ONE hash-agg on (label, dim) — partial sums combine
+    map-side, so the exchange carries labels × dims rows, not vectors.
+    This is how per-cluster centroids / class prototypes are computed
+    over a 100 TB embedding corpus; the result is small enough to
+    broadcast back for assignment passes (cf. k-means, t82).
+
+    Determinism (oracle rule 6): each float is cast to double then
+    quantized to decimal(20,12); the decimal SUM is order-independent;
+    one IEEE division at the end. Long form (not re-assembled arrays)
+    keeps the result hash-comparable (cf. t114's array lesson).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("idx", "v")
+    )
+    return (
+        exploded.groupBy(
+            "label", (F.col("idx") + 1).cast("int").alias("dim_idx")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(
+                F.sum(
+                    F.col("v").cast("double").cast("decimal(20,12)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_val"),
+        )
+        .orderBy("label", "dim_idx")
+    )

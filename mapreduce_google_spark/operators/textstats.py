@@ -507,3 +507,76 @@ def feature_hashing(spark: SparkSession, sf_dir: str, n_buckets: int = 64) -> Da
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy("doc_id", "bucket")
     )
+
+
+def token_pmi(
+    spark: SparkSession, sf_dir: str, min_count: int = 10
+) -> DataFrame:
+    """T126 — collocation mining: pointwise mutual information of
+    adjacent token pairs over the corpus.
+
+    PMI(w1,w2) = ln P(w1,w2) − ln P(w1) − ln P(w2) with bigram and
+    unigram probabilities from corpus counts — the standard collocation
+    score a phrase-extraction pass computes before tokenizer training.
+    Dataflow: one narrow pass builds per-doc bigram arrays (HOF
+    ``transform`` over the token array, zero shuffle), then two
+    hash-aggs (bigram counts, unigram counts) and a broadcast-joined
+    scalar total. Determinism: every count is an exact BIGINT; PMI is
+    evaluated as a fixed left-to-right sum of five ``ln`` terms —
+    ln(c12) − ln(c1) − ln(c2) − ln(N2) + 2·ln(N1) — so DuckDB computes
+    the identical IEEE value.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    tokened = docs.select(toks.alias("tokens")).where(F.size("tokens") >= 2)
+    bigrams = tokened.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - 2),
+                lambda i: F.struct(
+                    F.col("tokens")[i].alias("w1"),
+                    F.col("tokens")[i + 1].alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    unigrams = docs.select(F.explode(toks).alias("w"))
+    # the count tables are at most vocab / vocab² rows — pin them with
+    # localCheckpoint so the totals, the filtered pair set, and both
+    # broadcast sides all read the SAME materialized counts: the corpus
+    # is scanned exactly twice (unigrams, bigrams) at any scale, and the
+    # totals are exact BIGINT sums of the pinned counts (identical values
+    # to counting the raw rows).
+    uni_counts = (
+        unigrams.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
+    )
+    bg_all = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint()
+    )
+    n1 = uni_counts.agg(F.sum("c").alias("n1"))
+    n2 = bg_all.agg(F.sum("c12").alias("n2"))
+    bg_counts = bg_all.where(F.col("c12") >= min_count)
+    c1 = uni_counts.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni_counts.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.log(F.col("c12").cast("double"))
+        - F.log(F.col("c1").cast("double"))
+        - F.log(F.col("c2").cast("double"))
+        - F.log(F.col("n2").cast("double"))
+        + F.lit(2.0) * F.log(F.col("n1").cast("double"))
+    )
+    return (
+        bg_counts.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )
