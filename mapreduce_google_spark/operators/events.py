@@ -415,3 +415,108 @@ def error_bursts(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("n_errors").desc(), "user_id", "bucket_start")
         .limit(k)
     )
+
+
+def event_debounce_stats(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 60
+) -> DataFrame:
+    """T131 — per-(user, type) debounce: an event is NOISE if it fires
+    within ``gap_seconds`` of the previous event of the same (user,
+    type); report kept/dropped counts per event_type.
+
+    The dedup-adjacent stream-hygiene pass (double-clicks, retry storms,
+    sensor chatter) every event pipeline runs before counting anything.
+    Lag-based semantics — compare to the previous RAW event, not the
+    previously kept one — so the operator is ONE window pass (no
+    iteration) and the oracle can restate it exactly. One shuffle on
+    (user_id, event_type); the window never buffers more than a
+    partition's events.
+
+    Determinism: integer microsecond arithmetic (``unix_micros``), no
+    float time math (oracle rule 8).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = gap_seconds * 1_000_000
+    flagged = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("since_prev_us"),
+    )
+    dropped = F.col("since_prev_us").isNotNull() & (
+        F.col("since_prev_us") < F.lit(gap_us)
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count(F.when(dropped, 1)).cast("long").alias("n_dropped"),
+            F.count(F.when(~dropped, 1)).cast("long").alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def session_paths(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, k: int = 25
+) -> DataFrame:
+    """T132 — top-k session opening paths: the first three event types
+    of each session (30-minute inactivity gap), counted across users.
+
+    Sequence analytics on top of sessionization — the "how do journeys
+    start" query product teams run daily. Gaps-and-islands assigns
+    session ids with ONE cumulative-sum window (no iteration), then the
+    path is a per-session sort + ``array_join`` of the first three
+    types. Two shuffles total (user window, path count); the heavy
+    per-user window state is bounded by a user's own events.
+
+    Tie-break: events at the same timestamp order by event_id, so the
+    path string is total-ordered and the oracle agrees.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_user)
+        > F.lit(gap_us)
+    )
+    with_sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(F.when(new_sess, 1).otherwise(0))
+        .over(w_user)
+        .alias("session_seq"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    first3 = (
+        with_sess.select(
+            "user_id",
+            "session_seq",
+            "event_type",
+            F.row_number().over(w_sess).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )

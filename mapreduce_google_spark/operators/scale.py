@@ -483,3 +483,59 @@ def bucketed_distinct_suppliers(
         )
         .orderBy("l_returnflag")
     )
+
+
+def compaction_invariants(
+    spark: SparkSession,
+    sf_dir: str,
+    small_files: int = 64,
+    target_files: int = 4,
+) -> DataFrame:
+    """T130 — small-file compaction with conservation laws: stage the
+    documents table as ``small_files`` parquet shards (the pathological
+    layout streaming ingest leaves behind), compact with ``coalesce``
+    (narrow — no shuffle, files merge in place), and prove nothing was
+    lost:
+
+    - ``n_rows`` / ``sum_doc_id`` equal the source table (any dropped or
+      duplicated row breaks an exact BIGINT sum);
+    - ``files_over_target = 0`` — the compacted layout really is
+      ≤ ``target_files`` data files.
+
+    The table-maintenance primitive every lakehouse needs (Delta
+    OPTIMIZE / Iceberg rewrite_data_files): at 100 TB compaction is the
+    difference between a scan planning 10⁶ splits and 10³. Staged
+    layouts are keyed by the source fingerprint and reused (idempotent
+    until the corpus changes).
+    """
+    import glob
+    import os
+
+    from mapreduce_google_spark.io import cache_tag
+
+    tag = cache_tag(sf_dir, "documents")
+    small = f"/tmp/mgs_smallfiles_{tag}_{small_files}"
+    compacted = f"/tmp/mgs_compacted_{tag}_{target_files}"
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(small_files)
+            .write.mode("overwrite")
+            .parquet(small)
+        )
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        (
+            spark.read.parquet(small)
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .parquet(compacted)
+        )
+    n_files = len(glob.glob(os.path.join(compacted, "*.parquet")))
+    after = spark.read.parquet(compacted)
+    return after.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.lit(max(0, n_files - target_files)).cast("long").alias(
+            "files_over_target"
+        ),
+    )

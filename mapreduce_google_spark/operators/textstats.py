@@ -580,3 +580,37 @@ def token_pmi(
         )
         .orderBy("w1", "w2")
     )
+
+
+def bpe_pair_counts(
+    spark: SparkSession, sf_dir: str, k: int = 50
+) -> DataFrame:
+    """T129 — BPE merge candidates: the top-k most frequent adjacent
+    character pairs in the corpus (whitespace-crossing pairs excluded).
+
+    This is the counting kernel of byte-pair-encoding tokenizer
+    training — each BPE iteration merges the argmax of exactly this
+    table. One narrow per-row pass builds the pair array (HOF, no
+    Python), one hash-agg counts, ``TakeOrderedAndProject`` keeps the
+    driver result at k rows. At 100 TB the agg state is bounded by the
+    alphabet² (tiny), so the whole job is scan-dominated — the shape a
+    tokenizer-training pre-pass needs.
+
+    Total order: count desc, then pair asc — stable under any
+    partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.lower("text"), "")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(chars) - 2),
+        lambda i: F.concat(chars[i], chars[i + 1]),
+    )
+    return (
+        docs.where(F.length("text") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .where(~F.col("pair").contains(" "))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(k)
+    )
