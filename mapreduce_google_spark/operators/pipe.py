@@ -108,7 +108,10 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="token: string, pos: int")
+    # useArrow: rows cross the Python boundary as Arrow batches
+    # (ArrowEvalPythonUDTF) instead of pickled row-at-a-time
+    # (BatchEvalPythonUDTF) — same contract, vectorized transfer
+    @udtf(returnType="token: string, pos: int", useArrow=True)
     class Tokenize:
         def eval(self, text: str):  # noqa: D102 — UDTF contract method
             if text is None:

@@ -1,0 +1,44 @@
+"""Registry-wide plan-quality gate: EVERY registered query's physical
+plan is free of the two anti-patterns that kill 100 TB jobs —
+row-at-a-time Python evaluation (``BatchEvalPython*``: each row pickled
+across the Python boundary; the Arrow-batched nodes ArrowEvalPython /
+MapInPandas / FlatMap*InPandas / ArrowEvalPythonUDTF are the sanctioned
+forms) and non-broadcast cartesian products (``CartesianProduct``: an
+all-pairs shuffle join; single-row/dimension cross joins must resolve to
+BroadcastNestedLoopJoin).
+
+Unlike the targeted gates in test_plans.py, this sweep is a REGRESSION
+NET: a new query (or a refactor of an old one) that slips a per-row UDF
+or an unbroadcast cross join into any of the 130+ registered plans fails
+here by name, without anyone having to remember to write its gate.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mapreduce_google_spark.plans import formatted_plan
+from mapreduce_google_spark.queries import REGISTRY
+
+#: nodes that pickle rows one at a time across the Python boundary
+ROW_PYTHON = re.compile(r"\bBatchEvalPython\w*\b")
+#: the non-broadcast all-pairs join
+CARTESIAN = re.compile(r"\bCartesianProduct\b")
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_has_no_scale_antipatterns(name, spark, sf_dir):
+    df = REGISTRY[name].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    row_py = ROW_PYTHON.findall(plan)
+    assert not row_py, (
+        f"{name}: row-at-a-time Python node(s) {sorted(set(row_py))} in plan "
+        "— use pandas_udf / mapInPandas / useArrow=True instead"
+    )
+    assert not CARTESIAN.search(plan), (
+        f"{name}: CartesianProduct in plan — broadcast the small side "
+        "(single-row totals and dimension tables must build a "
+        "BroadcastNestedLoopJoin)"
+    )
