@@ -155,6 +155,38 @@ def run_batch(
         return list(pool.map(_one, enumerate(jobs)))
 
 
+def _run_compact(
+    spark: SparkSession,
+    *,
+    input: str,
+    output: str,
+    target_files: int | None = None,
+    target_mb: int = 128,
+) -> dict:
+    """Small-file compaction (the lakehouse OPTIMIZE primitive): read a
+    parquet directory, rewrite it as ``target_files`` files — or, when
+    not given, as ``ceil(total_bytes / target_mb)`` files sized for scan
+    efficiency. ``coalesce`` keeps the rewrite narrow (no shuffle; files
+    merge within tasks). Returns a summary dict (rows, files in/out)."""
+    import glob
+    import math
+    import os
+
+    in_files = glob.glob(os.path.join(input, "*.parquet"))
+    if target_files is None:
+        total = sum(os.path.getsize(f) for f in in_files)
+        target_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(input)
+    df.coalesce(target_files).write.mode("overwrite").parquet(output)
+    out_files = glob.glob(os.path.join(output, "*.parquet"))
+    return {
+        "rows": spark.read.parquet(output).count(),
+        "files_in": len(in_files),
+        "files_out": len(out_files),
+        "output": output,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="mapreduce_google_spark")
     sub = parser.add_subparsers(dest="mode", required=True)
@@ -184,6 +216,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_explain.add_argument("--name", required=True)
     p_explain.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    p_compact = sub.add_parser(
+        "compact", help="rewrite a parquet dir as fewer, larger files"
+    )
+    p_compact.add_argument("--input", required=True, help="parquet directory")
+    p_compact.add_argument("--output", required=True, help="destination directory")
+    p_compact.add_argument(
+        "--target-files",
+        type=int,
+        default=None,
+        help="exact output file count; default sizes by --target-mb",
+    )
+    p_compact.add_argument(
+        "--target-mb",
+        type=int,
+        default=128,
+        help="target file size when --target-files is not given",
+    )
 
     p_batch = sub.add_parser(
         "batch", help="run a JSONL job list FIFO through one session (F10 queue)"
@@ -229,6 +279,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             print(formatted_plan(REGISTRY[args.name].builder(spark, args.sf_dir)))
+        elif args.mode == "compact":
+            summary = _run_compact(
+                spark,
+                input=args.input,
+                output=args.output,
+                target_files=args.target_files,
+                target_mb=args.target_mb,
+            )
+            print(json.dumps(summary))
         elif args.mode == "query":
             try:
                 _run_query(

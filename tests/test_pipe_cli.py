@@ -128,3 +128,36 @@ def test_cli_explain(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     assert "PushedFilters" in res.stdout
     assert "HashAggregate" in res.stdout
+
+
+def test_compact_run(spark, tmp_path, sf_dir):
+    """_run_compact conserves rows and hits the exact target file count;
+    the rewrite is coalesce-narrow (no shuffle)."""
+    from mapreduce_google_spark.cli import _run_compact
+    from mapreduce_google_spark.io import load_table
+
+    small = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(16).write.parquet(small)
+    summary = _run_compact(spark, input=small, output=out, target_files=2)
+    assert summary["rows"] == docs.count()
+    assert summary["files_in"] == 16
+    assert summary["files_out"] <= 2
+    # content survives byte-for-byte (exact sum over a key column)
+    before = docs.agg({"doc_id": "sum"}).collect()[0][0]
+    after = spark.read.parquet(out).agg({"doc_id": "sum"}).collect()[0][0]
+    assert before == after
+
+
+def test_compact_sizes_by_target_mb(spark, tmp_path, sf_dir):
+    """Without --target-files the file count derives from total bytes /
+    target-mb — a tiny input always compacts to one file."""
+    from mapreduce_google_spark.cli import _run_compact
+    from mapreduce_google_spark.io import load_table
+
+    small = str(tmp_path / "small2")
+    out = str(tmp_path / "compacted2")
+    load_table(spark, sf_dir, "documents").repartition(8).write.parquet(small)
+    summary = _run_compact(spark, input=small, output=out, target_mb=128)
+    assert summary["files_out"] == 1
