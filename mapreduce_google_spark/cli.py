@@ -2,7 +2,7 @@
 ``mapreduce-submit`` client (``mapreduce/submit.py:21-60``) and of the
 manager's job queue (``mapreduce/manager/__main__.py:180-196,313-319``).
 
-Three modes:
+Modes (exec / query / explain / sql / compact / batch):
 
 1. Reference-style streaming-exec job (the reference's whole surface):
 
@@ -217,6 +217,14 @@ def main(argv: list[str] | None = None) -> int:
     p_explain.add_argument("--name", required=True)
     p_explain.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_sql = sub.add_parser(
+        "sql", help="run ad-hoc SQL over the star-schema views"
+    )
+    p_sql.add_argument("--query", required=True, help="SQL text")
+    p_sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_sql.add_argument("--output", help="write parquet here instead of stdout")
+    p_sql.add_argument("--limit", type=int, default=20)
+
     p_compact = sub.add_parser(
         "compact", help="rewrite a parquet dir as fewer, larger files"
     )
@@ -279,6 +287,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             print(formatted_plan(REGISTRY[args.name].builder(spark, args.sf_dir)))
+        elif args.mode == "sql":
+            from mapreduce_google_spark.io import register_views
+
+            register_views(spark, args.sf_dir)
+            df = spark.sql(args.query)
+            if args.output:
+                df.write.mode("overwrite").parquet(args.output)
+                print(f"wrote {args.output}")
+            else:
+                df.show(args.limit, truncate=False)
         elif args.mode == "compact":
             summary = _run_compact(
                 spark,

@@ -861,3 +861,90 @@ def cluster_invariants(
         "node_mismatch",
         "clusters_nonempty",
     )
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """T134 — asymmetric containment near-dup: pairs where
+    ``|A∩B| / |A|`` ≥ threshold (doc_a mostly contained in doc_b).
+
+    Jaccard misses subset duplication (a paragraph quoted inside a much
+    longer page scores low); containment is the standard complement for
+    quote/excerpt detection in pretraining dedup. Same candidate
+    machinery as the exact Jaccard pass — shingle self-join capped by
+    ``max_df`` — but normalized by ONE side, so the pair is emitted in
+    both directions when both containments clear the threshold.
+    Excludes identical sets (containment 1.0 both ways is T17/T21's
+    business) only by threshold, not specially.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, n, max_df=max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    return (
+        common.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """T135 — provenance leakage matrix: near-dup pair counts grouped by
+    the (source, source) pair of the two documents.
+
+    The question a crawl-curation team asks first: which feeds are
+    copying each other? Exact Jaccard pairs (t21 machinery) joined back
+    to each side's ``source``, sources ordered within the pair so (A,B)
+    and (B,A) land in one cell. The matrix is |sources|² at most —
+    tiny — so the only real cost is the pair computation itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_1"),
+            F.greatest("src_a", "src_b").alias("source_2"),
+        )
+    )
+    return (
+        labeled.groupBy("source_1", "source_2")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("source_1", "source_2")
+    )

@@ -520,3 +520,44 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(k)
     )
+
+
+def event_type_runs(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
+    """T133 — run-length encoding of each user's event stream: collapse
+    consecutive same-type events into (user, run_start, type, run_length)
+    intervals; report the top-k longest runs.
+
+    The islands half of gaps-and-islands (t132 did the gaps): a run
+    boundary is a TYPE CHANGE rather than a time gap, which is exactly
+    SCD-2 history building — consecutive states collapse into validity
+    intervals. One window pass marks boundaries (``lag``), a running sum
+    numbers the runs, one hash-agg collapses them. Two shuffles total,
+    state bounded per user.
+
+    Total order: run_length desc, then (user_id, run_start) — ties
+    can't reorder across partitions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    )
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(F.when(changed, 1).otherwise(0)).over(w).alias("run_seq"),
+    )
+    return (
+        runs.groupBy("user_id", "run_seq", "event_type")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT).alias("run_start"),
+            F.count("*").cast("long").alias("run_length"),
+        )
+        .select("user_id", "event_type", "run_start", "run_length")
+        .orderBy(
+            F.col("run_length").desc(), "user_id", "run_start"
+        )
+        .limit(k)
+    )

@@ -161,3 +161,18 @@ def test_compact_sizes_by_target_mb(spark, tmp_path, sf_dir):
     load_table(spark, sf_dir, "documents").repartition(8).write.parquet(small)
     summary = _run_compact(spark, input=small, output=out, target_mb=128)
     assert summary["files_out"] == 1
+
+
+def test_cli_sql(tmp_path):
+    """The sql subcommand runs ad-hoc SQL over the registered views —
+    the ad-hoc surface the fixed registry doesn't cover."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "sql", "--query",
+         "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+         "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "AFRICA" in res.stdout
