@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -145,4 +146,80 @@ def tws_user_event_counts(stream: DataFrame) -> DataFrame:
         outputStructType="user_id bigint, n_delta bigint, n_total bigint",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+DEBOUNCE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("n_dropped", LongType()),
+    ]
+)
+
+DEBOUNCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_kept", LongType()),
+        StructField("n_dropped", LongType()),
+    ]
+)
+
+DEBOUNCE_GAP_US = 60 * 1_000_000
+
+
+def _debounce(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-(user, type) debounce state machine: an event is dropped when
+    it arrives within the gap of the previous RAW event (same lag-based
+    semantics as the batch operator t131, so parity is exact)."""
+    user_id, event_type = key
+    if state.exists:
+        last_us, kept, dropped = state.get
+    else:
+        last_us, kept, dropped = -1, 0, 0
+    pairs = sorted(
+        (int(t), int(e)) for pdf in pdfs for t, e in zip(pdf["ts_us"], pdf["event_id"])
+    )
+    for t, _eid in pairs:
+        if last_us >= 0 and t - last_us < DEBOUNCE_GAP_US:
+            dropped += 1
+        else:
+            kept += 1
+        last_us = t
+    state.update((last_us, kept, dropped))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [event_type],
+            "n_kept": [kept],
+            "n_dropped": [dropped],
+        }
+    )
+
+
+def debounce_stateful(events: DataFrame) -> DataFrame:
+    """events stream → per-(user, type) cumulative kept/dropped debounce
+    counts, updated each micro-batch (``update``-mode sink).
+
+    The streaming half of t131: unbounded state is avoided because the
+    state per key is three longs — the 100 TB-stream shape for
+    dedup-adjacent hygiene operators (state size is O(keys), never
+    O(events))."""
+    from pyspark.sql import functions as F
+
+    with_us = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    return with_us.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

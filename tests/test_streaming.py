@@ -264,3 +264,45 @@ def test_transform_with_state_counts_match_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_debounce_matches_batch(spark, sf_dir):
+    """Custom applyInPandasWithState debounce over an availableNow replay
+    reproduces the batch lag-based operator (t131) exactly."""
+    from mapreduce_google_spark.operators.events import event_debounce_stats
+    from mapreduce_google_spark.streaming.stateful import debounce_stateful
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        debounce_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t131_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink may emit a key once per micro-batch; the counts
+    # are cumulative (monotone), so the final state is the per-key max
+    got = (
+        spark.sql(
+            """
+            SELECT event_type,
+                   sum(n_kept) AS n_kept, sum(n_dropped) AS n_dropped
+            FROM (
+                SELECT user_id, event_type,
+                       max(n_kept) AS n_kept, max(n_dropped) AS n_dropped
+                FROM t131_stateful
+                GROUP BY user_id, event_type
+            )
+            GROUP BY event_type
+            """
+        )
+        .collect()
+    )
+    got_map = {r.event_type: (r.n_kept, r.n_dropped) for r in got}
+    want = {
+        r.event_type: (r.n_kept, r.n_dropped)
+        for r in event_debounce_stats(spark, sf_dir).collect()
+    }
+    assert got_map == want
