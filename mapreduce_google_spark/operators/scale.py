@@ -30,7 +30,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.functions.numeric import dsum, money
@@ -539,3 +539,86 @@ def compaction_invariants(
             "files_over_target"
         ),
     )
+
+
+def join_skew_profile(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """T137 — pre-join skew diagnostic: the key-frequency profile of
+    lineitem's join keys (orderkey, suppkey), emitted long-form as
+    (key_col, stat, value).
+
+    The report a 100 TB join is planned FROM: heavy hitters decide
+    salting factors and AQE skew thresholds; the p50/p90/p99/max fanout
+    bands decide whether a plain shuffle join is safe at all.
+
+    Scale shape: one hash-agg per key column builds key→fanout; the
+    PERCENTILES come from the count-of-counts distribution (fanout →
+    number of keys with that fanout), which is tiny — bounded by the
+    number of DISTINCT fanout values, not by keys — so the cumulative
+    window runs over a broadcast-size table and nothing ever sorts the
+    full key set. Heavy hitters are a TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows). Exact lower-percentile
+    semantics (value at rank ceil(p·n) ascending) keep both engines
+    bit-identical — no interpolation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for key_col in ("l_orderkey", "l_suppkey"):
+        counts = li.groupBy(F.col(key_col).alias("key")).agg(
+            F.count("*").alias("fanout")
+        )
+        dist = counts.groupBy("fanout").agg(F.count("*").alias("nk"))
+        w_cum = Window.orderBy("fanout").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        total = dist.agg(F.sum("nk").alias("n")).select("n")
+        cum = dist.select(
+            "fanout", F.sum("nk").over(w_cum).alias("cum_keys")
+        ).crossJoin(F.broadcast(total))
+        pct_rows = None
+        for p_name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            row = (
+                cum.where(
+                    F.col("cum_keys")
+                    >= F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+                )
+                .agg(F.min("fanout").alias("v"))
+                .select(
+                    F.lit(key_col).alias("key_col"),
+                    F.lit(p_name).alias("stat"),
+                    F.col("v").cast("long").alias("value"),
+                )
+            )
+            pct_rows = row if pct_rows is None else pct_rows.unionAll(row)
+        hitters_base = counts.orderBy(
+            F.col("fanout").desc(), F.col("key").asc()
+        ).limit(k)
+        w_top = Window.orderBy(F.col("fanout").desc(), F.col("key").asc())
+        hitters = hitters_base.select(
+            F.lit(key_col).alias("key_col"),
+            F.concat(
+                F.lit("hitter_"),
+                F.lpad(F.row_number().over(w_top).cast("string"), 2, "0"),
+            ).alias("stat"),
+            F.col("fanout").cast("long").alias("value"),
+        )
+        basic = counts.agg(
+            F.count("*").cast("long").alias("nk"),
+            F.max("fanout").cast("long").alias("mx"),
+        ).select(
+            F.lit(key_col).alias("key_col"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("n_keys").alias("stat"), F.col("nk").alias("value")
+                    ),
+                    F.struct(
+                        F.lit("max").alias("stat"), F.col("mx").alias("value")
+                    ),
+                )
+            ).alias("s"),
+        ).select("key_col", "s.stat", "s.value")
+        part = basic.unionAll(pct_rows).unionAll(hitters)
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("key_col", "stat")

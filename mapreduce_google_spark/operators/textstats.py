@@ -614,3 +614,57 @@ def bpe_pair_counts(
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(k)
     )
+
+
+def curation_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_threshold: float = 0.65,
+    langs: tuple[str, ...] = ("en", "de", "es"),
+) -> DataFrame:
+    """T136 — the curation pipeline as ONE query: per-source retention
+    through the standard pretraining gates, applied cumulatively —
+
+    1. language keep-list (``lang`` ∈ {en, de, es});
+    2. quality score ≥ threshold (the t27 composite);
+    3. exact-dedup winner (lowest doc_id of the fingerprint group,
+       computed corpus-wide as a real pipeline does).
+
+    The funnel-over-the-pipeline view a data team reads before a
+    training run: where does each source lose documents? One scan + the
+    quality pass + a fingerprint window; all counts conditional sums in
+    a single hash-agg on source. The threshold 0.65 sits between the
+    composite's reachable values (…, 0.6, 0.7, …) so float ulp can't
+    flip a gate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    flags = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        )
+        .withColumn(
+            "keep_dedup",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("fingerprint")),
+        )
+        .join(quality, "doc_id")
+    )
+    lang_ok = F.col("lang").isin(*langs)
+    qual_ok = lang_ok & (F.col("quality") >= quality_threshold)
+    uniq_ok = qual_ok & F.col("keep_dedup")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.count(F.when(lang_ok, 1)).cast("long").alias("n_lang_ok"),
+            F.count(F.when(qual_ok, 1)).cast("long").alias("n_quality_ok"),
+            F.count(F.when(uniq_ok, 1)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

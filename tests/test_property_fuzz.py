@@ -167,3 +167,31 @@ def test_join_fuzz_spark_matches_duckdb(spark, duck, jt, lpred, opred):
         assert got["s"] is None, q
     else:
         assert got["s"] == pytest.approx(want[2], rel=1e-9), q
+
+
+@given(
+    part_col=st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+    fn=st.sampled_from(
+        ["row_number()", "rank()", "dense_rank()", "count(*)", "sum(l_quantity)"]
+    ),
+    pred=_leaf(),
+)
+@_FUZZ_SETTINGS
+def test_window_fuzz_spark_matches_duckdb(spark, duck, part_col, fn, pred):
+    """Random window functions over a TOTAL order (orderkey, linenumber
+    is the table's unique key) must agree across engines — covers frame
+    defaults, rank semantics on ties (none, by construction), and
+    running aggregates, which neither the fixed inventory nor the other
+    fuzzers touch. The checksum collapses the full window output so row
+    order can't mask a mismatch."""
+    q = (
+        f"SELECT sum(w * l_orderkey) AS chk, count(*) AS c FROM ("
+        f"  SELECT l_orderkey, CAST({fn} OVER ("
+        f"    PARTITION BY {part_col} "
+        f"    ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS w "
+        f"  FROM {{t}} WHERE {pred})"
+    )
+    got = spark.sql(q.format(t="fuzz_lineitem")).first()
+    want = duck.execute(q.format(t="lineitem")).fetchone()
+    assert got["c"] == want[1], q
+    assert (got["chk"] or 0) == (want[0] or 0), q
