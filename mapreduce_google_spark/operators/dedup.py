@@ -948,3 +948,52 @@ def cross_source_dup_matrix(
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy("source_1", "source_2")
     )
+
+
+def duplicate_span_coverage(
+    spark: SparkSession, sf_dir: str, k: int = 6
+) -> DataFrame:
+    """T139 — per-document duplicated-span coverage: the fraction of a
+    doc's distinct k-token spans that also occur in at least one OTHER
+    document (the exact-substring-dedup signal from "Deduplicating
+    Training Data Makes Language Models Better" — docs with high
+    coverage are near-copies of corpus boilerplate).
+
+    Scale shape: the span explode is the standard shingle pass (one row
+    per distinct span per doc — ``array_distinct`` runs codegen-side
+    before the explode so within-doc repeats never enter the shuffle);
+    span document-frequency is one map-side-combined hash-agg keyed on
+    the span; the join back is the same equi-join t21/t22 use. No
+    quadratic stage anywhere — cost is O(total spans), the minimum for
+    exact span accounting.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda t: t != "")
+    spans = (
+        docs.select("doc_id", toks.alias("tokens"))
+        .where(F.size("tokens") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tokens") - (k - 1)),
+                        lambda i: F.array_join(F.slice(F.col("tokens"), i, k), " "),
+                    )
+                )
+            ).alias("span"),
+        )
+    )
+    dfc = spans.groupBy("span").agg(F.count("*").cast("long").alias("df"))
+    return (
+        spans.join(dfc, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6))
+        .orderBy("doc_id")
+    )

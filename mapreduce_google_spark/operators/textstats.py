@@ -668,3 +668,41 @@ def curation_funnel(
         )
         .orderBy("source")
     )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """T138 — per-document top-k TF-IDF terms (keyword extraction).
+
+    tf is the in-document term count, idf = ln(N / df) with df the
+    corpus document frequency; scoring ranks on the ROUNDED score with a
+    term-asc tiebreak so the cut is deterministic on both engines.
+
+    Scale shape: tf is one (doc, term) hash-agg off the token explode;
+    df is a second hash-agg keyed on term only (map-side combined — the
+    shuffle carries one row per distinct term per partition, never raw
+    token occurrences); the tf⋈df join is an equi-join on term, and the
+    corpus size N rides in as a broadcast single-row aggregate. The only
+    per-document work after the join is a bounded top-k window. At
+    100 TB the df table is vocabulary-sized (millions of rows, not
+    billions) so AQE picks a broadcast join for it automatically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.groupBy().agg(F.count("*").cast("double").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", F.col("rnk").cast("integer").alias("rnk"), "term", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )

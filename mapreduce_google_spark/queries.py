@@ -3700,6 +3700,70 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t138_tfidf_top_terms",
+        builder=ts_ops.tfidf_top_terms,
+        oracle="""
+            WITH """ + _TOKENS_CTE + """,
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+                GROUP BY doc_id, term
+            ),
+            dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, term,
+                       round(tf * ln(n_docs / df), 6) AS tfidf
+                FROM tf JOIN dfc USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tfidf
+            FROM (
+                SELECT doc_id, term, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term) AS rnk
+                FROM scored
+            )
+            WHERE rnk <= 3
+            ORDER BY doc_id, rnk
+        """,
+        doc="keyword extraction: per-doc top-3 TF-IDF terms; rank on the rounded score with term tiebreak so the cut is engine-independent",
+        tags=("llm", "text", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t139_duplicate_span_coverage",
+        builder=dedup_ops.duplicate_span_coverage,
+        oracle="""
+            WITH """ + _TOKENS_CTE + """,
+            spans AS (
+                SELECT DISTINCT doc_id, span FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(tokens) - 4),
+                               i -> array_to_string(tokens[i:i+5], ' ')))
+                               AS span
+                    FROM toks WHERE len(tokens) >= 6
+                )
+            ),
+            dfc AS (SELECT span, count(*) AS df FROM spans GROUP BY span)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_spans,
+                   round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS dup_frac
+            FROM spans JOIN dfc USING (span)
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        doc="exact substring-dedup signal: fraction of each doc's distinct 6-token spans that occur in >=2 docs (Lee et al. 2022 span-dedup, restated as a per-doc coverage metric)",
+        tags=("llm", "dedup", "text"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
