@@ -151,3 +151,66 @@ STRATIFIED_SAMPLE_ORACLE = """
     GROUP BY lang
     ORDER BY lang
 """
+
+
+def mixing_weights(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.5
+) -> DataFrame:
+    """T140 — temperature-scaled source-mixing weights: per (source, lang)
+    group, weight ∝ count^alpha (alpha=0.5 → sqrt-scaling, the standard
+    down-weighting of huge sources when composing a pretraining mix).
+
+    Determinism: count^0.5 is an IEEE sqrt of an integer (identical in
+    any engine); each group's sqrt is quantized to decimal(20,12) so the
+    normalizing SUM is order-independent, then one double division per
+    group. Scale shape: one map-side-combined hash-agg on (source, lang)
+    — group cardinality is tiny — and the normalizer rides back in as a
+    broadcast single-row aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grp = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    scaled = grp.withColumn(
+        "w_dec", F.sqrt(F.col("n_docs").cast("double")).cast("decimal(20,12)")
+    )
+    total = scaled.groupBy().agg(F.sum("w_dec").alias("w_total"))
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            F.round(
+                F.col("w_dec").cast("double") / F.col("w_total").cast("double"), 6
+            ).alias("weight"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def weighted_sample_topk(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """T141 — deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): score = u^(1/w) with u a uniform derived from
+    md5(doc_id) and w = n_chars; the global top-k by score IS a weighted
+    sample, reproducible across re-runs and corpus growth (a doc's score
+    never depends on other docs).
+
+    u takes the first 13 hex digits of the digest — 52 bits, exact in a
+    double — over 16^13, so both engines compute bit-identical uniforms;
+    ranking is on the ROUNDED score with doc_id tiebreak. Scale shape:
+    score is a narrow codegen projection; the global top-k is
+    TakeOrderedAndProject (per-partition heaps, no full sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**13))
+    score = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 6)
+    return (
+        docs.select("doc_id", "n_chars", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -3764,6 +3764,51 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t140_mixing_weights",
+        builder=sample_ops.mixing_weights,
+        oracle="""
+            WITH grp AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source, lang
+            ),
+            scaled AS (
+                SELECT source, lang, n_docs,
+                       CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(20,12))
+                           AS w_dec
+                FROM grp
+            ),
+            total AS (SELECT sum(w_dec) AS w_total FROM scaled)
+            SELECT source, lang, n_docs,
+                   round(CAST(w_dec AS DOUBLE) / CAST(w_total AS DOUBLE), 6)
+                       AS weight
+            FROM scaled CROSS JOIN total
+            ORDER BY source, lang
+        """,
+        doc="pretraining mix composition: per-(source,lang) weight proportional to count^0.5 (temperature down-weighting of huge sources); sqrt quantized to decimal(20,12) so the normalizer is order-independent",
+        tags=("llm", "sampling", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t141_weighted_sample",
+        builder=sample_ops.weighted_sample_topk,
+        oracle="""
+            SELECT doc_id, n_chars,
+                   round(pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                             ::BIGINT / 4503599627370496.0,
+                             1.0 / CAST(n_chars AS DOUBLE)), 6) AS score
+            FROM documents
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 100
+        """,
+        doc="Efraimidis-Spirakis weighted sampling without replacement: score=u^(1/w), u from 52 md5 bits (exact in a double), w=n_chars; global top-k is the sample",
+        tags=("llm", "sampling"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
