@@ -561,3 +561,52 @@ def event_type_runs(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
         )
         .limit(k)
     )
+
+
+def late_event_accounting(
+    spark: SparkSession, sf_dir: str, drop_after_us: int = 600_000_000
+) -> DataFrame:
+    """T143 — watermark lateness accounting over a simulated out-of-order
+    arrival: arrival order is md5(event_id) (a deterministic shuffle of
+    the timestamp-ordered table), the watermark is the per-user running
+    max event time over prior arrivals, and an event is late when its
+    event time sits behind that watermark — dropped when it is more than
+    ``drop_after_us`` behind (the allowed-lateness budget a streaming
+    job would configure).
+
+    This is the batch restatement of keyed watermarks (Flink-style,
+    matching `withWatermark` semantics per key): everything is exact
+    BIGINT microsecond arithmetic — no float anywhere — and the running
+    max is a PARTITIONED window (per user), so state is bounded per key
+    and the plan scales as one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.md5(F.col("event_id").cast("string")).alias("arr"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lateness = F.greatest(
+        F.coalesce(F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0)), F.lit(0)
+    )
+    return (
+        ev.withColumn("late_us", lateness)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.sum(F.when(F.col("late_us") > drop_after_us, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+        )
+        .orderBy("event_type")
+    )

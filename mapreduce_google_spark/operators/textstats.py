@@ -706,3 +706,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .select("doc_id", F.col("rnk").cast("integer").alias("rnk"), "term", "tfidf")
         .orderBy("doc_id", "rnk")
     )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T142 — Zipf's-law fit of the token frequency distribution: the
+    least-squares slope/intercept of ln(freq) against ln(rank) — the
+    exponent a healthy natural-language corpus keeps near -1, and a
+    fast drift detector for synthetic or template-heavy data.
+
+    Determinism: per-point ln/products are IEEE doubles quantized to
+    decimal(20,12) BEFORE the regression sums (order-independent), then
+    the closed-form slope/intercept is a fixed sequence of double ops.
+    Scale shape: the frequency table is vocabulary-sized, so the global
+    rank window runs on one vocab-sized partition after a
+    map-side-combined token count — the 100 TB cost is the token scan,
+    not the fit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
+    pts = counts.withColumn("r", F.row_number().over(w)).select(
+        dec(F.log(F.col("r").cast("double"))).alias("x"),
+        dec(F.log(F.col("freq").cast("double"))).alias("y"),
+        dec(
+            F.log(F.col("r").cast("double")) * F.log(F.col("freq").cast("double"))
+        ).alias("xy"),
+        dec(
+            F.log(F.col("r").cast("double")) * F.log(F.col("r").cast("double"))
+        ).alias("xx"),
+    )
+    s = pts.groupBy().agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -3809,6 +3809,92 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t142_zipf_fit",
+        builder=ts_ops.zipf_fit,
+        oracle="""
+            WITH counts AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS freq
+                FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '')) AS token
+                    FROM documents
+                )
+                GROUP BY token
+            ),
+            pts AS (
+                SELECT
+                    CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(20,12)) AS x,
+                    CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(20,12)) AS y,
+                    CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+                         AS DECIMAL(20,12)) AS xy,
+                    CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                         AS DECIMAL(20,12)) AS xx
+                FROM (
+                    SELECT freq,
+                           row_number() OVER (ORDER BY freq DESC, token) AS r
+                    FROM counts
+                )
+            ),
+            s AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(xy) AS DOUBLE) AS sxy,
+                       CAST(sum(xx) AS DOUBLE) AS sxx
+                FROM pts
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                         / n, 6) AS intercept
+            FROM s
+        """,
+        doc="corpus health probe: least-squares Zipf exponent of ln(freq) vs ln(rank); per-point ln/products quantized to decimal(20,12) before the regression sums",
+        tags=("llm", "text", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t143_late_event_accounting",
+        builder=event_ops.late_event_accounting,
+        oracle="""
+            WITH ev AS (
+                SELECT event_id, event_type, user_id,
+                       epoch_us(ts) AS ts_us,
+                       md5(CAST(event_id AS VARCHAR)) AS arr
+                FROM events
+            ),
+            lat AS (
+                SELECT event_type,
+                       greatest(coalesce(
+                           max(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY arr, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND 1 PRECEDING)
+                           - ts_us, 0), 0) AS late_us
+                FROM ev
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late,
+                   CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped,
+                   CAST(max(late_us) AS BIGINT) AS max_late_us
+            FROM lat
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        doc="keyed-watermark lateness accounting over a deterministic md5-shuffled arrival order: per-user running-max watermark, exact BIGINT microsecond arithmetic, allowed-lateness drop budget",
+        tags=("events", "streaming-semantics", "window"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
