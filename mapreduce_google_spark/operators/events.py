@@ -610,3 +610,54 @@ def late_event_accounting(
         )
         .orderBy("event_type")
     )
+
+
+def peak_concurrency(
+    spark: SparkSession, sf_dir: str, hold_us: int = 300_000_000
+) -> DataFrame:
+    """T144 — per-user peak concurrency by sweep-line: each event opens a
+    half-open interval [ts, ts+hold) and the answer is the maximum
+    number of simultaneously open intervals, plus the first instant the
+    peak is reached (max concurrent sessions / connections — the classic
+    interval-stabbing aggregate).
+
+    Sweep-line as dataflow: union of (+1 at open, -1 at close) deltas,
+    one PARTITIONED running sum ordered by (time, delta) — closes sort
+    before opens at the same instant, which is exactly the half-open
+    semantics. Tie groups share a sign, so the running-sum multiset is
+    permutation-independent and the max/argmax are deterministic. All
+    BIGINT microsecond arithmetic; one shuffle on user_id, state
+    bounded per key — the same plan at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    deltas = ev.select("user_id", "t", F.lit(1).alias("delta")).unionAll(
+        ev.select("user_id", (F.col("t") + hold_us).alias("t"), F.lit(-1).alias("delta"))
+    )
+    wk = Window.partitionBy("user_id")
+    wrun = wk.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    swept = deltas.select(
+        "user_id",
+        "t",
+        F.sum("delta").over(wrun).alias("open_now"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .over(wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n_events"),
+    )
+    peaked = swept.withColumn(
+        "peak",
+        F.max("open_now").over(
+            wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    return (
+        peaked.where(F.col("open_now") == F.col("peak"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("peak").cast("long").alias("peak_concurrency"),
+            F.date_format(F.timestamp_micros(F.min("t")), TS_FMT).alias("peak_at"),
+        )
+        .orderBy("user_id")
+    )

@@ -773,3 +773,155 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim_idx")
     )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    iters: int = 3,
+    tau: float = 0.4,
+) -> DataFrame:
+    """T145 (op) — SemDeDup (Abbas et al. 2023): cluster embeddings with
+    k-means, then within each cluster drop every vector that has cosine
+    ≥ tau with a LOWER-id vector of the same cluster (the deterministic
+    keep-lowest-id restatement of the paper's per-cluster pruning).
+
+    Emits one row per dropped vector: (vec_id, cell_id, keeper_id =
+    lowest such partner, cosine to it).
+
+    Scale shape — the whole point of SemDeDup: clustering first bounds
+    the quadratic stage to within-cell self-joins (cost Σ|cell|² ≪ N²,
+    and cells are capped in practice); assignment is the shared GEMM
+    kernel, the self-join is an equi-join on cell_id, and the per-pair
+    cosine is the JVM HOF kernel t24 uses. No global quadratic anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, n_cells, iters)
+    assign = _cell_scores_gemm(centroids)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        assign("embedding").getField("cell").alias("cell_id"),
+    )
+    lo = assigned.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("keep_emb"),
+        F.col("cell_id"),
+    )
+    hi = assigned.select(
+        F.col("vec_id").alias("drop_id"),
+        F.col("embedding").alias("drop_emb"),
+        F.col("cell_id"),
+    )
+    pairs = (
+        lo.join(hi, "cell_id")
+        .where(F.col("keep_id") < F.col("drop_id"))
+        .select(
+            "cell_id",
+            "drop_id",
+            "keep_id",
+            F.round(cosine_similarity("keep_emb", "drop_emb"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= tau)
+    )
+    w = Window.partitionBy("drop_id").orderBy("keep_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("drop_id").alias("vec_id"),
+            F.col("cell_id").cast("int").alias("cell_id"),
+            F.col("keep_id").alias("keeper_id"),
+            "cosine",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_invariants(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    iters: int = 3,
+    tau: float = 0.4,
+) -> DataFrame:
+    """T145 — SQL-checkable invariant summary of :func:`semantic_dedup`
+    (the k-means fit isn't SQL-portable — t83/t84 recipe):
+
+    - ``bad_cosines = 0`` — every reported cosine re-verified by an
+      independent numpy float64 kernel to 6 decimals, and ≥ tau;
+    - ``order_violations = 0`` — keeper_id < vec_id always (the
+      keep-lowest-id law);
+    - ``kept_close_pairs = 0`` — no two SURVIVING vectors of the same
+      cell sit at cosine ≥ tau (a survivor has, by definition, no
+      lower-id partner at ≥ tau, so any close survivor pair disproves
+      the drop rule — re-derived here by an independent self-join over
+      the survivor set);
+    - ``found_nonempty = 1`` — deterministic non-vacuity anchor.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    dropped = semantic_dedup(spark, sf_dir, n_cells, iters, tau).localCheckpoint()
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, n_cells, iters)
+    assign = _cell_scores_gemm(centroids)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        assign("embedding").getField("cell").alias("cell_id"),
+    )
+
+    @pandas_udf("double")
+    def np_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", ma, mb) / (na * nb))
+
+    ka = assigned.select(
+        F.col("vec_id").alias("keeper_id"), F.col("embedding").alias("ke")
+    )
+    va = assigned.select("vec_id", F.col("embedding").alias("ve"))
+    rechecked = (
+        dropped.join(ka, "keeper_id")
+        .join(va, "vec_id")
+        .select(
+            "vec_id",
+            "keeper_id",
+            "cosine",
+            F.round(np_cosine("ke", "ve"), 6).alias("np_cos"),
+        )
+    )
+    bad_cos = rechecked.where(
+        (F.abs(F.col("np_cos") - F.col("cosine")) > 1e-6)
+        | (F.col("np_cos") < tau - 1e-6)
+    ).count()
+    order_bad = dropped.where(F.col("keeper_id") >= F.col("vec_id")).count()
+    survivors = assigned.join(
+        dropped.select("vec_id"), "vec_id", "left_anti"
+    ).select("vec_id", "embedding", "cell_id")
+    s2 = survivors.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), "cell_id"
+    )
+    kept_close = (
+        survivors.join(s2, "cell_id")
+        .where(F.col("vec_id") < F.col("v2"))
+        .where(F.round(cosine_similarity("embedding", "e2"), 6) >= tau)
+        .count()
+    )
+    n_dropped = dropped.count()
+    return spark.createDataFrame(
+        [
+            (
+                int(bad_cos),
+                int(order_bad),
+                int(kept_close),
+                int(1 if n_dropped > 0 else 0),
+            )
+        ],
+        "bad_cosines long, order_violations long, kept_close_pairs long, found_nonempty long",
+    )

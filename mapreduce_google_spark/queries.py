@@ -3895,6 +3895,63 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t144_peak_concurrency",
+        builder=event_ops.peak_concurrency,
+        oracle="""
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS t FROM events
+            ),
+            deltas AS (
+                SELECT user_id, t, 1 AS delta FROM ev
+                UNION ALL
+                SELECT user_id, t + 300000000, -1 FROM ev
+            ),
+            swept AS (
+                SELECT user_id, t,
+                       sum(delta) OVER (PARTITION BY user_id
+                                        ORDER BY t, delta
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS open_now,
+                       sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id) AS n_events
+                FROM deltas
+            ),
+            peaked AS (
+                SELECT *, max(open_now) OVER (PARTITION BY user_id) AS peak
+                FROM swept
+            )
+            SELECT user_id,
+                   CAST(max(n_events) AS BIGINT) AS n_events,
+                   CAST(max(peak) AS BIGINT) AS peak_concurrency,
+                   strftime(make_timestamp(min(t)), '%Y-%m-%d %H:%M:%S')
+                       AS peak_at
+            FROM peaked
+            WHERE open_now = peak
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        doc="interval sweep-line: per-user max simultaneously-open 5-min intervals and first peak instant; closes sort before opens at equal instants (half-open semantics), exact BIGINT time arithmetic",
+        tags=("events", "window", "interval"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t145_semantic_dedup_invariants",
+        builder=sim_ops.semantic_dedup_invariants,
+        oracle="""
+            SELECT CAST(0 AS BIGINT) AS bad_cosines,
+                   CAST(0 AS BIGINT) AS order_violations,
+                   CAST(0 AS BIGINT) AS kept_close_pairs,
+                   CAST(1 AS BIGINT) AS found_nonempty
+        """,
+        doc="invariant oracle for SemDeDup (k-means cells + within-cell cosine pruning, keep-lowest-id): cosines re-verified by an independent numpy kernel, ordering law, no surviving close pair, non-vacuity anchor",
+        tags=("llm", "dedup", "similarity", "invariant"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
