@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.functions.text import tokenize
@@ -959,13 +959,14 @@ def duplicate_span_coverage(
     Training Data Makes Language Models Better" — docs with high
     coverage are near-copies of corpus boilerplate).
 
-    Scale shape: the span explode is the standard shingle pass (one row
-    per distinct span per doc — ``array_distinct`` runs codegen-side
-    before the explode so within-doc repeats never enter the shuffle);
-    span document-frequency is one map-side-combined hash-agg keyed on
-    the span; the join back is the same equi-join t21/t22 use. No
-    quadratic stage anywhere — cost is O(total spans), the minimum for
-    exact span accounting.
+    Scale shape — ONE corpus scan: the span explode is the standard
+    shingle pass (one row per distinct span per doc —
+    ``array_distinct`` runs codegen-side before the explode so
+    within-doc repeats never enter the shuffle); span document
+    frequency is a COUNT window partitioned by the span over that same
+    exploded table, so there is no df self-join re-scanning the corpus.
+    No quadratic stage anywhere — cost is O(total spans), the minimum
+    for exact span accounting.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(tokenize("text"), lambda t: t != "")
@@ -984,9 +985,9 @@ def duplicate_span_coverage(
             ).alias("span"),
         )
     )
-    dfc = spans.groupBy("span").agg(F.count("*").cast("long").alias("df"))
+    wdf = Window.partitionBy("span")
     return (
-        spans.join(dfc, "span")
+        spans.withColumn("df", F.count("*").over(wdf))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_spans"),

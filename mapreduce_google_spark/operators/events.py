@@ -632,9 +632,17 @@ def peak_concurrency(
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts")).alias("t")
     )
-    deltas = ev.select("user_id", "t", F.lit(1).alias("delta")).unionAll(
-        ev.select("user_id", (F.col("t") + hold_us).alias("t"), F.lit(-1).alias("delta"))
-    )
+    # one scan, not a union of two: each event emits its (+1, -1) delta
+    # pair from a codegen'd 2-element array explode
+    deltas = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("t").alias("t"), F.lit(1).alias("delta")),
+                F.struct((F.col("t") + hold_us).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("d"),
+    ).select("user_id", F.col("d.t").alias("t"), F.col("d.delta").alias("delta"))
     wk = Window.partitionBy("user_id")
     wrun = wk.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
     swept = deltas.select(

@@ -677,14 +677,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     corpus document frequency; scoring ranks on the ROUNDED score with a
     term-asc tiebreak so the cut is deterministic on both engines.
 
-    Scale shape: tf is one (doc, term) hash-agg off the token explode;
-    df is a second hash-agg keyed on term only (map-side combined — the
-    shuffle carries one row per distinct term per partition, never raw
-    token occurrences); the tf⋈df join is an equi-join on term, and the
+    Scale shape — ONE corpus scan: tf is one (doc, term) hash-agg off
+    the token explode, and document frequency comes from a COUNT window
+    partitioned by term over that same aggregated postings table (no
+    tf⋈df self-join, which would scan the 100 TB corpus twice); the
     corpus size N rides in as a broadcast single-row aggregate. The only
-    per-document work after the join is a bounded top-k window. At
-    100 TB the df table is vocabulary-sized (millions of rows, not
-    billions) so AQE picks a broadcast join for it automatically.
+    per-document work after that is a bounded top-k window. Both windows
+    run on the postings table (vocabulary × doc grain), never raw token
+    occurrences.
     """
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
@@ -692,11 +692,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
-    dfc = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    wdf = Window.partitionBy("term")
     n = docs.groupBy().agg(F.count("*").cast("double").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
-        tf.join(dfc, "term")
+        tf.withColumn("df", F.count("*").over(wdf))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)

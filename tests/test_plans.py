@@ -4,6 +4,8 @@ dimension tables, TakeOrderedAndProject for top-k, codegen coverage."""
 
 from __future__ import annotations
 
+import re
+
 from mapreduce_google_spark.operators.relational import (
     filter_agg_revenue,
     revenue_per_region,
@@ -432,3 +434,33 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_t138_tfidf_single_corpus_scan_no_self_join(spark, sf_dir):
+    # df comes from a window over the postings table, not a tf⋈df
+    # self-join — the corpus (the 100 TB table) is scanned once for tf
+    # plus once for the broadcast N scalar, never re-scanned per side.
+    from mapreduce_google_spark.operators.textstats import tfidf_top_terms
+
+    plan = formatted_plan(tfidf_top_terms(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+
+
+def test_t139_span_coverage_single_scan_window_df(spark, sf_dir):
+    from mapreduce_google_spark.operators.dedup import duplicate_span_coverage
+
+    plan = formatted_plan(duplicate_span_coverage(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_t144_sweepline_single_scan_partitioned_windows(spark, sf_dir):
+    # delta pairs come from a 2-element array explode (one events scan,
+    # not a union of two), and every window is partitioned by user_id —
+    # no global ordering anywhere.
+    from mapreduce_google_spark.operators.events import peak_concurrency
+
+    plan = formatted_plan(peak_concurrency(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "user_id" in plan and "Window" in plan, plan
