@@ -669,3 +669,52 @@ def peak_concurrency(
         )
         .orderBy("user_id")
     )
+
+
+def last_touch_attribution(
+    spark: SparkSession, sf_dir: str, window_us: int = 1_800_000_000
+) -> DataFrame:
+    """T149 — last-touch conversion attribution: each ``purchase`` is
+    attributed to the same user's most recent PRIOR ``click`` if it
+    happened within the attribution window (30 min); the report is
+    daily purchase counts, attachment counts, and the attach rate.
+
+    One partitioned window does all the work: a running max of
+    click-times over (user, time order, strictly-prior rows) lands the
+    last click on every event, and purchases compare it against the
+    window budget — exact BIGINT microsecond arithmetic, one shuffle on
+    user_id, no self-join of the events table against itself.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.to_date(F.col("ts")).alias("day"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts_us"))
+    ).over(w)
+    attributed = (
+        F.col("event_type") == "purchase"
+    ) & (F.col("ts_us") - F.coalesce(last_click, F.lit(-(1 << 62))) <= window_us)
+    return (
+        ev.withColumn("attr", attributed)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.when(F.col("attr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_attributed"),
+        )
+        .withColumn(
+            "attach_rate", F.round(F.col("n_attributed") / F.col("n_purchases"), 6)
+        )
+        .orderBy("day")
+    )

@@ -1815,3 +1815,78 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T147 — table-versioning diff: compare the customer snapshot
+    BEFORE and AFTER the t125 merge and emit one row per difference
+    (``added`` / ``removed`` / ``changed`` with old/new balances) — the
+    audit report a lakehouse produces between two table versions.
+
+    One full-outer join on the key classifies every row; unchanged rows
+    are filtered before the exchange result leaves the join stage. With
+    both versions bucketed by key at 100 TB the join is shuffle-free,
+    which is exactly how Delta/Iceberg snapshot diffs are computed.
+    """
+    before = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("old_bal"),
+    )
+    after = merge_upsert(spark, sf_dir).select(
+        "custkey", F.col("acctbal").alias("new_bal")
+    )
+    j = before.join(after, "custkey", "full_outer")
+    change = (
+        F.when(F.col("old_bal").isNull(), F.lit("added"))
+        .when(F.col("new_bal").isNull(), F.lit("removed"))
+        .when(F.col("old_bal").cast("double") != F.col("new_bal"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            "custkey",
+            "change",
+            F.round(F.col("old_bal").cast("double"), 6).alias("old_acctbal"),
+            F.round(F.col("new_bal"), 6).alias("new_acctbal"),
+        )
+        .orderBy("custkey", "change")
+    )
+
+
+def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T148 — robust per-brand outlier report: median, MAD (median
+    absolute deviation), and the count of parts more than 3 MADs from
+    the median — the outlier rule that, unlike mean/stddev z-scores,
+    is not dragged by the outliers themselves.
+
+    Scale shape: two window passes over the SAME brand partitioning
+    (one exchange total — the second window reuses the first's
+    shuffle): exact interpolated percentile for the median, then the
+    median of |x − median|. Both engines interpolate linearly over
+    identical doubles, and the 3·MAD comparison is the identical IEEE
+    expression on both sides.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", F.col("p_retailprice").cast("double").alias("price")
+    )
+    wb = Window.partitionBy("p_brand")
+    med = part.withColumn("med", F.expr("percentile(price, 0.5)").over(wb))
+    mad = med.withColumn(
+        "mad", F.expr("percentile(abs(price - med), 0.5)").over(wb)
+    )
+    return (
+        mad.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.max("med"), 6).alias("median_price"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.abs(F.col("price") - F.col("med")) > 3.0 * F.col("mad"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("p_brand")
+    )

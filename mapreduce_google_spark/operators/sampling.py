@@ -18,7 +18,7 @@ downstream job that wants just one split (``WHERE split = 'train'``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.io import load_table
@@ -213,4 +213,31 @@ def weighted_sample_topk(
         docs.select("doc_id", "n_chars", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def per_source_sample(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """T146 — deterministic per-group reservoir: k docs per source,
+    chosen by ranking each group on md5(doc_id) (a stable uniform
+    order). The distributed restatement of per-stratum reservoir
+    sampling — a doc's selection depends only on its own hash and its
+    group's membership, so re-runs and corpus growth shift the sample
+    minimally (one new doc displaces at most one old pick per group).
+
+    Scale shape: one narrow projection + one window partitioned by
+    source with a rank cutoff — Spark pushes the k-filter into the
+    window via WindowGroupLimit, so each partition keeps a k-row heap
+    rather than sorting the group.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("pick"))
+        .where(F.col("pick") <= k)
+        .select("source", F.col("pick").cast("integer").alias("pick"), "doc_id")
+        .orderBy("source", "pick")
     )

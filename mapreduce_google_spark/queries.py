@@ -3952,6 +3952,128 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t146_per_source_sample",
+        builder=sample_ops.per_source_sample,
+        oracle="""
+            SELECT source, CAST(pick AS INTEGER) AS pick, doc_id
+            FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS pick
+                FROM documents
+            )
+            WHERE pick <= 5
+            ORDER BY source, pick
+        """,
+        doc="deterministic per-stratum reservoir: k docs per source ranked by md5(doc_id); WindowGroupLimit keeps a k-row heap per group instead of sorting",
+        tags=("llm", "sampling", "window"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t147_snapshot_diff",
+        builder=rel_ops.snapshot_diff,
+        oracle="""
+            SELECT custkey, change, old_acctbal, new_acctbal FROM (
+                SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                       'removed' AS change,
+                       round(CAST(c_acctbal AS DOUBLE), 6) AS old_acctbal,
+                       CAST(NULL AS DOUBLE) AS new_acctbal
+                FROM customer WHERE c_custkey % 17 = 0
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), 'changed',
+                       round(CAST(c_acctbal AS DOUBLE), 6),
+                       round(CAST(c_acctbal + 100 AS DOUBLE), 6)
+                FROM customer
+                WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+                UNION ALL
+                SELECT CAST(c_custkey + 1000000 AS BIGINT), 'added',
+                       CAST(NULL AS DOUBLE), 0.0
+                FROM customer WHERE c_custkey % 23 = 0
+            )
+            ORDER BY custkey, change
+        """,
+        doc="table-versioning diff between the pre- and post-merge customer snapshots: one full-outer join classifies added/removed/changed; oracle restates the diff in closed form from the t125 changeset rules",
+        tags=("relational", "merge", "versioning"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t148_price_outliers",
+        builder=rel_ops.price_outliers,
+        oracle="""
+            WITH p AS (
+                SELECT p_brand, CAST(p_retailprice AS DOUBLE) AS price
+                FROM part
+            ),
+            m AS (
+                SELECT p_brand, price,
+                       quantile_cont(price, 0.5)
+                           OVER (PARTITION BY p_brand) AS med
+                FROM p
+            ),
+            d AS (
+                SELECT p_brand, price, med,
+                       quantile_cont(abs(price - med), 0.5)
+                           OVER (PARTITION BY p_brand) AS mad
+                FROM m
+            )
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                   round(max(med), 6) AS median_price,
+                   round(max(mad), 6) AS mad,
+                   CAST(sum(CASE WHEN abs(price - med) > 3.0 * mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM d GROUP BY p_brand ORDER BY p_brand
+        """,
+        doc="robust outlier detection: per-brand median, MAD, and 3-MAD exceedance count; two windows share one brand exchange, linear-interpolated percentiles identical across engines",
+        tags=("relational", "statistics", "window"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t149_last_touch_attribution",
+        builder=event_ops.last_touch_attribution,
+        oracle="""
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_id
+                FROM events
+            ),
+            lc AS (
+                SELECT *,
+                       max(CASE WHEN event_type = 'click' THEN ts_us END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS last_click
+                FROM ev
+            )
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CASE WHEN ts_us - coalesce(last_click,
+                                     -4611686018427387904) <= 1800000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_attributed,
+                   round(sum(CASE WHEN ts_us - coalesce(last_click,
+                                     -4611686018427387904) <= 1800000000
+                                 THEN 1 ELSE 0 END) / count(*), 6)
+                       AS attach_rate
+            FROM lc
+            WHERE event_type = 'purchase'
+            GROUP BY day ORDER BY day
+        """,
+        doc="last-touch attribution: purchases attach to the user's most recent strictly-prior click within 30 min via one running-max window — no events self-join; daily attach-rate report",
+        tags=("events", "window", "attribution"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
