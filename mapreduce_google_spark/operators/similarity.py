@@ -925,3 +925,57 @@ def semantic_dedup_invariants(
         ],
         "bad_cosines long, order_violations long, kept_close_pairs long, found_nonempty long",
     )
+
+
+def source_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T151 — cross-table embedding QA: per SOURCE centroid of the
+    document embeddings (documents ⋈ embeddings on doc_id = vec_id) and
+    each doc's cosine to its own source centroid, reported as per-source
+    mean/min — the "is this source internally coherent, and which docs
+    are off-topic for it" screen run before mixing sources into a
+    training corpus.
+
+    Scale shape: the join is keyed on the id (bucketed/colocated at
+    100 TB); centroids shrink to (source × dim) via one
+    map-side-combined hash-agg of decimal-quantized partials, reassemble
+    vocabulary-small, and ride back in as a BROADCAST — the per-doc
+    cosine is then a narrow JVM fold, no second shuffle of the
+    embedding table. Determinism: centroid means are exact-decimal sums
+    with one IEEE division; per-doc cosines round to 6 before the
+    decimal-quantized mean/min.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", "vec_id", "embedding"
+    )
+    exploded = j.select("source", F.posexplode("embedding").alias("dim", "x"))
+    cent = exploded.groupBy("source", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(20,12)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    carr = cent.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+        ).alias("cvec")
+    )
+    cos = j.join(F.broadcast(carr), "source").select(
+        "source",
+        "vec_id",
+        F.round(cosine_similarity("embedding", "cvec"), 6).alias("c"),
+    )
+    return (
+        cos.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(20,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_cos"),
+            F.round(F.min("c"), 6).alias("min_cos"),
+        )
+        .orderBy("source")
+    )

@@ -757,3 +757,82 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+def heldout_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T150 — decontaminated LM quality filter: an add-one bigram LM is
+    trained ONLY on the train split (md5 bucket < 80, t51's assignment)
+    and scores the VAL split (bucket 80–89) by mean negative
+    log-likelihood per document, reported per source — the CCNet-style
+    perplexity filter, with the train/test separation a real pipeline
+    needs so the filter never scores its own training text.
+
+    NLL(w1,w2) = ln(c1+V) − ln(c12+1) over train counts (unseen
+    contexts fall back to c=0 — the add-one floor). Each per-bigram NLL
+    is one fixed ln-difference of exact longs, quantized to
+    decimal(20,12); the per-doc mean and per-source macro-mean are each
+    a single IEEE division of deterministic operands. Plan shape: two
+    train-side hash-aggs, val bigrams LEFT-joined to them on the
+    bigram/unigram key (map-side combine before every exchange), V
+    broadcast as one row — the exact distributed LM-count build of t67
+    plus split separation.
+    """
+    from mapreduce_google_spark.operators.sampling import hash_bucket100
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket", hash_bucket100("doc_id")
+    )
+    toks = lambda d: d.select(  # noqa: E731
+        "doc_id",
+        "source",
+        F.filter(tokenize("text"), lambda t: t != "").alias("toks"),
+    )
+    sz = F.size("toks")
+    pairs = F.arrays_zip(
+        F.slice("toks", 1, sz - 1).alias("w1"),
+        F.slice("toks", 2, sz - 1).alias("w2"),
+    )
+    bigrams = lambda d: (  # noqa: E731
+        toks(d)
+        .where(sz >= 2)
+        .select("doc_id", "source", F.explode(pairs).alias("bg"))
+        .select(
+            "doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+    )
+    train = docs.where(F.col("bucket") < 80)
+    val = docs.where((F.col("bucket") >= 80) & (F.col("bucket") < 90))
+    tb = bigrams(train)
+    c12 = tb.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = tb.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        train.select(F.explode(tokenize("text")).alias("t"))
+        .where(F.col("t") != "")
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    nll = F.log((F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")) - F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+    )
+    per_doc = (
+        bigrams(val)
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "source", nll.cast("decimal(20,12)").alias("nll"))
+        .groupBy("doc_id", "source")
+        .agg(
+            (F.sum("nll").cast("double") / F.count("*"))
+            .cast("decimal(20,12)")
+            .alias("doc_nll")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_val_docs"),
+            F.round(F.sum("doc_nll").cast("double") / F.count("*"), 6).alias(
+                "mean_nll"
+            ),
+        )
+        .orderBy("source")
+    )
