@@ -718,3 +718,46 @@ def last_touch_attribution(
         )
         .orderBy("day")
     )
+
+
+def hourly_anomalies(
+    spark: SparkSession, sf_dir: str, z_threshold: float = 2.0
+) -> DataFrame:
+    """T154 — volume anomaly detection: hourly event counts per type,
+    flagged where the count sits more than ``z_threshold`` population
+    standard deviations from that type's own hourly mean — the
+    monitoring query behind every "traffic spike / outage" alert.
+
+    Two stacked aggregations, both map-side combinable: events →
+    (type, hour) counts, then per-type exact moments over the counts
+    (integer Σc and Σc² are exact in decimal, so mean/std are
+    deterministic; z is one fixed IEEE expression). The per-type moment
+    table is tiny and joins back as a broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT).alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_hours"),
+        F.sum(F.col("n_events").cast("decimal(20,0)")).cast("double").alias("sc"),
+        F.sum((F.col("n_events") * F.col("n_events")).cast("decimal(20,0)"))
+        .cast("double")
+        .alias("scc"),
+    )
+    mean = F.col("sc") / F.col("n_hours")
+    std = F.sqrt(F.col("scc") / F.col("n_hours") - mean * mean)
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .withColumn("z", (F.col("n_events") - mean) / std)
+        .where(F.abs(F.col("z")) > z_threshold)
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round(mean, 6).alias("mean_hourly"),
+            F.round("z", 6).alias("z_score"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -622,3 +622,82 @@ def join_skew_profile(
         part = basic.unionAll(pct_rows).unionAll(hitters)
         out = part if out is None else out.unionAll(part)
     return out.orderBy("key_col", "stat")
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T152 — data-profiling report over lineitem's numeric measures:
+    per column, row/null/distinct counts and min/max — the first query
+    a data engineer runs against an unfamiliar 100 TB table, and the
+    statistics a query optimizer's ANALYZE collects.
+
+    ONE scan: the four measures unpivot to (column, value) long form
+    inside codegen (t118's reshape), then a single map-side-combined
+    hash-agg per column computes every statistic. No per-column scan
+    loop — profile cost is independent of how many columns you profile.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.value")
+    return (
+        long.groupBy("column")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - F.count("value")).cast("long").alias("n_nulls"),
+            F.countDistinct("value").cast("long").alias("n_distinct"),
+            F.round(F.min("value"), 6).alias("min_val"),
+            F.round(F.max("value"), 6).alias("max_val"),
+        )
+        .orderBy("column")
+    )
+
+
+def numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T153 — exact Pearson correlation matrix of lineitem's measures,
+    computed from ONE pass of exact-decimal moment sums (the 2-decimal
+    inputs make every Σx, Σx², Σxy exact in decimal — ``corr()``'s
+    running double accumulation would be partitioning-dependent), with
+    the closed-form correlation evaluated once per pair in a fixed IEEE
+    order. One scan, one single-row aggregate, six output rows — the
+    same shape at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    d = {c: F.col(c).cast("decimal(12,2)") for c in cols}
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"sp_{a}_{b}"))
+    m = li.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        corr = (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / F.sqrt(
+            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(corr, 6).alias("pearson_r"),
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col_a", "r.col_b", "r.pearson_r")
+        .orderBy("col_a", "col_b")
+    )

@@ -4182,6 +4182,131 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t152_column_profile",
+        builder=scale_ops.column_profile,
+        oracle="""
+            WITH long AS (
+                SELECT 'l_quantity' AS "column",
+                       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+            )
+            SELECT "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(value) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+                   round(min(value), 6) AS min_val,
+                   round(max(value), 6) AS max_val
+            FROM long GROUP BY "column" ORDER BY "column"
+        """,
+        doc="ANALYZE-style numeric profile: one unpivoted scan feeds a single hash-agg computing rows/nulls/distincts/min/max for every measure column at once",
+        tags=("scale", "diagnostics", "reshape"),
+    )
+)
+
+_CORR_SUMS = """
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_q,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ss_q,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_e,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss_e,
+                       CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s_d,
+                       CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                                * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS ss_d,
+                       CAST(sum(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS s_t,
+                       CAST(sum(CAST(l_tax AS DECIMAL(12,2))
+                                * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS ss_t,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp_q_e,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                                * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sp_q_d,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                                * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sp_q_t,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sp_e_d,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sp_e_t,
+                       CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                                * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sp_d_t
+                FROM lineitem
+"""
+
+_CORR_ROW = (
+    "SELECT '{ca}' AS col_a, '{cb}' AS col_b, "
+    "round((n * {sp} - {sa} * {sb}) / "
+    "sqrt((n * {ssa} - {sa} * {sa}) * (n * {ssb} - {sb} * {sb})), 6) "
+    "AS pearson_r FROM m"
+)
+
+register(
+    QuerySpec(
+        name="t153_numeric_correlations",
+        builder=scale_ops.numeric_correlations,
+        oracle="WITH m AS (" + _CORR_SUMS + ") SELECT col_a, col_b, pearson_r FROM ("
+        + " UNION ALL ".join(
+            _CORR_ROW.format(ca=ca, cb=cb, sp=sp, sa=sa, sb=sb, ssa=ssa, ssb=ssb)
+            for ca, cb, sp, sa, sb, ssa, ssb in [
+                ("l_quantity", "l_extendedprice", "sp_q_e", "s_q", "s_e", "ss_q", "ss_e"),
+                ("l_quantity", "l_discount", "sp_q_d", "s_q", "s_d", "ss_q", "ss_d"),
+                ("l_quantity", "l_tax", "sp_q_t", "s_q", "s_t", "ss_q", "ss_t"),
+                ("l_extendedprice", "l_discount", "sp_e_d", "s_e", "s_d", "ss_e", "ss_d"),
+                ("l_extendedprice", "l_tax", "sp_e_t", "s_e", "s_t", "ss_e", "ss_t"),
+                ("l_discount", "l_tax", "sp_d_t", "s_d", "s_t", "ss_d", "ss_t"),
+            ]
+        )
+        + ") ORDER BY col_a, col_b",
+        doc="exact Pearson correlation matrix from one pass of exact-decimal moment sums (corr()'s double accumulation would be partitioning-dependent); closed form evaluated in a fixed IEEE order",
+        tags=("scale", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t154_hourly_anomalies",
+        builder=event_ops.hourly_anomalies,
+        oracle="""
+            WITH hourly AS (
+                SELECT event_type,
+                       strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS hour,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n_hours,
+                       CAST(sum(CAST(n_events AS DECIMAL(20,0))) AS DOUBLE)
+                           AS sc,
+                       CAST(sum(CAST(n_events * n_events AS DECIMAL(20,0)))
+                            AS DOUBLE) AS scc
+                FROM hourly GROUP BY 1
+            )
+            SELECT event_type, hour, n_events,
+                   round(sc / n_hours, 6) AS mean_hourly,
+                   round((n_events - sc / n_hours)
+                         / sqrt(scc / n_hours
+                                - (sc / n_hours) * (sc / n_hours)), 6)
+                       AS z_score
+            FROM hourly JOIN m USING (event_type)
+            WHERE abs((n_events - sc / n_hours)
+                      / sqrt(scc / n_hours
+                             - (sc / n_hours) * (sc / n_hours))) > 2.0
+            ORDER BY event_type, hour
+        """,
+        doc="volume anomaly alerting: hourly counts per type flagged beyond 2 population std-devs of the type's own hourly mean; exact integer moments, broadcast moment join",
+        tags=("events", "statistics", "monitoring"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
