@@ -761,3 +761,35 @@ def hourly_anomalies(
         )
         .orderBy("event_type", "hour")
     )
+
+
+def native_session_windows(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """T155 — Spark's NATIVE ``session_window`` aggregation (the operator
+    Structured Streaming uses for session state), batch mode: per
+    (user, session) event counts with the session's start and end.
+
+    Complements t16 (the gaps-and-islands formulation): here the engine
+    operator itself produces the windows and the SQL oracle re-derives
+    them from first principles — a session ends when no event follows
+    within the gap, the window end is last_event + gap, and an event
+    landing EXACTLY at the previous end starts a new session (Spark's
+    half-open [start, last+gap) semantics, mirrored by a ``>= gap``
+    boundary in the oracle). One shuffle on user_id; session state is
+    bounded per key, which is what makes the same operator viable under
+    a streaming watermark.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win = F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+    return (
+        ev.groupBy("user_id", win.alias("w"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

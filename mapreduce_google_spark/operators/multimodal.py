@@ -413,3 +413,66 @@ def wav_frame_stats(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataF
         )
         .orderBy("doc_id")
     )
+
+
+def image_resize_checksum(
+    spark: SparkSession, sf_dir: str, width: int = 4, height: int = 3
+) -> DataFrame:
+    """T156 — the full native image pipeline with an oracle: synthesize
+    (encode), decode pixels, nearest-neighbor resize, and emit per-doc
+    pixel checksums — every stage the stdlib kernels implement, chained
+    in ONE Arrow batch pass (encode→decode→resize never leaves the
+    executor, matching how a real 100 TB media pipeline chains decode +
+    transform in one ``mapInPandas`` to avoid re-shuffling blobs).
+
+    The oracle restates the resized pixels in closed form: source pixel
+    (y·h//H, x·w//W) of the doc_id-seeded gradient, so any drift in the
+    PNG/PPM encoders, the unfilter/decode path, or the resize index
+    arithmetic breaks the hash. Uses the codec kernels directly (no
+    PIL branch) so the mapping is engine-independent.
+    """
+    from mapreduce_google_spark.operators import codecs
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = synthetic_image_blobs(docs)
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("pixel_sum", LongType()),
+            StructField("n_pixels", LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = codecs.decode_pixels(bytes(blob))
+                r = codecs.resize_nearest(arr, width, height)
+                ch = 1 if r.ndim == 2 else int(r.shape[2])
+                rows.append(
+                    (
+                        int(doc_id),
+                        width,
+                        height,
+                        ch,
+                        int(r.astype("int64").sum()),
+                        int(r.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "pixel_sum",
+                    "n_pixels",
+                ],
+            )
+
+    return blobs.mapInPandas(stats, out_schema).orderBy("doc_id")

@@ -4307,6 +4307,74 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t155_native_session_windows",
+        builder=event_ops.native_session_windows,
+        oracle="""
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+            ),
+            marked AS (
+                SELECT user_id, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w >= 1800000000
+                            THEN 1 ELSE 0 END AS is_start
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts_us,
+                       sum(is_start) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   strftime(make_timestamp(min(ts_us)),
+                            '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(make_timestamp(max(ts_us) + 1800000000),
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        doc="Spark's native session_window operator vs a first-principles islands oracle: window end = last event + gap, half-open boundary (an event exactly at the previous end opens a new session)",
+        tags=("events", "window", "streaming-semantics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t156_image_resize_checksum",
+        builder=mm_ops.image_resize_checksum,
+        oracle="""
+            SELECT doc_id,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(3 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END
+                        AS INTEGER) AS channels,
+                   CAST(sum(
+                       (((((y * (3 + doc_id % 7)) // 3) * (4 + doc_id % 13)
+                          + ((x * (4 + doc_id % 13)) // 4))
+                         * (CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END)
+                         + c) * 31 + doc_id * 7) % 256
+                   ) AS BIGINT) AS pixel_sum,
+                   CAST(count(*) AS BIGINT) AS n_pixels
+            FROM documents,
+                 UNNEST(range(3)) AS ty(y),
+                 UNNEST(range(4)) AS tx(x),
+                 UNNEST(range(CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END))
+                     AS tc(c)
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        doc="native media pipeline end-to-end: encode (PNG/PPM) -> pixel decode -> nearest-neighbor resize -> checksum in one Arrow pass; oracle restates every resized pixel in closed form from doc_id",
+        tags=("multimodal", "codec"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
