@@ -4375,6 +4375,16 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t157_stream_hourly_anomalies",
+        builder=stream_jobs.stream_hourly_anomalies,
+        oracle=REGISTRY["t154_hourly_anomalies"].oracle,
+        doc="streaming twin of t154: micro-batched events merge into a per-(type,hour) count store via foreachBatch (sums are replay-safe), z-scores derived from merged state at drain — must hash-equal the batch anomaly report",
+        tags=("streaming", "events", "statistics", "monitoring"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the

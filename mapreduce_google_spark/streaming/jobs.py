@@ -390,3 +390,87 @@ def stream_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFram
         agg, f"t109_enrich_{tag}", output_mode="complete"
     )
     return sink.orderBy("segment", "event_type")
+
+
+def stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T157 — streaming volume monitor: events arrive in micro-batches, a
+    ``foreachBatch`` merge maintains a parquet store of per-(type, hour)
+    COUNTS (associative+commutative, so replay-safe to merge), and the
+    anomaly report — hours beyond 2 population std-devs of their type's
+    hourly mean — is computed FROM THE STORE when the stream drains.
+    Must equal batch t154 exactly.
+
+    The production monitoring shape: the mergeable-state trick that made
+    t72's dedup store work applies to moments too — counts merge by sum,
+    and mean/std/z derive from merged counts at read time, so the
+    z-scores are always consistent with everything ingested so far (a
+    running z computed per-batch would depend on arrival order). Store
+    size is (types × hours), independent of event volume.
+    """
+    import os
+    import shutil
+
+    from mapreduce_google_spark.operators.events import TS_FMT
+
+    tag, staged = _staged_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    store = f"/tmp/mgs_anom_store_{tag}"
+    ckpt = f"{store}_ckpt"
+    for d in (store, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT).alias("hour"),
+        ).agg(F.count("*").cast("long").alias("n_events"))
+        if os.path.exists(store):
+            prev = batch_df.sparkSession.read.parquet(store)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("event_type", "hour")
+                .agg(F.sum("n_events").cast("long").alias("n_events"))
+            )
+        else:
+            merged = delta
+        tmp = store + "_tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(store):
+            shutil.rmtree(store)
+        os.rename(tmp, store)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    hourly = spark.read.parquet(store)
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_hours"),
+        F.sum(F.col("n_events").cast("decimal(20,0)")).cast("double").alias("sc"),
+        F.sum((F.col("n_events") * F.col("n_events")).cast("decimal(20,0)"))
+        .cast("double")
+        .alias("scc"),
+    )
+    mean = F.col("sc") / F.col("n_hours")
+    std = F.sqrt(F.col("scc") / F.col("n_hours") - mean * mean)
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .withColumn("z", (F.col("n_events") - mean) / std)
+        .where(F.abs(F.col("z")) > 2.0)
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round(mean, 6).alias("mean_hourly"),
+            F.round("z", 6).alias("z_score"),
+        )
+        .orderBy("event_type", "hour")
+    )

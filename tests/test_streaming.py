@@ -306,3 +306,12 @@ def test_stateful_debounce_matches_batch(spark, sf_dir):
         for r in event_debounce_stats(spark, sf_dir).collect()
     }
     assert got_map == want
+
+
+def test_stream_hourly_anomalies_matches_batch(spark, sf_dir):
+    from mapreduce_google_spark.operators.events import hourly_anomalies
+    from mapreduce_google_spark.streaming.jobs import stream_hourly_anomalies
+
+    batch = {tuple(r) for r in hourly_anomalies(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in stream_hourly_anomalies(spark, sf_dir).collect()}
+    assert stream == batch and len(stream) > 0
