@@ -979,3 +979,48 @@ def source_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def cluster_source_chi2(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame:
+    """T158 — are embedding clusters independent of document source? The
+    chi-square statistic over the (IVF cell × source) contingency table
+    — the screen for "does my vector space just memorize the source
+    field", run before trusting cluster-balanced sampling.
+
+    Uses the deterministic IVF seed assignment (:func:`ivf_assignments`:
+    centroids are the ``n_cells`` lowest vec_ids, assignment is rounded
+    argmax cosine), which the SQL oracle re-derives exactly. The
+    contingency table is one hash-agg; row/column totals are windows
+    over it (tiny — cells × sources); EVERY grid combo contributes its
+    (o−e)²/e term including empty ones (o=0 ⇒ term=e), each quantized
+    to decimal(20,12) so the sum is order-independent.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    _, assigned = ivf_assignments(emb, n_cells)
+    j = assigned.join(docs, assigned.vec_id == docs.doc_id)
+    cont = j.groupBy("cell_id", "source").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    rows = cont.groupBy("cell_id").agg(F.sum("o").alias("rt"))
+    cols = cont.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = cont.groupBy().agg(F.sum("o").alias("n"))
+    grid = (
+        rows.crossJoin(cols)
+        .crossJoin(F.broadcast(tot))
+        .join(cont, ["cell_id", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0.0)))
+        .withColumn("e", (F.col("rt") * F.col("ct")) / F.col("n"))
+    )
+    term = ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))) / F.col("e")
+    return grid.agg(
+        F.countDistinct("cell_id").cast("long").alias("n_cells"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.max("n").cast("long").alias("n_docs"),
+        F.round(F.sum(term.cast("decimal(20,12)")).cast("double"), 6).alias("chi2"),
+        (
+            (F.countDistinct("cell_id") - 1) * (F.countDistinct("source") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+    )

@@ -4385,6 +4385,61 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t158_cluster_source_chi2",
+        builder=sim_ops.cluster_source_chi2,
+        oracle=f"""
+            WITH cents AS (
+                SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cvec
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            scored AS (
+                SELECT e.vec_id, c.cell_id,
+                       {_COS.format(a="e.embedding::DOUBLE[]", b="c.cvec")}
+                           AS cell_cos
+                FROM embeddings e CROSS JOIN cents c
+            ),
+            assigned AS (
+                SELECT vec_id, cell_id FROM (
+                    SELECT vec_id, cell_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cell_cos DESC,
+                                                       cell_id ASC) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ),
+            cont AS (
+                SELECT a.cell_id, d.source,
+                       CAST(count(*) AS DOUBLE) AS o
+                FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+                GROUP BY a.cell_id, d.source
+            ),
+            rows_t AS (SELECT cell_id, sum(o) AS rt FROM cont GROUP BY cell_id),
+            cols_t AS (SELECT source, sum(o) AS ct FROM cont GROUP BY source),
+            tot AS (SELECT sum(o) AS n FROM cont),
+            grid AS (
+                SELECT r.cell_id, c.source, rt, ct, n,
+                       coalesce(o, 0.0) AS o,
+                       (rt * ct) / n AS e
+                FROM rows_t r CROSS JOIN cols_t c CROSS JOIN tot
+                LEFT JOIN cont USING (cell_id, source)
+            )
+            SELECT CAST(count(DISTINCT cell_id) AS BIGINT) AS n_cells,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(max(n) AS BIGINT) AS n_docs,
+                   round(CAST(sum(CAST(((o - e) * (o - e)) / e
+                                       AS DECIMAL(20,12))) AS DOUBLE), 6)
+                       AS chi2,
+                   CAST((count(DISTINCT cell_id) - 1)
+                        * (count(DISTINCT source) - 1) AS BIGINT) AS dof
+            FROM grid
+        """,
+        doc="cluster-vs-source independence: chi-square over the IVF-cell x source contingency grid (empty combos included), IVF seed assignment re-derived by the oracle, terms quantized before the sum",
+        tags=("llm", "similarity", "statistics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
