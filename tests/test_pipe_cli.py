@@ -176,3 +176,13 @@ def test_cli_sql(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "AFRICA" in res.stdout
+
+
+def test_profile_run(spark, sf_dir):
+    from mapreduce_google_spark.cli import _run_profile
+
+    recs = _run_profile(spark, input=f"{sf_dir}/nation.parquet")
+    by_col = {r["column"]: r for r in recs}
+    assert by_col["n_nationkey"]["n_distinct"] == by_col["n_nationkey"]["n_rows"]
+    assert by_col["n_regionkey"]["n_distinct"] == 5
+    assert all(r["n_nulls"] == 0 for r in recs)
