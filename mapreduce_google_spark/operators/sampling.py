@@ -241,3 +241,87 @@ def per_source_sample(
         .select("source", F.col("pick").cast("integer").alias("pick"), "doc_id")
         .orderBy("source", "pick")
     )
+
+
+def contrastive_pairs(
+    spark: SparkSession, sf_dir: str, n_negatives: int = 3, stride: int = 97
+) -> DataFrame:
+    """T159 — deterministic negative sampling for contrastive training:
+    each anchor doc gets ``n_negatives`` negatives drawn from a fixed
+    md5 ring — docs ranked by md5(doc_id), negative j = the doc at rank
+    (r + j·stride) mod N. Reproducible, coordination-free, and uniform
+    over the corpus (the hash ring is a random permutation), with a
+    cross-source flag so a hard/easy negative split falls out for free.
+
+    Scale note: the ranking runs over doc METADATA (id, source — bytes
+    per doc), not document bodies; like a shard planner it is a
+    metadata-sized global window, and the join back to negatives is an
+    equi-join on rank.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ranked = docs.select(
+        "doc_id", "source", (F.row_number().over(w) - 1).alias("r")
+    )
+    n = ranked.groupBy().agg(F.count("*").alias("n"))
+    anchors = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "r",
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_negatives))
+            ).alias("j"),
+        )
+        .withColumn("neg_r", (F.col("r") + F.col("j") * stride) % F.col("n"))
+    )
+    negs = ranked.select(
+        F.col("r").alias("neg_r"),
+        F.col("doc_id").alias("negative_id"),
+        F.col("source").alias("neg_source"),
+    )
+    return (
+        anchors.join(negs, "neg_r")
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("j").cast("integer").alias("j"),
+            "negative_id",
+            (F.col("source") != F.col("neg_source")).alias("cross_source"),
+        )
+        .orderBy("anchor_id", "j")
+    )
+
+
+def shard_planner(
+    spark: SparkSession, sf_dir: str, target_chars: int = 30_000
+) -> DataFrame:
+    """T160 — equal-byte output sharding: assign docs (in doc_id order)
+    to shards of ~``target_chars`` by prefix sum — shard = floor of the
+    BEFORE-this-doc cumulative size over the target, the first-fit rule
+    every corpus exporter uses to produce balanced training shards.
+
+    Runs on doc metadata (id, size), so the global prefix-sum window is
+    metadata-sized — the plan a real exporter computes before moving a
+    single corpus byte; the assignment then broadcasts/pushes down into
+    the body-moving write job. Exact integer arithmetic throughout.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    planned = docs.withColumn(
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / F.lit(target_chars)
+        ).cast("long"),
+    )
+    return (
+        planned.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

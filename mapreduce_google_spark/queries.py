@@ -4440,6 +4440,62 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t159_contrastive_pairs",
+        builder=sample_ops.contrastive_pairs,
+        oracle="""
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) - 1 AS r
+                FROM documents
+            ),
+            n AS (SELECT count(*) AS n FROM ranked),
+            anchors AS (
+                SELECT doc_id, source, (r + j * 97) % n AS neg_r, j
+                FROM ranked CROSS JOIN n,
+                     UNNEST(range(1, 4)) AS tj(j)
+            )
+            SELECT a.doc_id AS anchor_id,
+                   CAST(a.j AS INTEGER) AS j,
+                   b.doc_id AS negative_id,
+                   a.source <> b.source AS cross_source
+            FROM anchors a JOIN ranked b ON b.r = a.neg_r
+            ORDER BY anchor_id, j
+        """,
+        doc="deterministic negative sampling on an md5 ring: 3 negatives per anchor at fixed strides, cross-source flag for hard/easy splits; metadata-sized ranking, equi-join on rank",
+        tags=("llm", "sampling", "training-prep"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t160_shard_planner",
+        builder=sample_ops.shard_planner,
+        oracle="""
+            WITH planned AS (
+                SELECT doc_id, n_chars,
+                       CAST(floor(coalesce(sum(n_chars) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) / 30000)
+                            AS BIGINT) AS shard
+                FROM documents
+            )
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc,
+                   CAST(max(doc_id) AS BIGINT) AS last_doc
+            FROM planned GROUP BY shard ORDER BY shard
+        """,
+        doc="equal-byte corpus sharding plan: first-fit prefix-sum assignment over doc metadata (exact integer arithmetic); the plan the exporter pushes into its body-moving write",
+        tags=("llm", "sampling", "io"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
