@@ -774,9 +774,11 @@ def native_session_windows(
     operator itself produces the windows and the SQL oracle re-derives
     them from first principles — a session ends when no event follows
     within the gap, the window end is last_event + gap, and an event
-    landing EXACTLY at the previous end starts a new session (Spark's
-    half-open [start, last+gap) semantics, mirrored by a ``>= gap``
-    boundary in the oracle). One shuffle on user_id; session state is
+    landing EXACTLY at the previous end EXTENDS the session (Spark's
+    end bound is inclusive — empirically pinned by the boundary fuzzer
+    in ``tests/test_property_fuzz.py``, which constructs events on a
+    grid that hits the gap exactly; the oracle's island rule is
+    therefore ``diff > gap``). One shuffle on user_id; session state is
     bounded per key, which is what makes the same operator viable under
     a streaming watermark.
     """

@@ -4318,7 +4318,7 @@ register(
             marked AS (
                 SELECT user_id, ts_us,
                        CASE WHEN lag(ts_us) OVER w IS NULL
-                              OR ts_us - lag(ts_us) OVER w >= 1800000000
+                              OR ts_us - lag(ts_us) OVER w > 1800000000
                             THEN 1 ELSE 0 END AS is_start
                 FROM ev
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -4340,7 +4340,7 @@ register(
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start
         """,
-        doc="Spark's native session_window operator vs a first-principles islands oracle: window end = last event + gap, half-open boundary (an event exactly at the previous end opens a new session)",
+        doc="Spark's native session_window operator vs a first-principles islands oracle: window end = last event + gap, INCLUSIVE boundary (an event exactly at the previous end extends the session; pinned by the boundary fuzzer)",
         tags=("events", "window", "streaming-semantics"),
     )
 )

@@ -195,3 +195,81 @@ def test_window_fuzz_spark_matches_duckdb(spark, duck, part_col, fn, pred):
     want = duck.execute(q.format(t="lineitem")).fetchone()
     assert got["c"] == want[1], q
     assert (got["chk"] or 0) == (want[0] or 0), q
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    offsets=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_session_window_boundary_fuzz(spark, duck, offsets):
+    """Random event sets on a 15-minute grid — so consecutive gaps hit
+    EXACTLY the 30-minute session gap — must sessionize identically
+    between Spark's native session_window and the first-principles
+    islands rule (new session only when diff > gap, end = last + gap:
+    an event landing exactly at the previous end EXTENDS the session —
+    Spark's end bound is inclusive, verified by this very fuzzer).
+    This pins the boundary semantics t155 relies on, which the
+    µs-random events table can never exercise."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (int(u), base + pd.Timedelta(minutes=15 * k))
+        for u, k in sorted(set(offsets))
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        (
+            r["user_id"],
+            str(r["w"]["start"]),
+            str(r["w"]["end"]),
+            r["n"],
+        )
+        for r in sdf.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    duck.register("fuzz_sessions", pdf)
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_start
+                FROM fuzz_sessions
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   CAST(min(ts) AS VARCHAR) AS session_start,
+                   CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM sess GROUP BY user_id, sid
+            """
+        ).fetchall()
+    )
+    duck.unregister("fuzz_sessions")
+    assert got == want
