@@ -632,6 +632,13 @@ def peak_concurrency(
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts")).alias("t")
     )
+    return sweepline_peaks(ev, hold_us)
+
+
+def sweepline_peaks(ev: DataFrame, hold_us: int) -> DataFrame:
+    """Sweep-line core of :func:`peak_concurrency` over a (user_id, t)
+    frame — factored out so the boundary fuzzer can feed grid-aligned
+    inputs whose closes coincide exactly with opens."""
     # one scan, not a union of two: each event emits its (+1, -1) delta
     # pair from a codegen'd 2-element array explode
     deltas = ev.select(

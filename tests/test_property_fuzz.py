@@ -273,3 +273,63 @@ def test_session_window_boundary_fuzz(spark, duck, offsets):
     )
     duck.unregister("fuzz_sessions")
     assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_sweepline_boundary_fuzz(spark, duck, events):
+    """Random events on a unit grid with hold=3 units, so interval
+    closes coincide EXACTLY with other opens — must agree with DuckDB's
+    sweep computed by the same (time, delta) ordering. Pins the
+    close-before-open tie rule (half-open intervals) of t144, which
+    µs-random timestamps never exercise; duplicate timestamps per user
+    are allowed and exercise same-sign tie groups."""
+    import pandas as pd
+
+    from mapreduce_google_spark.operators.events import sweepline_peaks
+
+    pdf = pd.DataFrame(
+        [(int(u), int(k)) for u, k in events], columns=["user_id", "t"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        (r["user_id"], r["n_events"], r["peak_concurrency"])
+        for r in sweepline_peaks(sdf, hold_us=3).collect()
+    )
+    duck.register("fuzz_sweep", pdf)
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH deltas AS (
+                SELECT user_id, t, 1 AS delta FROM fuzz_sweep
+                UNION ALL
+                SELECT user_id, t + 3, -1 FROM fuzz_sweep
+            ),
+            swept AS (
+                SELECT user_id,
+                       sum(delta) OVER (PARTITION BY user_id
+                                        ORDER BY t, delta
+                                        ROWS UNBOUNDED PRECEDING) AS open_now
+                FROM deltas
+            )
+            SELECT user_id,
+                   CAST(count(*) / 2 AS BIGINT) AS n_events,
+                   CAST(max(open_now) AS BIGINT) AS peak
+            FROM swept GROUP BY user_id
+            """
+        ).fetchall()
+    )
+    duck.unregister("fuzz_sweep")
+    assert got == want
