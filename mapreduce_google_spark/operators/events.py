@@ -802,3 +802,67 @@ def native_session_windows(
         )
         .orderBy("user_id", "session_start")
     )
+
+
+def event_type_pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = 20, damping: float = 0.85
+) -> DataFrame:
+    """T161 — PageRank over the event-type transition graph: nodes are
+    event types, edge weights are the empirical P(next=b | a) from each
+    user's consecutive event pairs, 20 power iterations at damping 0.85
+    — iterative dataflow (the one thing one-shot SQL can't do) with a
+    bit-exact oracle: the SQL side unrolls the same 20 iterations.
+
+    Scale shape: the heavy work is ONE pass building transition counts
+    (lag window per user, hash-agg on the type pair — identical at any
+    corpus size); the iteration then runs on the type×type matrix,
+    which is METADATA-sized (k² rows), exactly like k-means' k×dim
+    state. Determinism: edge weights are one IEEE division of exact
+    longs; each contribution rank·w is quantized to 12 decimals
+    HALF_UP (decimal(20,12) semantics) before the per-node exact sum,
+    and the damping update is a fixed IEEE expression — so 20 chained
+    iterations stay bit-identical with the oracle's unrolled SQL.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    out_tot = pairs.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    edges = pairs.join(out_tot, "src").select(
+        "src",
+        "dst",
+        (F.col("c").cast("double") / F.col("tot").cast("double")).alias("w"),
+    )
+    # The iteration state is k ranks and k² edge weights — metadata-sized
+    # (k-means' k×dim pattern), so ONE collect brings the matrix to the
+    # driver and the 20 power iterations run in microseconds instead of
+    # 20 Spark jobs. Arithmetic replicates the engine recipe exactly:
+    # each rank·w contribution is an IEEE double product quantized to 12
+    # decimals HALF_UP (= cast to decimal(20,12)), per-node sums are
+    # exact Decimal (order-independent), and the damping update is the
+    # same fixed IEEE expression the SQL oracle unrolls.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    edge_rows = edges.collect()
+    n = float(len({r.src for r in edge_rows}))
+    base = (1.0 - damping) / n
+    q12 = Decimal(1).scaleb(-12)
+    ranks = {v: 1.0 / n for v in {r.src for r in edge_rows}}
+    for _ in range(iters):
+        sums: dict[str, Decimal] = {}
+        for r in edge_rows:
+            if r.src in ranks:
+                sums[r.dst] = sums.get(r.dst, Decimal(0)) + Decimal(
+                    ranks[r.src] * r.w
+                ).quantize(q12, rounding=ROUND_HALF_UP)
+        ranks = {v: base + damping * float(s) for v, s in sums.items()}
+    out = spark.createDataFrame(
+        sorted(ranks.items()), "node string, rank double"
+    )
+    return out.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

@@ -4496,6 +4496,62 @@ register(
     )
 )
 
+def _pagerank_oracle(iters: int = 20) -> str:
+    """Unrolled power-iteration SQL mirroring event_type_pagerank exactly:
+    same edge weights (one IEEE division of exact longs), same
+    decimal(20,12) quantization of each rank·w contribution, same
+    damping expression order — so 20 chained iterations stay
+    bit-identical across engines."""
+    head = """
+        WITH ev AS MATERIALIZED (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM events
+        ),
+        pairs AS MATERIALIZED (
+            SELECT src, dst, count(*) AS c FROM (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts_us, event_id) AS dst
+                FROM ev
+            ) WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        tot AS (SELECT src, sum(c) AS tot FROM pairs GROUP BY src),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS w
+            FROM pairs JOIN tot USING (src)
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)
+    """
+    steps = "".join(
+        f""",
+        r{i} AS MATERIALIZED (
+            SELECT e.dst AS node,
+                   (1.0 - 0.85) / n + 0.85 * CAST(sum(
+                       CAST(r.rank * e.w AS DECIMAL(20,12))) AS DOUBLE) AS rank
+            FROM edges e JOIN r{i - 1} r ON r.node = e.src CROSS JOIN nn
+            GROUP BY e.dst, n
+        )"""
+        for i in range(1, iters + 1)
+    )
+    return (
+        head
+        + steps
+        + f" SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"
+    )
+
+
+register(
+    QuerySpec(
+        name="t161_event_pagerank",
+        builder=event_ops.event_type_pagerank,
+        oracle=_pagerank_oracle(20),
+        doc="iterative dataflow with a bit-exact oracle: PageRank over the event-type transition graph, 20 power iterations at damping 0.85, SQL side unrolled iteration-for-iteration with identical quantized arithmetic",
+        tags=("events", "graph", "iterative"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
