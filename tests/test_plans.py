@@ -464,3 +464,38 @@ def test_t144_sweepline_single_scan_partitioned_windows(spark, sf_dir):
     plan = formatted_plan(peak_concurrency(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "user_id" in plan and "Window" in plan, plan
+
+
+def test_t141_weighted_sample_is_heap_topk(spark, sf_dir):
+    # global weighted top-k must be per-partition heaps + merge, never a
+    # full sort of the corpus
+    from mapreduce_google_spark.operators.sampling import weighted_sample_topk
+
+    plan = formatted_plan(weighted_sample_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_t146_per_source_sample_uses_window_group_limit(spark, sf_dir):
+    # the k-per-group cut must push into the window (per-partition k-row
+    # heaps), not sort each group fully
+    from mapreduce_google_spark.operators.sampling import per_source_sample
+
+    plan = formatted_plan(per_source_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_t152_profile_is_single_scan(spark, sf_dir):
+    # profiling N columns must cost one scan, not N
+    from mapreduce_google_spark.operators.scale import column_profile
+
+    plan = formatted_plan(column_profile(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_t153_correlations_single_scan_single_row_agg(spark, sf_dir):
+    from mapreduce_google_spark.operators.scale import numeric_correlations
+
+    plan = formatted_plan(numeric_correlations(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "SinglePartition" in plan, plan
