@@ -866,3 +866,38 @@ def event_type_pagerank(
         sorted(ranks.items()), "node string, rank double"
     )
     return out.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T162 — time-to-convert distribution: for every user whose first
+    ``purchase`` follows their first ``view``, the view→purchase latency,
+    summarized as count + exact interpolated p50/p90 seconds — the
+    product metric behind "how long does conversion take".
+
+    One window pass lands each user's first view on every row (no
+    self-join); the converting set is a filter + per-user min; the
+    global percentiles run over one row per converted user (user-grain,
+    tiny). Latencies are exact BIGINT microseconds; the percentile
+    interpolation and the µs→s division are fixed IEEE expressions.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    wu = Window.partitionBy("user_id")
+    with_v = ev.withColumn(
+        "v",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(wu),
+    )
+    conv = (
+        with_v.where(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("v"))
+        )
+        .groupBy("user_id", "v")
+        .agg(F.min("ts_us").alias("p"))
+        .select((F.col("p") - F.col("v")).alias("lat_us"))
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lat_us, 0.5)") / 1_000_000.0, 6).alias("p50_sec"),
+        F.round(F.expr("percentile(lat_us, 0.9)") / 1_000_000.0, 6).alias("p90_sec"),
+    )

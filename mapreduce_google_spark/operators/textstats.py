@@ -836,3 +836,33 @@ def heldout_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def rare_token_docs(spark: SparkSession, sf_dir: str, max_freq: int = 2) -> DataFrame:
+    """T163 — OOV / mojibake detector: documents containing tokens whose
+    whole-corpus frequency is ≤ ``max_freq``, with the rare-token count
+    and an example — the screen that surfaces encoding corruption and
+    tokenizer-hostile junk before it reaches training.
+
+    Single-scan shape (the t138 recipe): distinct (doc, token) postings
+    off one explode, corpus frequency as a COUNT window partitioned by
+    token over the postings — occurrence counts, matching "how often
+    does this token appear", not doc frequency — then one per-doc
+    hash-agg over the rare rows only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias("token"),
+    )
+    wt = Window.partitionBy("token")
+    return (
+        occ.withColumn("freq", F.count("*").over(wt))
+        .where(F.col("freq") <= max_freq)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").cast("long").alias("n_rare_tokens"),
+            F.min("token").alias("example_token"),
+        )
+        .orderBy("doc_id")
+    )

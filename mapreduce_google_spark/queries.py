@@ -4552,6 +4552,61 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t162_conversion_latency",
+        builder=event_ops.conversion_latency,
+        oracle="""
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+            ),
+            wv AS (
+                SELECT *,
+                       min(CASE WHEN event_type = 'view' THEN ts_us END)
+                           OVER (PARTITION BY user_id) AS v
+                FROM ev
+            ),
+            conv AS (
+                SELECT user_id, v, min(ts_us) - v AS lat_us
+                FROM wv
+                WHERE event_type = 'purchase' AND ts_us > v
+                GROUP BY user_id, v
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                   round(quantile_cont(lat_us, 0.5) / 1000000.0, 6) AS p50_sec,
+                   round(quantile_cont(lat_us, 0.9) / 1000000.0, 6) AS p90_sec
+            FROM conv
+        """,
+        doc="time-to-convert distribution: first-view to first-subsequent-purchase latency per user, exact interpolated p50/p90 seconds; one window pass, percentiles over user-grain rows",
+        tags=("events", "statistics", "funnel"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t163_rare_token_docs",
+        builder=ts_ops.rare_token_docs,
+        oracle="""
+            WITH """ + _TOKENS_CTE + """,
+            occ AS (
+                SELECT doc_id, unnest(tokens) AS token FROM toks
+            ),
+            freq AS (
+                SELECT doc_id, token,
+                       count(*) OVER (PARTITION BY token) AS freq
+                FROM occ
+            )
+            SELECT doc_id,
+                   CAST(count(DISTINCT token) AS BIGINT) AS n_rare_tokens,
+                   min(token) AS example_token
+            FROM freq WHERE freq <= 2
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        doc="OOV/mojibake screen: docs containing corpus-frequency<=2 tokens, with count and example; single-scan postings + token-partitioned frequency window",
+        tags=("llm", "text", "quality"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
