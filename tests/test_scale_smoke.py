@@ -27,6 +27,9 @@ SCALE_QUERIES = [
     # per-batch-overhead regressions only show up past the sf0.001 tier
     "t50_asof_latest_order_pandas",
     "t83_pack_invariants",
+    # native codec pipeline (encode→decode→resize→checksum in one Arrow
+    # pass) — the heaviest per-row Python work on the registered surface
+    "t156_image_resize_checksum",
 ]
 
 #: generous wall-clock ceilings (seconds) for the Python-kernel paths at
@@ -36,6 +39,7 @@ SCALE_QUERIES = [
 KERNEL_TIME_BOUNDS = {
     "t50_asof_latest_order_pandas": 45.0,
     "t83_pack_invariants": 45.0,
+    "t156_image_resize_checksum": 90.0,
 }
 
 
