@@ -1006,7 +1006,7 @@ def cluster_source_chi2(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> D
     cols = cont.groupBy("source").agg(F.sum("o").alias("ct"))
     tot = cont.groupBy().agg(F.sum("o").alias("n"))
     grid = (
-        rows.crossJoin(cols)
+        rows.crossJoin(F.broadcast(cols))
         .crossJoin(F.broadcast(tot))
         .join(cont, ["cell_id", "source"], "left")
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0.0)))

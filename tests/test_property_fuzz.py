@@ -333,3 +333,89 @@ def test_sweepline_boundary_fuzz(spark, duck, events):
     )
     duck.unregister("fuzz_sweep")
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    ev=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10)),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    od=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_asof_boundary_fuzz(spark, duck, tmp_path_factory, ev, od):
+    """Random event/order sets on a whole-day grid — so order dates land
+    EXACTLY on event timestamps, and duplicate order dates per customer
+    exist — must as-of join identically between the join-free
+    forward-fill operator (t33) and the oracle's argmax formulation.
+    Pins the inclusive <= boundary and the max-orderkey tie rule, which
+    µs-random data never exercises."""
+    import pandas as pd
+
+    from mapreduce_google_spark.operators.relational import asof_latest_order
+
+    base = pd.Timestamp("2024-01-01")
+    d = tmp_path_factory.mktemp("asof")
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": [base + pd.Timedelta(days=k) for _, k in ev],
+            "user_id": [u for u, _ in ev],
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(od)),
+            "o_custkey": [u for u, _ in od],
+            "o_orderstatus": "O",
+            "o_totalprice": 1.0,
+            "o_orderdate": [base + pd.Timedelta(days=k) for _, k in od],
+            "o_orderpriority": "1-URGENT",
+        }
+    )
+    # write µs timestamps (pandas defaults to ns, which the session's
+    # nanosAsLong conf would surface as BIGINT for non-events tables)
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    events.to_parquet(d / "events.parquet")
+    orders.to_parquet(d / "orders.parquet")
+    got = sorted(tuple(r) for r in asof_latest_order(spark, str(d)).collect())
+    duck.register("fz_ev", events)
+    duck.register("fz_od", orders)
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT event_id, user_id, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+            FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM fz_ev e
+                JOIN fz_od o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            )
+            WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    duck.unregister("fz_ev")
+    duck.unregister("fz_od")
+    assert got == want
