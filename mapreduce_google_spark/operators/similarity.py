@@ -1024,3 +1024,91 @@ def cluster_source_chi2(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> D
         .cast("long")
         .alias("dof"),
     )
+
+
+def ivf_topk_invariants(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe_cells: int = 3,
+) -> DataFrame:
+    """T165 — SQL-checkable invariant summary of :func:`ivf_topk` (t25;
+    cell assignment + probe routing aren't one SQL query — the t83/t84
+    recipe), completing the invariant-oracle shadow for every rows-only
+    registry entry:
+
+    - ``bad_cosines = 0`` — every reported cosine re-verified by the
+      independent numpy kernel to 6 decimals;
+    - ``rank_violations = 0`` — per probe: ranks contiguous from 1, ≤ k
+      rows, cosine non-increasing, ties by ascending vec_id;
+    - ``beats_exact = 0`` — IVF's rank-r cosine never exceeds the exact
+      brute-force rank-r cosine (recall ≤ 1 by construction);
+    - ``found_nonempty = 1`` — non-vacuity anchor.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ivf = ivf_topk(spark, sf_dir, n_probes, k, n_cells, n_probe_cells).localCheckpoint()
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @pandas_udf("double")
+    def np_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", ma, mb) / (na * nb))
+
+    pv = emb.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv"))
+    vv = emb.select("vec_id", F.col("embedding").alias("vv"))
+    rechecked = (
+        ivf.join(pv, "probe_id")
+        .join(vv, "vec_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            "cosine",
+            "rank",
+            F.round(np_cosine("pv", "vv"), 6).alias("np_cos"),
+        )
+    )
+    bad_cos = rechecked.where(
+        F.abs(F.col("np_cos") - F.col("cosine")) > 1e-6
+    ).count()
+    w = Window.partitionBy("probe_id").orderBy("rank")
+    seq = rechecked.select(
+        "*",
+        F.lag("rank", 1, 0).over(w).alias("prev_rank"),
+        F.lag("cosine").over(w).alias("prev_cos"),
+        F.lag("vec_id").over(w).alias("prev_vec"),
+    )
+    rank_bad = seq.where(
+        (F.col("rank") != F.col("prev_rank") + 1)
+        | (F.col("rank") > k)
+        | (
+            F.col("prev_cos").isNotNull()
+            & (
+                (F.col("cosine") > F.col("prev_cos"))
+                | (
+                    (F.col("cosine") == F.col("prev_cos"))
+                    & (F.col("vec_id") < F.col("prev_vec"))
+                )
+            )
+        )
+    ).count()
+    exact = cosine_topk(spark, sf_dir, n_probes=n_probes, k=k).select(
+        "probe_id", "rank", F.col("cosine").alias("exact_cos")
+    )
+    beats = (
+        ivf.join(exact, ["probe_id", "rank"])
+        .where(F.col("cosine") > F.col("exact_cos") + 1e-6)
+        .count()
+    )
+    n_rows = ivf.count()
+    return spark.createDataFrame(
+        [(int(bad_cos), int(rank_bad), int(beats), int(1 if n_rows > 0 else 0))],
+        "bad_cosines long, rank_violations long, beats_exact long, found_nonempty long",
+    )

@@ -303,3 +303,37 @@ def pysource_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy("token")
     )
+
+
+def approx_distinct_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T164 — SQL-checkable error bound for T39's HyperLogLog++ sketch
+    (HLL internals aren't SQL-portable — the t83/t84 recipe): the
+    estimate must land within 3× the configured relative standard
+    deviation of the EXACT distinct count (t05's semantics, re-computed
+    here engine-side; the oracle re-derives the exact count and the
+    zeros independently).
+
+    - ``bound_violations = 0`` — |approx − exact| ≤ 3·rsd·exact;
+    - ``exact_n_tokens`` — the exact count, hash-checked against SQL;
+    - ``found_nonempty = 1`` — non-vacuity anchor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_of(docs)
+    both = toks.agg(
+        F.approx_count_distinct("token", rsd=0.01).alias("approx"),
+        F.countDistinct("token").alias("exact"),
+    )
+    return both.select(
+        F.when(
+            F.abs(F.col("approx") - F.col("exact"))
+            <= 3 * 0.01 * F.col("exact"),
+            0,
+        )
+        .otherwise(1)
+        .cast("long")
+        .alias("bound_violations"),
+        F.col("exact").cast("long").alias("exact_n_tokens"),
+        F.when(F.col("exact") > 0, 1).otherwise(0).cast("long").alias(
+            "found_nonempty"
+        ),
+    )

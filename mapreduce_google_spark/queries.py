@@ -4607,6 +4607,40 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t164_approx_distinct_invariants",
+        builder=text_ops.approx_distinct_invariants,
+        oracle="""
+            SELECT CAST(0 AS BIGINT) AS bound_violations,
+                   CAST(count(DISTINCT token) AS BIGINT) AS exact_n_tokens,
+                   CAST(1 AS BIGINT) AS found_nonempty
+            FROM (
+                SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+        """,
+        doc="error-bound oracle for t39's HLL++ sketch: estimate within 3 rsd of the exact distinct count, which the SQL side re-derives independently",
+        tags=("llm", "sketch", "invariant"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t165_ivf_topk_invariants",
+        builder=sim_ops.ivf_topk_invariants,
+        oracle="""
+            SELECT CAST(0 AS BIGINT) AS bad_cosines,
+                   CAST(0 AS BIGINT) AS rank_violations,
+                   CAST(0 AS BIGINT) AS beats_exact,
+                   CAST(1 AS BIGINT) AS found_nonempty
+        """,
+        doc="invariant oracle for t25 IVF top-k: cosines re-verified by an independent numpy kernel, rank sequence laws, never beats exact brute force — completes the invariant shadow for every rows-only entry",
+        tags=("llm", "similarity", "invariant"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
