@@ -280,6 +280,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_profile.add_argument("--input", required=True, help="parquet directory")
 
+    p_curate = sub.add_parser(
+        "curate",
+        help="run the curation gates (lang/quality/dedup) and write the kept corpus",
+    )
+    p_curate.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_curate.add_argument("--output", required=True, help="parquet destination")
+
     p_batch = sub.add_parser(
         "batch", help="run a JSONL job list FIFO through one session (F10 queue)"
     )
@@ -346,6 +353,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "profile":
             for rec in _run_profile(spark, input=args.input):
                 print(json.dumps(rec))
+        elif args.mode == "curate":
+            from mapreduce_google_spark.operators.textstats import curated_corpus
+
+            kept = curated_corpus(spark, args.sf_dir)
+            kept.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"kept_docs": n, "output": args.output}))
         elif args.mode == "query":
             try:
                 _run_query(

@@ -866,3 +866,41 @@ def rare_token_docs(spark: SparkSession, sf_dir: str, max_freq: int = 2) -> Data
         )
         .orderBy("doc_id")
     )
+
+
+def curated_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_threshold: float = 0.65,
+    langs: tuple[str, ...] = ("en", "de", "es"),
+) -> DataFrame:
+    """T166 — the curation pipeline's OUTPUT (t136 reports the funnel;
+    this emits the kept documents themselves): language keep-list ∧
+    quality ≥ threshold ∧ exact-dedup winner, i.e. the table a training
+    run actually reads. `cli.py curate` writes exactly this DataFrame.
+
+    Same one-scan shape as the funnel — quality signals are codegen
+    column math, the dedup winner is one fingerprint window — followed
+    by a filter instead of an aggregation, so the 100 TB cost is the
+    scan plus one fingerprint shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    flags = (
+        docs.select("doc_id", "source", "lang", "n_chars", "text")
+        .withColumn("fingerprint", F.md5(F.lower(F.trim(F.col("text")))))
+        .withColumn(
+            "keep_dedup",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("fingerprint")),
+        )
+        .join(quality, "doc_id")
+    )
+    kept = flags.where(
+        F.col("lang").isin(*langs)
+        & (F.col("quality") >= quality_threshold)
+        & F.col("keep_dedup")
+    )
+    return kept.select(
+        "doc_id", "source", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")

@@ -4641,6 +4641,55 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t166_curated_corpus",
+        builder=ts_ops.curated_corpus,
+        oracle="""
+            WITH base AS (
+                SELECT doc_id, source, lang, n_chars AS meta_chars, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS tokens,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(length(text) -
+                            length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                            AS BIGINT) AS n_punct,
+                       md5(lower(trim(text))) AS fingerprint
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, source, lang, meta_chars,
+                       round(CAST(
+                           (CASE WHEN len(tokens) BETWEEN 5 AND 100000
+                                 THEN 0.4 ELSE 0.0 END)
+                           + (CASE WHEN (CASE WHEN n_chars > 0
+                                         THEN n_punct / CAST(n_chars AS DOUBLE)
+                                         ELSE 0.0 END) < 0.2
+                              THEN 0.3 ELSE 0.0 END)
+                           + (CASE WHEN (CASE WHEN len(tokens) > 0
+                                         THEN len(list_filter(tokens,
+                                              t -> list_contains(
+                                                  ['the','a','of','and',
+                                                   'der','el','la'], t)))
+                                              / CAST(len(tokens) AS DOUBLE)
+                                         ELSE 0.0 END) > 0.01
+                              THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6)
+                           AS quality,
+                       doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+                           AS keep_dedup
+                FROM base
+            )
+            SELECT doc_id, source, lang,
+                   CAST(meta_chars AS BIGINT) AS n_chars
+            FROM scored
+            WHERE lang IN ('en', 'de', 'es') AND quality >= 0.65 AND keep_dedup
+            ORDER BY doc_id
+        """,
+        doc="the curation pipeline's output table (t136 reports the funnel, this emits the kept docs): language keep-list, quality composite, exact-dedup winner — what cli.py curate writes",
+        tags=("llm", "quality", "pipeline", "sink"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the

@@ -186,3 +186,14 @@ def test_profile_run(spark, sf_dir):
     assert by_col["n_nationkey"]["n_distinct"] == by_col["n_nationkey"]["n_rows"]
     assert by_col["n_regionkey"]["n_distinct"] == 5
     assert all(r["n_nulls"] == 0 for r in recs)
+
+
+def test_curate_writes_kept_corpus(spark, tmp_path, sf_dir):
+    from mapreduce_google_spark.operators.textstats import curated_corpus
+
+    out = str(tmp_path / "kept")
+    expected = curated_corpus(spark, sf_dir)
+    expected.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == expected.count() > 0
+    assert set(back.columns) == {"doc_id", "source", "lang", "n_chars"}
