@@ -1890,3 +1890,48 @@ def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T167 — per-brand size-weighted median retail price via a
+    GROUPED_AGG ``pandas_udf`` — the one Arrow UDF variant the engine
+    didn't yet exercise (scalar, mapInPandas, cogroup, and UDTF are all
+    registered elsewhere): a custom aggregate that Spark's built-ins
+    can't express, pushed into the hash-agg like any native function.
+
+    Definition is integer-exact so both engines agree bit-for-bit: sort
+    the group by price and take the smallest price whose doubled
+    cumulative weight reaches the group's total weight (lower weighted
+    median — no interpolation, no float thresholds). The oracle
+    restates it with a cumulative-sum window.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(price, weight):
+        order = np.lexsort((price.to_numpy(),))
+        p = price.to_numpy()[order]
+        w = weight.to_numpy()[order].astype(np.int64)
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, total))
+        return float(p[idx])
+
+    part = load_table(spark, sf_dir, "part")
+    # a GROUPED_AGG UDF cannot share an agg with native functions —
+    # counts come from a second brand-grain agg, joined broadcast-small
+    med = part.groupBy("p_brand").agg(
+        F.round(
+            wmedian(F.col("p_retailprice").cast("double"), F.col("p_size")), 6
+        ).alias("weighted_median_price")
+    )
+    counts = part.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    return (
+        counts.join(med, "p_brand")
+        .select("p_brand", "n_parts", "weighted_median_price")
+        .orderBy("p_brand")
+    )

@@ -4690,6 +4690,37 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t167_weighted_median_price",
+        builder=rel_ops.weighted_median_price,
+        oracle="""
+            WITH cum AS (
+                SELECT p_brand, p_retailprice,
+                       sum(p_size) OVER (PARTITION BY p_brand
+                                         ORDER BY p_retailprice
+                                         ROWS UNBOUNDED PRECEDING) AS cumw,
+                       sum(p_size) OVER (PARTITION BY p_brand) AS total
+                FROM part
+            ),
+            med AS (
+                SELECT p_brand, min(p_retailprice) AS wm
+                FROM cum WHERE 2 * cumw >= total GROUP BY p_brand
+            ),
+            counts AS (
+                SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+                FROM part GROUP BY p_brand
+            )
+            SELECT p_brand, n_parts,
+                   round(CAST(wm AS DOUBLE), 6) AS weighted_median_price
+            FROM counts JOIN med USING (p_brand)
+            ORDER BY p_brand
+        """,
+        doc="GROUPED_AGG pandas UDF (the last unexercised Arrow UDF variant): per-brand size-weighted lower median, integer-exact threshold (2*cum >= total), cumulative-window oracle",
+        tags=("relational", "udf", "statistics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
