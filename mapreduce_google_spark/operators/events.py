@@ -901,3 +901,57 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat_us, 0.5)") / 1_000_000.0, 6).alias("p50_sec"),
         F.round(F.expr("percentile(lat_us, 0.9)") / 1_000_000.0, 6).alias("p90_sec"),
     )
+
+
+def cep_pattern_counts(
+    spark: SparkSession, sf_dir: str, window_us: int = 1_800_000_000
+) -> DataFrame:
+    """T168 — complex-event-processing pattern match, window-function
+    style (MATCH_RECOGNIZE semantics without the syntax): count
+    ``view → purchase`` completions within 30 minutes with NO ``error``
+    event in between, per day — the "clean conversion" pattern every
+    CEP engine sells.
+
+    One partitioned window pass carries BOTH running maxes (last view,
+    last error) onto every event; a purchase completes the pattern iff
+    its last view is within the window AND strictly later than any
+    intervening error. No self-joins, exact BIGINT µs arithmetic, one
+    shuffle on user_id — the plan shape is identical to t149 with one
+    more running max, which is how arbitrary A-then-B-without-C
+    patterns compile to dataflow.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.to_date(F.col("ts")).cast("string").alias("day"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    last_error = F.max(
+        F.when(F.col("event_type") == "error", F.col("ts_us"))
+    ).over(w)
+    neg_inf = F.lit(-(1 << 62))
+    clean = (
+        (F.col("ts_us") - F.coalesce(last_view, neg_inf) <= window_us)
+        & (F.coalesce(last_view, neg_inf) > F.coalesce(last_error, neg_inf))
+    )
+    return (
+        ev.withColumn("clean", clean)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.when(F.col("clean"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clean_conversions"),
+        )
+        .orderBy("day")
+    )

@@ -4721,6 +4721,44 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t168_cep_pattern_counts",
+        builder=event_ops.cep_pattern_counts,
+        oracle="""
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_id
+                FROM events
+            ),
+            marked AS (
+                SELECT *,
+                       max(CASE WHEN event_type = 'view' THEN ts_us END)
+                           OVER w AS last_view,
+                       max(CASE WHEN event_type = 'error' THEN ts_us END)
+                           OVER w AS last_error
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+            )
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CASE WHEN
+                       ts_us - coalesce(last_view, -4611686018427387904)
+                           <= 1800000000
+                       AND coalesce(last_view, -4611686018427387904)
+                           > coalesce(last_error, -4611686018427387904)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_conversions
+            FROM marked
+            WHERE event_type = 'purchase'
+            GROUP BY day ORDER BY day
+        """,
+        doc="CEP pattern match (view then purchase within 30 min, no error between) as two running-max windows — MATCH_RECOGNIZE semantics compiled to one shuffle, no self-join",
+        tags=("events", "window", "cep"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
