@@ -4759,6 +4759,16 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t169_stream_pricing_summary",
+        builder=stream_jobs.stream_pricing_summary,
+        oracle=REGISTRY["t08_pricing_summary"].oracle,
+        doc="incremental view maintenance of TPC-H Q1: micro-batched lineitem merges exact-decimal partial sums per group via foreachBatch; averages derive from merged state at drain — must hash-equal batch t08",
+        tags=("streaming", "relational", "ivm"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the

@@ -474,3 +474,107 @@ def stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+def stream_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T169 — incremental view maintenance of the TPC-H Q1 pricing
+    summary (t08): lineitem arrives in micro-batches, a ``foreachBatch``
+    merge maintains a store of EXACT-DECIMAL partial sums per
+    (returnflag, linestatus), and the summary — including the averages —
+    derives from merged state at drain time. Must hash-equal batch t08.
+
+    The mergeable-moments pattern for money: decimal sums are
+    associative and order-independent, so per-batch partials merge into
+    the store in any arrival order and the final avg is one IEEE
+    division of exactly-maintained operands — a running double mean
+    would depend on batch boundaries. Store size is the 6-row group
+    grid regardless of volume; the checkpoint makes each batch land
+    exactly once.
+    """
+    import os
+    import shutil
+
+    from mapreduce_google_spark.functions.numeric import (
+        money,
+        one_minus,
+        one_plus,
+        rate,
+    )
+
+    tag = cache_tag(sf_dir, "lineitem")
+    staged = f"/tmp/mgs_li_dir_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    store = f"/tmp/mgs_q1_store_{tag}"
+    ckpt = f"{store}_ckpt"
+    for d in (store, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def partials(df: DataFrame) -> DataFrame:
+        disc_price = money("l_extendedprice") * one_minus("l_discount")
+        charge = disc_price * one_plus("l_tax")
+        return (
+            df.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(money("l_quantity")).alias("s_qty"),
+                F.sum(money("l_extendedprice")).alias("s_price"),
+                F.sum(disc_price).alias("s_disc_price"),
+                F.sum(charge).alias("s_charge"),
+                F.sum(rate("l_discount")).alias("s_disc"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = partials(batch_df)
+        if os.path.exists(store):
+            prev = batch_df.sparkSession.read.parquet(store)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("s_qty").alias("s_qty"),
+                    F.sum("s_price").alias("s_price"),
+                    F.sum("s_disc_price").alias("s_disc_price"),
+                    F.sum("s_charge").alias("s_charge"),
+                    F.sum("s_disc").alias("s_disc"),
+                    F.sum("n").cast("long").alias("n"),
+                )
+            )
+        else:
+            merged = delta
+        tmp = store + "_tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(store):
+            shutil.rmtree(store)
+        os.rename(tmp, store)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = spark.read.parquet(store)
+    return state.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("s_qty").cast("double"), 6).alias("sum_qty"),
+        F.round(F.col("s_price").cast("double"), 6).alias("sum_base_price"),
+        F.round(F.col("s_disc_price").cast("double"), 6).alias("sum_disc_price"),
+        F.round(F.col("s_charge").cast("double"), 6).alias("sum_charge"),
+        F.round(F.col("s_qty").cast("double") / F.col("n"), 6).alias("avg_qty"),
+        F.round(F.col("s_price").cast("double") / F.col("n"), 6).alias("avg_price"),
+        F.round(F.col("s_disc").cast("double") / F.col("n"), 6).alias("avg_disc"),
+        F.col("n").alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")

@@ -315,3 +315,12 @@ def test_stream_hourly_anomalies_matches_batch(spark, sf_dir):
     batch = {tuple(r) for r in hourly_anomalies(spark, sf_dir).collect()}
     stream = {tuple(r) for r in stream_hourly_anomalies(spark, sf_dir).collect()}
     assert stream == batch and len(stream) > 0
+
+
+def test_stream_pricing_summary_matches_batch(spark, sf_dir):
+    from mapreduce_google_spark.operators.relational import pricing_summary
+    from mapreduce_google_spark.streaming.jobs import stream_pricing_summary
+
+    batch = {tuple(r) for r in pricing_summary(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in stream_pricing_summary(spark, sf_dir).collect()}
+    assert stream == batch and len(stream) > 0
