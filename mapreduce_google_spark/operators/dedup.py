@@ -998,3 +998,25 @@ def duplicate_span_coverage(
         .withColumn("dup_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6))
         .orderBy("doc_id")
     )
+
+
+def ensemble_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T170 — ensemble near-dup: pairs flagged by BOTH the exact n-gram
+    Jaccard operator (t21) AND the SimHash band operator (t77) — the
+    high-confidence set a pipeline deletes without human review, while
+    single-detector pairs go to sampling-based QA. Detector ensembling
+    is standard curation practice: lexical-overlap and
+    bit-signature detectors fail differently, so their intersection has
+    the precision neither has alone.
+
+    One equi-join of the two detectors' outputs on the (doc_a, doc_b)
+    pair key — both sides are already pair-scale (candidates, not the
+    corpus), so this costs nothing at any corpus size.
+    """
+    jacc = ngram_jaccard_pairs(spark, sf_dir)
+    sim = simhash_near_dup_pairs(spark, sf_dir)
+    return (
+        jacc.join(sim, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "jaccard", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

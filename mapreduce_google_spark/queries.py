@@ -4769,6 +4769,26 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t170_ensemble_dup_pairs",
+        builder=dedup_ops.ensemble_dup_pairs,
+        oracle=(
+            "WITH jacc AS ("
+            + REGISTRY["t21_ngram_jaccard_pairs"].oracle
+            + "), sim AS ("
+            + REGISTRY["t77_simhash_near_dup"].oracle
+            + """)
+            SELECT doc_a, doc_b, jaccard, hamming
+            FROM jacc JOIN sim USING (doc_a, doc_b)
+            ORDER BY doc_a, doc_b
+            """
+        ),
+        doc="ensemble near-dup: the intersection of the exact-Jaccard (t21) and SimHash-band (t77) detectors — the delete-without-review set; oracle composes both detectors' SQL verbatim",
+        tags=("llm", "dedup", "ensemble"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
