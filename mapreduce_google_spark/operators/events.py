@@ -955,3 +955,54 @@ def cep_pattern_counts(
         )
         .orderBy("day")
     )
+
+
+def linear_attribution(
+    spark: SparkSession, sf_dir: str, window_us: int = 1_800_000_000
+) -> DataFrame:
+    """T172 — multi-touch LINEAR attribution (t149 is last-touch): each
+    purchase's credit splits equally across ALL of the user's clicks in
+    the prior 30 minutes, and the report sums fractional credit per day
+    — the other standard attribution model, and the one that needs a
+    genuine range join (purchase × its click set) rather than a single
+    running max.
+
+    Scale shape: clicks and purchases are both event-grain; the
+    candidate join is keyed on user_id (co-partitioned) with the time
+    band as a residual predicate, so fan-out is bounded by
+    clicks-per-user-per-window, not the cross product. Credit 1/n is
+    one IEEE division quantized to decimal(20,12) before the exact
+    per-day sum.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.to_date(F.col("ts")).cast("string").alias("day"),
+        "event_id",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("click_ts"), F.col("day").alias("click_day")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    matched = purchases.join(clicks, "user_id").where(
+        (F.col("click_ts") < F.col("ts_us"))
+        & (F.col("ts_us") - F.col("click_ts") <= window_us)
+    )
+    w = Window.partitionBy("event_id")
+    credited = matched.withColumn("n_touches", F.count("*").over(w)).select(
+        "click_day",
+        (F.lit(1.0) / F.col("n_touches").cast("double"))
+        .cast("decimal(20,12)")
+        .alias("credit"),
+    )
+    return (
+        credited.groupBy(F.col("click_day").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_touchpoints"),
+            F.round(F.sum("credit").cast("double"), 6).alias("total_credit"),
+        )
+        .orderBy("day")
+    )

@@ -1935,3 +1935,58 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "n_parts", "weighted_median_price")
         .orderBy("p_brand")
     )
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T171 — constraint audit across the star schema: orphaned facts
+    (lineitem without its order, order without its customer), childless
+    orders, and duplicate primary keys — the checks a warehouse runs
+    because it cannot afford enforced constraints at load time (exactly
+    Spark/lakehouse reality at 100 TB).
+
+    Each check is a semi/anti join or a keyed count>1 aggregation —
+    shuffle-free against broadcast dimension keys at test scale,
+    bucketed joins at 100 TB — emitted long-form (check, n_violations)
+    so adding checks never changes the schema.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def count_df(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check"),
+            F.count("*").cast("long").alias("n_violations"),
+        )
+
+    orphan_li = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    orphan_orders = orders.join(
+        customer.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    childless = orders.join(
+        li.select("l_orderkey").distinct(),
+        orders.o_orderkey == F.col("l_orderkey"),
+        "left_anti",
+    )
+    dup_orders = (
+        orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
+    )
+    dup_li = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .where(F.col("count") > 1)
+    )
+    return (
+        count_df("orphan_lineitems", orphan_li)
+        .unionAll(count_df("orphan_orders", orphan_orders))
+        .unionAll(count_df("childless_orders", childless))
+        .unionAll(count_df("duplicate_order_keys", dup_orders))
+        .unionAll(count_df("duplicate_lineitem_keys", dup_li))
+        .orderBy("check")
+    )

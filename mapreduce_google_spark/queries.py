@@ -4789,6 +4789,84 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t171_referential_integrity_audit",
+        builder=rel_ops.referential_integrity_audit,
+        oracle="""
+            SELECT 'childless_orders' AS "check",
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                           WHERE l.l_orderkey = o.o_orderkey))
+                        AS BIGINT) AS n_violations
+            UNION ALL
+            SELECT 'duplicate_lineitem_keys',
+                   CAST((SELECT count(*) FROM (
+                             SELECT 1 FROM lineitem
+                             GROUP BY l_orderkey, l_linenumber
+                             HAVING count(*) > 1)) AS BIGINT)
+            UNION ALL
+            SELECT 'duplicate_order_keys',
+                   CAST((SELECT count(*) FROM (
+                             SELECT 1 FROM orders
+                             GROUP BY o_orderkey HAVING count(*) > 1))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'orphan_lineitems',
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                           WHERE o.o_orderkey = l.l_orderkey))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'orphan_orders',
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                           WHERE c.c_custkey = o.o_custkey))
+                        AS BIGINT)
+            ORDER BY "check"
+        """,
+        doc="warehouse constraint audit: orphaned facts, childless orders, duplicate keys — anti-joins and keyed count>1 checks emitted long-form",
+        tags=("relational", "quality", "diagnostics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t172_linear_attribution",
+        builder=event_ops.linear_attribution,
+        oracle="""
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_id
+                FROM events
+            ),
+            matched AS (
+                SELECT p.event_id, c.day AS click_day
+                FROM (SELECT user_id, event_id, ts_us FROM ev
+                      WHERE event_type = 'purchase') p
+                JOIN (SELECT user_id, ts_us AS click_ts, day FROM ev
+                      WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id
+                 AND c.click_ts < p.ts_us
+                 AND p.ts_us - c.click_ts <= 1800000000
+            ),
+            credited AS (
+                SELECT click_day,
+                       CAST(1.0 / CAST(count(*) OVER (PARTITION BY event_id)
+                                       AS DOUBLE) AS DECIMAL(20,12)) AS credit
+                FROM matched
+            )
+            SELECT click_day AS day,
+                   CAST(count(*) AS BIGINT) AS n_touchpoints,
+                   round(CAST(sum(credit) AS DOUBLE), 6) AS total_credit
+            FROM credited
+            GROUP BY click_day ORDER BY day
+        """,
+        doc="multi-touch linear attribution: each purchase's credit splits 1/n across its prior-30-min clicks and accrues to the CLICK's day; user-keyed band join, 1/n quantized before the exact sum",
+        tags=("events", "attribution", "join"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
