@@ -1020,3 +1020,33 @@ def ensemble_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def rolling_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T173 — time-windowed dedup: keep the first occurrence of each
+    fingerprint PER WEEK (bucketed by doc_id as the ingestion clock) —
+    the recency-scoped dedup a continuously-ingesting corpus needs,
+    where a document may legitimately reappear after the window ages
+    out (news re-publication, versioned docs) but not within it.
+
+    One hash-agg on (week, fingerprint) — the same exact-dedup shuffle
+    with the window bucket prepended to the key, so state per key stays
+    bounded by the window instead of growing with corpus lifetime
+    (exactly how the streaming dedup-with-watermark job, t49, bounds
+    its state).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    week = F.floor(F.col("doc_id") / F.lit(100)).cast("long")
+    return (
+        docs.select(
+            week.alias("week"),
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+            "doc_id",
+        )
+        .groupBy("week", "fingerprint")
+        .agg(
+            F.min("doc_id").cast("long").alias("kept_doc"),
+            F.count("*").cast("long").alias("n_in_window"),
+        )
+        .orderBy("week", "kept_doc")
+    )

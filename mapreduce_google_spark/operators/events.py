@@ -1006,3 +1006,63 @@ def linear_attribution(
         )
         .orderBy("day")
     )
+
+
+def props_struct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T174 — schema-first JSON parsing: ``from_json`` with an EXPLICIT
+    schema (t37 used per-field ``get_json_object``) — one parse per row
+    regardless of field count, the rule at 100 TB where parse cost
+    dominates semi-structured scans; malformed rows surface as NULL
+    structs instead of poisoning the job.
+
+    Reports per event_type: parsed/malformed counts and stats over the
+    typed field — all downstream of a single codegen'd parse.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "struct<k:bigint>")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count(F.col("p.k")).cast("long").alias("n_parsed_k"),
+            F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_malformed"),
+            F.sum(F.col("p.k")).cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T175 — the user-journey Markov transition table: empirical
+    P(next=b | a) over consecutive event pairs per user (the edge table
+    t161's PageRank iterates on, exposed as the product-analytics
+    deliverable it is).
+
+    One lag-window pass + one map-side-combined hash-agg on the type
+    pair; probabilities are one IEEE division of exact longs.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    tot = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double"),
+            6,
+        ).alias("p_next"),
+    ).orderBy("src", "dst")

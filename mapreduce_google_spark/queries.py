@@ -4867,6 +4867,78 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t173_rolling_window_dedup",
+        builder=dedup_ops.rolling_window_dedup,
+        oracle="""
+            SELECT week, fingerprint,
+                   CAST(min(doc_id) AS BIGINT) AS kept_doc,
+                   CAST(count(*) AS BIGINT) AS n_in_window
+            FROM (
+                SELECT doc_id // 100 AS week,
+                       md5(lower(trim(text))) AS fingerprint,
+                       doc_id
+                FROM documents
+            )
+            GROUP BY week, fingerprint
+            ORDER BY week, kept_doc
+        """,
+        doc="time-windowed dedup: first occurrence per (week-bucket, fingerprint) — recency-scoped dedup whose state is bounded by the window, not corpus lifetime",
+        tags=("llm", "dedup", "window"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t174_props_struct_stats",
+        builder=event_ops.props_struct_stats,
+        oracle="""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(k) AS BIGINT) AS n_parsed_k,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_malformed,
+                   CAST(sum(k) AS BIGINT) AS sum_k
+            FROM (
+                SELECT event_type, props,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        doc="schema-first JSON: from_json with an explicit struct schema (one parse per row, malformed rows become NULL structs) vs t37's per-field extraction",
+        tags=("events", "json", "io"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t175_transition_matrix",
+        builder=event_ops.transition_matrix,
+        oracle="""
+            WITH pairs AS (
+                SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+                FROM (
+                    SELECT event_type AS src,
+                           lead(event_type) OVER (
+                               PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS dst
+                    FROM events
+                ) WHERE dst IS NOT NULL GROUP BY src, dst
+            )
+            SELECT src, dst, n_transitions,
+                   round(CAST(n_transitions AS DOUBLE)
+                         / CAST(sum(n_transitions) OVER (PARTITION BY src)
+                                AS DOUBLE), 6) AS p_next
+            FROM pairs ORDER BY src, dst
+        """,
+        doc="user-journey Markov table: empirical P(next|current) from consecutive event pairs — the edge table t161 iterates, as the analytics deliverable",
+        tags=("events", "graph", "statistics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
