@@ -1990,3 +1990,115 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(count_df("duplicate_lineitem_keys", dup_li))
         .orderBy("check")
     )
+
+
+def price_bins_equidepth(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFrame:
+    """T176 — equi-depth binning boundaries for feature engineering:
+    NTILE(10) over lineitem's extended price, reporting each bin's
+    row count and [min, max] edge — the bucketizer table an ML feature
+    pipeline persists so training and serving bin identically.
+
+    NTILE over a global order is the one window that genuinely needs a
+    total sort; at 100 TB the equivalent plan samples range boundaries
+    (rangepartitioning does exactly this) so the sort is distributed —
+    Spark's physical plan here IS that: range-partition then local sort,
+    no single-node bottleneck. Ties across bin edges are deterministic
+    because the sort key includes the rowid tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.orderBy("price", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("bin", F.ntile(n_bins).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.min("price"), 6).alias("bin_min"),
+            F.round(F.max("price"), 6).alias("bin_max"),
+        )
+        .select(F.col("bin").cast("integer").alias("bin"), "n_rows", "bin_min", "bin_max")
+        .orderBy("bin")
+    )
+
+
+def largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str, budget: int = 1000
+) -> DataFrame:
+    """T177 — fair quota allocation by largest remainder (Hare method):
+    split a global sampling budget of 1000 docs across sources
+    proportionally to corpus share, exactly — floors first, then the
+    leftover seats go to the largest fractional remainders (ties by
+    source asc). The deterministic answer to "how many docs does each
+    source contribute to a fixed-size eval set".
+
+    Integer-exact throughout: quota numerators stay as products
+    (count·budget), floors and remainders are integer division/modulo,
+    and the leftover count is derived from the same integers — no float
+    anywhere, so both engines agree bit-for-bit. Source-grain table,
+    window over a handful of rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    total = counts.groupBy().agg(F.sum("n_docs").alias("n_total"))
+    quotas = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * budget).alias("num"),
+        "n_total",
+    )
+    base = quotas.withColumn(
+        "floor_seats", (F.col("num") / F.col("n_total")).cast("long")
+    ).withColumn("remainder", F.col("num") % F.col("n_total"))
+    wsum = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wrank = Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+    return (
+        base.withColumn("leftover", budget - F.sum("floor_seats").over(wsum))
+        .withColumn("rr", F.row_number().over(wrank))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("floor_seats")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated"),
+        )
+        .orderBy("source")
+    )
+
+
+def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T178 — seasonality profile: order revenue by day-of-week with each
+    day's share of the total — the first seasonality cut an analyst
+    takes before any decomposition model.
+
+    One hash-agg on a 7-value key with exact-decimal revenue partials;
+    the total rides back in as a broadcast single-row aggregate and the
+    share is one IEEE division. Day numbering pinned to Spark's
+    ``dayofweek`` (1=Sunday) with the oracle shifted to match.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_dow = orders.groupBy(
+        F.dayofweek(F.col("o_orderdate")).cast("integer").alias("dow")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(money("o_totalprice")).alias("rev_dec"),
+    )
+    total = per_dow.groupBy().agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        per_dow.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "n_orders",
+            F.round(F.col("rev_dec").cast("double"), 6).alias("revenue"),
+            F.round(
+                F.col("rev_dec").cast("double") / F.col("total_dec").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("dow")
+    )

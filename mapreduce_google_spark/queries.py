@@ -4939,6 +4939,85 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t176_price_bins_equidepth",
+        builder=rel_ops.price_bins_equidepth,
+        oracle="""
+            SELECT CAST(bin AS INTEGER) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(min(price), 6) AS bin_min,
+                   round(max(price), 6) AS bin_max
+            FROM (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+                       ntile(10) OVER (ORDER BY CAST(l_extendedprice AS DOUBLE),
+                                       l_orderkey, l_linenumber) AS bin
+                FROM lineitem
+            )
+            GROUP BY bin ORDER BY bin
+        """,
+        doc="equi-depth feature-binning boundaries: NTILE(10) with a total tiebreak; range-partitioned distributed sort, persisted so training and serving bin identically",
+        tags=("relational", "statistics", "ml-prep"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t177_largest_remainder_allocation",
+        builder=rel_ops.largest_remainder_allocation,
+        oracle="""
+            WITH counts AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source
+            ),
+            total AS (SELECT sum(n_docs) AS n_total FROM counts),
+            base AS (
+                SELECT source, n_docs,
+                       (n_docs * 1000) // n_total AS floor_seats,
+                       (n_docs * 1000) % n_total AS remainder
+                FROM counts CROSS JOIN total
+            ),
+            ranked AS (
+                SELECT *,
+                       1000 - sum(floor_seats) OVER () AS leftover,
+                       row_number() OVER (ORDER BY remainder DESC, source)
+                           AS rr
+                FROM base
+            )
+            SELECT source, n_docs,
+                   CAST(floor_seats + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS allocated
+            FROM ranked ORDER BY source
+        """,
+        doc="fair quota allocation (Hare largest-remainder): split a 1000-doc budget across sources exactly, integer arithmetic only — how each source's share of a fixed-size eval set is decided",
+        tags=("llm", "sampling", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t178_weekday_revenue_profile",
+        builder=rel_ops.weekday_revenue_profile,
+        oracle="""
+            WITH per_dow AS (
+                SELECT CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+                FROM orders GROUP BY 1
+            ),
+            total AS (SELECT sum(rev_dec) AS total_dec FROM per_dow)
+            SELECT dow, n_orders,
+                   round(CAST(rev_dec AS DOUBLE), 6) AS revenue,
+                   round(CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6)
+                       AS revenue_share
+            FROM per_dow CROSS JOIN total
+            ORDER BY dow
+        """,
+        doc="day-of-week seasonality profile with exact-decimal revenue shares; day numbering pinned to Spark's dayofweek (1=Sunday), oracle shifted to match",
+        tags=("relational", "statistics", "date"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
