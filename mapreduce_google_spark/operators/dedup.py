@@ -1050,3 +1050,39 @@ def rolling_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "kept_doc")
     )
+
+
+def edit_distance_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """T179 — edit-distance near-dup verification: SimHash candidates
+    (t77's band join — never all pairs) re-scored with normalized
+    Levenshtein similarity 1 − lev/max(len) — the character-level
+    modality that catches small in-place edits lexical shingles and
+    bit signatures both blur over.
+
+    Candidate-then-verify again: the quadratic-looking Levenshtein DP
+    runs ONLY on band-join candidates (pair-scale), JVM-side via the
+    built-in ``levenshtein`` — an integer DP both engines implement
+    identically, so the similarity is one IEEE division of exact ints.
+    """
+    cands = simhash_near_dup_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_distance"),
+            F.round(
+                F.lit(1.0) - lev.cast("double") / max_len.cast("double"), 6
+            ).alias("edit_sim"),
+        )
+        .where(F.col("edit_sim") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

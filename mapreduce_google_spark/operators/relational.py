@@ -2102,3 +2102,40 @@ def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+def discount_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T180 — grouped OLS: per-brand slope of quantity on discount (the
+    "does discounting move volume for this brand" regression), computed
+    from EXACT decimal moment sums — both regressors are 2-decimal
+    columns, so Σx, Σy, Σxy, Σx² are exact and the closed-form slope is
+    one fixed IEEE expression per group; ``regr_slope``'s running double
+    accumulation would be partitioning-dependent.
+
+    One scan of the fact joined to the broadcast part dimension, one
+    map-side-combined hash-agg per brand — the grouped-regression
+    template (t142's Zipf fit, per group).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    j = li.join(part, li.l_partkey == F.col("p_partkey"))
+    x = F.col("l_discount").cast("decimal(12,2)")
+    y = F.col("l_quantity").cast("decimal(12,2)")
+    m = j.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    ).orderBy("p_brand")

@@ -5018,6 +5018,66 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t179_edit_distance_pairs",
+        builder=dedup_ops.edit_distance_pairs,
+        oracle=(
+            "WITH sim AS ("
+            + REGISTRY["t77_simhash_near_dup"].oracle
+            + """)
+            SELECT doc_a, doc_b,
+                   CAST(levenshtein(ta.text, tb.text) AS BIGINT)
+                       AS edit_distance,
+                   round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                         / CAST(greatest(length(ta.text), length(tb.text))
+                                AS DOUBLE), 6) AS edit_sim
+            FROM sim
+            JOIN documents ta ON ta.doc_id = doc_a
+            JOIN documents tb ON tb.doc_id = doc_b
+            WHERE round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                        / CAST(greatest(length(ta.text), length(tb.text))
+                               AS DOUBLE), 6) >= 0.8
+            ORDER BY doc_a, doc_b
+            """
+        ),
+        doc="character-level near-dup verify: normalized Levenshtein on SimHash band candidates only (integer DP identical across engines); both sides threshold the identically-rounded similarity",
+        tags=("llm", "dedup", "similarity"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t180_discount_sensitivity",
+        builder=rel_ops.discount_sensitivity,
+        oracle="""
+            WITH m AS (
+                SELECT p_brand,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+                       CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                                * CAST(l_quantity AS DECIMAL(12,2)))
+                            AS DOUBLE) AS sxy,
+                       CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                                * CAST(l_discount AS DECIMAL(12,2)))
+                            AS DOUBLE) AS sxx
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                GROUP BY p_brand
+            )
+            SELECT p_brand,
+                   CAST(n AS BIGINT) AS n_rows,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                         / n, 6) AS intercept
+            FROM m ORDER BY p_brand
+        """,
+        doc="grouped OLS per brand (quantity on discount) from exact-decimal moment sums; regr_slope's running doubles would be partitioning-dependent",
+        tags=("relational", "statistics", "regression"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
