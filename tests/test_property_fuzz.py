@@ -419,3 +419,56 @@ def test_asof_boundary_fuzz(spark, duck, tmp_path_factory, ev, od):
     duck.unregister("fz_ev")
     duck.unregister("fz_od")
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    ks=st.lists(st.integers(0, 12), min_size=1, max_size=10, unique=True)
+)
+def test_sliding_window_alignment_fuzz(spark, duck, ks):
+    """Events on a 30-minute grid — every timestamp lands EXACTLY on a
+    window start/end of the 1h/30m sliding windows — must bucket
+    identically between Spark's F.window and the arithmetic assignment
+    rule (each event belongs to the two windows starting at
+    floor-to-30min and that minus 30min; [start, end) half-open, so a
+    boundary event belongs to the window STARTING there, not ending
+    there). Pins the alignment t15b's oracle states for µs-random data."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(minutes=30 * k) for k in sorted(ks)]}
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        (str(r["w"]["start"]), r["n"])
+        for r in sdf.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    duck.register("fuzz_win", pdf)
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT CAST(win_start AS VARCHAR) AS ws,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                       - CAST(i AS INTEGER) * INTERVAL 30 MINUTE AS win_start
+                FROM fuzz_win, UNNEST(range(2)) AS t(i)
+            )
+            GROUP BY win_start
+            """
+        ).fetchall()
+    )
+    duck.unregister("fuzz_win")
+    assert got == want
