@@ -1066,3 +1066,39 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_next"),
     ).orderBy("src", "dst")
+
+
+def interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T183 — event inter-arrival distribution per type: exact
+    interpolated p50/p90/p99 of the gaps between consecutive same-type
+    events — the arrival-process characterization that sizes streaming
+    watermarks, batch triggers, and alert debounce budgets.
+
+    One lag window per (type) ordered by time, then percentiles over
+    the gap column — exact BIGINT microsecond gaps, percentile
+    interpolation a fixed IEEE expression on both engines (t148/t162
+    precedent).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w)).where(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1_000_000.0, 6).alias(
+                "p50_sec"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.9)") / 1_000_000.0, 6).alias(
+                "p90_sec"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.99)") / 1_000_000.0, 6).alias(
+                "p99_sec"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -904,3 +904,89 @@ def curated_corpus(
     return kept.select(
         "doc_id", "source", "lang", F.col("n_chars").cast("long").alias("n_chars")
     ).orderBy("doc_id")
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T181 — per-document character-distribution Shannon entropy: the
+    compression-based curation signal — mojibake and binary junk spike
+    it, templated/repetitive text craters it; real prose sits in a
+    narrow band. (The practical stand-in for "would gzip find this
+    text suspicious".)
+
+    One explode to (doc, char) counts, then entropy from exact counts:
+    each −(c/n)·ln(c/n) term is a fixed IEEE expression of two exact
+    longs, quantized to decimal(20,12) before the per-doc sum. Shuffle
+    carries (doc, char) rows — alphabet-bounded per doc, not text
+    length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    wd = Window.partitionBy("doc_id")
+    term = (
+        -(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+    ).cast("decimal(20,12)")
+    return (
+        counts.withColumn("n", F.sum("c").over(wd))
+        .select("doc_id", term.alias("term"), F.col("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.round(F.sum("term").cast("double"), 6).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def token_burstiness(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """T182 — token burstiness: the variance-to-mean ratio (Fano factor)
+    of per-document counts for the top-k corpus tokens — function words
+    hover near Poisson (ratio ≈ 1), content/boilerplate words are
+    bursty (≫ 1). A vocabulary diagnostic for stopword-list induction.
+
+    Per-doc counts are exact; per-token moments come from exact decimal
+    sums over the DOC-GRAIN count table (zeros included via the corpus
+    doc count, not a dense join: Σc and Σc² over missing docs are 0, so
+    only n needs the global count). Top-k cut is TakeOrdered on the
+    vocabulary-sized frequency table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = per_doc.groupBy("token").agg(F.sum("c").cast("long").alias("freq"))
+    top = totals.orderBy(F.col("freq").desc(), F.col("token")).limit(k)
+    n_docs = docs.groupBy().agg(F.count("*").cast("double").alias("n_docs"))
+    moments = (
+        per_doc.join(F.broadcast(top.select("token")), "token")
+        .groupBy("token")
+        .agg(
+            F.sum(F.col("c").cast("decimal(20,0)")).cast("double").alias("sc"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(20,0)"))
+            .cast("double")
+            .alias("scc"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    mean = F.col("sc") / F.col("n_docs")
+    var = F.col("scc") / F.col("n_docs") - mean * mean
+    return (
+        moments.select(
+            "token",
+            F.col("sc").cast("long").alias("total_count"),
+            F.round(mean, 6).alias("mean_per_doc"),
+            F.round(var / mean, 6).alias("burstiness"),
+        )
+        .orderBy("token")
+    )

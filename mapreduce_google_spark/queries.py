@@ -5078,6 +5078,107 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t181_char_entropy",
+        builder=ts_ops.char_entropy,
+        oracle="""
+            WITH counts AS (
+                SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                FROM (
+                    SELECT doc_id, unnest(string_split(text, '')) AS ch
+                    FROM documents
+                ) WHERE ch <> ''
+                GROUP BY doc_id, ch
+            ),
+            terms AS (
+                SELECT doc_id,
+                       sum(c) OVER (PARTITION BY doc_id) AS n,
+                       CAST(-(CAST(c AS DOUBLE) / CAST(
+                                 sum(c) OVER (PARTITION BY doc_id) AS DOUBLE))
+                             * ln(CAST(c AS DOUBLE) / CAST(
+                                 sum(c) OVER (PARTITION BY doc_id) AS DOUBLE))
+                            AS DECIMAL(20,12)) AS term
+                FROM counts
+            )
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_chars,
+                   round(CAST(sum(term) AS DOUBLE), 6) AS entropy
+            FROM terms GROUP BY doc_id ORDER BY doc_id
+        """,
+        doc="per-doc character Shannon entropy (the compression-style curation signal): each -(p)ln(p) term a fixed IEEE expression of exact counts, quantized before the sum",
+        tags=("llm", "text", "quality"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t182_token_burstiness",
+        builder=ts_ops.token_burstiness,
+        oracle="""
+            WITH per_doc AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(
+                               string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS token
+                    FROM documents
+                )
+                GROUP BY doc_id, token
+            ),
+            top AS (
+                SELECT token FROM (
+                    SELECT token, sum(c) AS freq FROM per_doc GROUP BY token
+                ) ORDER BY freq DESC, token LIMIT 20
+            ),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            m AS (
+                SELECT token,
+                       CAST(sum(CAST(c AS DECIMAL(20,0))) AS DOUBLE) AS sc,
+                       CAST(sum(CAST(c * c AS DECIMAL(20,0))) AS DOUBLE) AS scc
+                FROM per_doc JOIN top USING (token)
+                GROUP BY token
+            )
+            SELECT token,
+                   CAST(sc AS BIGINT) AS total_count,
+                   round(sc / n_docs, 6) AS mean_per_doc,
+                   round((scc / n_docs - (sc / n_docs) * (sc / n_docs))
+                         / (sc / n_docs), 6) AS burstiness
+            FROM m CROSS JOIN nd
+            ORDER BY token
+        """,
+        doc="Fano factor (variance/mean of per-doc counts) for the top-20 corpus tokens: bursty content words vs Poisson-like function words; exact integer moments with zeros handled analytically",
+        tags=("llm", "text", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t183_interarrival_percentiles",
+        builder=event_ops.interarrival_percentiles,
+        oracle="""
+            WITH gaps AS (
+                SELECT event_type,
+                       ts_us - lag(ts_us) OVER (PARTITION BY event_type
+                                                ORDER BY ts_us, event_id)
+                           AS gap_us
+                FROM (SELECT event_type, epoch_us(ts) AS ts_us, event_id
+                      FROM events)
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_sec,
+                   round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_sec,
+                   round(quantile_cont(gap_us, 0.99) / 1000000.0, 6) AS p99_sec
+            FROM gaps WHERE gap_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        doc="arrival-process characterization per type: exact interpolated p50/p90/p99 inter-arrival gaps — the numbers that size watermarks and debounce budgets",
+        tags=("events", "statistics", "streaming-semantics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
