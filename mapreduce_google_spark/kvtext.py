@@ -27,7 +27,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class KVTextDataSource(DataSource):
@@ -46,6 +52,9 @@ class KVTextDataSource(DataSource):
 
     def reader(self, schema) -> "DataSourceReader":
         return _KVTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
+        return _KVTextWriter(self.options, overwrite)
 
 
 class _KVTextReader(DataSourceReader):
@@ -71,6 +80,57 @@ class _KVTextReader(DataSourceReader):
                 yield (key, value)
 
 
+class _KVTextCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str) -> None:
+        self.tmp_file = tmp_file
+
+
+class _KVTextWriter(DataSourceWriter):
+    """``df.write.format("kvtext").mode("overwrite").save(dir)`` —
+    reference-format ``part-NNNNN`` files of ``key\tvalue`` lines.
+
+    Exactly-once via the DataSource commit protocol: each task writes a
+    ``.tmp`` file named by its partition id and reports it in the commit
+    message; the DRIVER renames the reported files into place on commit
+    and deletes strays on abort — a failed/speculative task's output is
+    never visible (the same tmp-then-rename contract the reference's
+    workers use for their part files).
+    """
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvtext sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{pid:05d}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                key = "" if row[0] is None else str(row[0])
+                value = "" if row[1] is None else str(row[1])
+                fh.write(f"{key}\t{value}\n")
+        return _KVTextCommit(tmp)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            final = m.tmp_file.replace("/.", "/").removesuffix(".tmp")
+            os.replace(m.tmp_file, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -86,3 +146,10 @@ def read_kvtext(spark, path: str):
     """Read a reference-format text dir through the pluggable source."""
     ensure_registered(spark)
     return spark.read.format("kvtext").load(path)
+
+
+def write_kvtext(df, path: str) -> None:
+    """Write a 2-column DataFrame as reference-format part files through
+    the pluggable sink (exactly-once tmp-then-rename commit)."""
+    ensure_registered(df.sparkSession)
+    df.write.format("kvtext").mode("overwrite").save(path)

@@ -42,3 +42,31 @@ def test_kvtext_skips_hidden_and_success_files(spark, tmp_path):
     _write(tmp_path, "_SUCCESS", "")
     _write(tmp_path, ".hidden", "junk\tx\n")
     assert read_kvtext(spark, str(tmp_path)).count() == 1
+
+
+def test_kvtext_writer_round_trip(spark, tmp_path):
+    from mapreduce_google_spark.kvtext import read_kvtext, write_kvtext
+
+    df = spark.createDataFrame(
+        [("alpha", "1"), ("beta", "2"), ("", "empty-key"), ("g", "")],
+        "key string, value string",
+    )
+    out = str(tmp_path / "kv_out")
+    write_kvtext(df, out)
+    files = sorted(p.name for p in (tmp_path / "kv_out").iterdir())
+    assert all(f.startswith("part-") for f in files), files
+    back = read_kvtext(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_kvtext_writer_overwrite_replaces(spark, tmp_path):
+    from mapreduce_google_spark.kvtext import read_kvtext, write_kvtext
+
+    out = str(tmp_path / "kv_out2")
+    write_kvtext(
+        spark.createDataFrame([("x", "1")], "key string, value string"), out
+    )
+    write_kvtext(
+        spark.createDataFrame([("y", "2")], "key string, value string"), out
+    )
+    assert [tuple(r) for r in read_kvtext(spark, out).collect()] == [("y", "2")]
