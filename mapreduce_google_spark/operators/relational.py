@@ -2139,3 +2139,56 @@ def discount_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("intercept"),
     ).orderBy("p_brand")
+
+
+#: ONE SQL text, two engines: the recursive hierarchy rollup is written in
+#: the common dialect and used verbatim as both the Spark query and the
+#: DuckDB oracle — the strongest possible parity statement for the
+#: recursive-CTE surface (Spark 4's WITH RECURSIVE).
+RECURSIVE_ROLLUP_SQL = """WITH RECURSIVE
+cust_rev AS (
+  SELECT o_custkey AS custkey,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+edges AS (
+  SELECT 0 AS child_level, c_custkey AS child_id,
+         1 AS parent_level, c_nationkey AS parent_id
+  FROM customer
+  UNION ALL
+  SELECT 1, n_nationkey, 2, n_regionkey FROM nation
+),
+closure(child_level, child_id, anc_level, anc_id) AS (
+  SELECT child_level, child_id, parent_level, parent_id FROM edges
+  UNION ALL
+  SELECT c.child_level, c.child_id, e.parent_level, e.parent_id
+  FROM closure c JOIN edges e
+    ON e.child_level = c.anc_level AND e.child_id = c.anc_id
+)
+SELECT anc_level, anc_id,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(rev) AS DOUBLE), 6) AS revenue
+FROM closure JOIN cust_rev
+  ON child_level = 0 AND child_id = custkey
+GROUP BY anc_level, anc_id
+ORDER BY anc_level, anc_id"""
+
+
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T184 — generic hierarchy rollup via Spark 4's ``WITH RECURSIVE``:
+    walk the containment DAG (customer → nation → region, encoded as a
+    level-tagged edge table) to its transitive closure, then aggregate
+    customer revenue to EVERY ancestor — the arbitrary-depth org-chart /
+    BOM rollup fixed-depth joins can't express, on the star schema's
+    natural hierarchy.
+
+    The recursion is acyclic by construction (levels strictly increase)
+    so UNION ALL terminates; per-customer revenue is an exact decimal
+    sum computed ONCE below the closure join. The SAME SQL text runs on
+    both engines (it is the oracle verbatim) — common-dialect recursive
+    CTEs are the parity statement here.
+    """
+    from mapreduce_google_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_ROLLUP_SQL)

@@ -5179,6 +5179,16 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t184_recursive_hierarchy_rollup",
+        builder=rel_ops.recursive_hierarchy_rollup,
+        oracle=rel_ops.RECURSIVE_ROLLUP_SQL,
+        doc="Spark 4 WITH RECURSIVE: transitive closure of the level-tagged containment DAG, revenue rolled to every ancestor; the oracle IS the same SQL text verbatim (common-dialect recursion)",
+        tags=("relational", "recursive", "sql"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
