@@ -476,3 +476,63 @@ def image_resize_checksum(
             )
 
     return blobs.mapInPandas(stats, out_schema).orderBy("doc_id")
+
+
+def header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T185 — header-only decode for the compressed formats the native
+    kernels parse but don't pixel-decode: per doc, a deterministic
+    minimal GIF (even doc_id) or JPEG SOI+SOF0 (odd doc_id) byte string
+    with closed-form dimensions, parsed by
+    :func:`~mapreduce_google_spark.operators.codecs.parse_image_dims` —
+    the metadata pass a crawl runs before ever decoding pixels, now
+    evidenced for all four header families (PNG/PNM via t121, GIF/JPEG
+    here).
+
+    Same Arrow plumbing as t121: synthesize and parse inside ONE
+    ``mapInPandas`` batch pass; the oracle states (width, height,
+    channels, format) from doc_id arithmetic alone.
+    """
+    import struct as _struct
+
+    from mapreduce_google_spark.operators import codecs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("format", StringType()),
+        ]
+    )
+
+    def synth_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 31, 9 + d % 17
+                if d % 2 == 0:
+                    blob = (
+                        b"GIF87a"
+                        + _struct.pack("<HH", w, h)
+                        + b"\x00\x00\x00"
+                    )
+                else:
+                    sof0 = _struct.pack(">HBHHB", 8 + 3, 8, h, w, 3)
+                    blob = (
+                        b"\xff\xd8"  # SOI
+                        + b"\xff\xc0"  # SOF0 marker
+                        + sof0
+                    )
+                parsed = codecs.parse_image_dims(blob)
+                pw, ph, ch, fmt = parsed
+                rows.append((d, int(pw), int(ph), int(ch), fmt))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "format"]
+            )
+
+    return docs.select("doc_id").mapInPandas(synth_and_parse, out_schema).orderBy(
+        "doc_id"
+    )

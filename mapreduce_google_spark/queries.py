@@ -5189,6 +5189,25 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t185_header_dims",
+        builder=mm_ops.header_dims,
+        oracle="""
+            SELECT doc_id,
+                   CAST(16 + doc_id % 31 AS INTEGER) AS width,
+                   CAST(9 + doc_id % 17 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'jpeg' END
+                       AS format
+            FROM documents
+            ORDER BY doc_id
+        """,
+        doc="header-only decode for the compressed families: deterministic minimal GIF/JPEG byte strings parsed by the native header kernels; dims closed-form in doc_id (completes codec evidence across PNG/PNM/GIF/JPEG)",
+        tags=("multimodal", "codec"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
