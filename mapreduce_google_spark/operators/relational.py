@@ -2192,3 +2192,41 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(RECURSIVE_ROLLUP_SQL)
+
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T187 — winsorized robust moments: per brand, the mean/min/max of
+    retail prices AFTER clipping to the brand's exact [p01, p99] — the
+    standard tail-taming transform before feature scaling (unlike
+    trimming, winsorization keeps row count).
+
+    Two percentile windows share one brand exchange (t148's plan
+    shape); clipping is codegen column math; the winsorized mean uses
+    the decimal-quantize recipe so its sum is order-independent.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", F.col("p_retailprice").cast("double").alias("price")
+    )
+    wb = Window.partitionBy("p_brand")
+    bounded = part.withColumn(
+        "lo", F.expr("percentile(price, 0.01)").over(wb)
+    ).withColumn("hi", F.expr("percentile(price, 0.99)").over(wb))
+    clipped = bounded.withColumn(
+        "w_price", F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clipped.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.min("w_price"), 6).alias("w_min"),
+            F.round(F.max("w_price"), 6).alias("w_max"),
+            F.round(
+                F.sum(F.round(F.col("w_price"), 6).cast("decimal(20,12)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("w_mean"),
+        )
+        .orderBy("p_brand")
+    )

@@ -990,3 +990,59 @@ def token_burstiness(
         )
         .orderBy("token")
     )
+
+
+def vocab_mass_cut(
+    spark: SparkSession, sf_dir: str, mass: float = 0.95
+) -> DataFrame:
+    """T186 — vocabulary truncation by cumulative mass: rank tokens by
+    corpus frequency and keep the prefix covering 95% of token
+    occurrences — how a bounded vocabulary (or a BPE merge budget) is
+    chosen; the long tail becomes <unk>.
+
+    One token-count hash-agg, then windows over the VOCABULARY-sized
+    table only: a running sum in rank order (freq desc, token asc for
+    determinism) against the exact integer total. A token is kept while
+    the running mass BEFORE it is below the target, so the cut token
+    itself is included — integer cross-multiplication (cum·1 vs
+    mass·total as exact scaled integers) keeps the comparison float-free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mass_scaled = int(round(mass * 100))  # 95 — exact integer threshold
+    ranked = counts.select(
+        "token",
+        "freq",
+        F.row_number().over(w).alias("rank"),
+        (F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, -1))).alias(
+            "cum_before"
+        ),
+        F.sum("freq").over(wtot).alias("total"),
+    )
+    return (
+        ranked.where(
+            F.coalesce(F.col("cum_before"), F.lit(0)) * 100
+            < F.lit(mass_scaled) * F.col("total")
+        )
+        .select(
+            F.col("rank").cast("integer").alias("rank"),
+            "token",
+            "freq",
+            F.round(
+                (F.coalesce(F.col("cum_before"), F.lit(0)) + F.col("freq")).cast(
+                    "double"
+                )
+                / F.col("total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )

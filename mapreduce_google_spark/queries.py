@@ -5208,6 +5208,74 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t186_vocab_mass_cut",
+        builder=ts_ops.vocab_mass_cut,
+        oracle="""
+            WITH counts AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS freq
+                FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '')) AS token
+                    FROM documents
+                )
+                GROUP BY token
+            ),
+            ranked AS (
+                SELECT token, freq,
+                       row_number() OVER w AS rank,
+                       sum(freq) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS cum_before,
+                       sum(freq) OVER () AS total
+                FROM counts
+                WINDOW w AS (ORDER BY freq DESC, token ASC)
+            )
+            SELECT CAST(rank AS INTEGER) AS rank, token, freq,
+                   round(CAST(coalesce(cum_before, 0) + freq AS DOUBLE)
+                         / CAST(total AS DOUBLE), 6) AS cum_share
+            FROM ranked
+            WHERE coalesce(cum_before, 0) * 100 < 95 * total
+            ORDER BY rank
+        """,
+        doc="vocabulary truncation at 95% cumulative mass: integer cross-multiplied cut over the vocab-sized frequency table; the tail becomes <unk>",
+        tags=("llm", "text", "ml-prep"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t187_winsorized_price_stats",
+        builder=rel_ops.winsorized_price_stats,
+        oracle="""
+            WITH bounded AS (
+                SELECT p_brand,
+                       CAST(p_retailprice AS DOUBLE) AS price,
+                       quantile_cont(CAST(p_retailprice AS DOUBLE), 0.01)
+                           OVER (PARTITION BY p_brand) AS lo,
+                       quantile_cont(CAST(p_retailprice AS DOUBLE), 0.99)
+                           OVER (PARTITION BY p_brand) AS hi
+                FROM part
+            ),
+            clipped AS (
+                SELECT p_brand,
+                       least(greatest(price, lo), hi) AS w_price
+                FROM bounded
+            )
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   round(min(w_price), 6) AS w_min,
+                   round(max(w_price), 6) AS w_max,
+                   round(CAST(sum(CAST(round(w_price, 6) AS DECIMAL(20,12)))
+                              AS DOUBLE) / count(*), 6) AS w_mean
+            FROM clipped GROUP BY p_brand ORDER BY p_brand
+        """,
+        doc="winsorized per-brand moments: clip to exact [p01, p99] then robust mean/min/max; two percentile windows share one exchange, clipped values quantized before the mean",
+        tags=("relational", "statistics", "ml-prep"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
