@@ -30,6 +30,11 @@ SCALE_QUERIES = [
     # native codec pipeline (encode→decode→resize→checksum in one Arrow
     # pass) — the heaviest per-row Python work on the registered surface
     "t156_image_resize_checksum",
+    # corpus-scale token machinery new in r04: the span explode and the
+    # split-separated LM count build both grow superlinearly with doc
+    # length — check them at the 100× tier
+    "t139_duplicate_span_coverage",
+    "t150_heldout_lm_nll",
 ]
 
 #: generous wall-clock ceilings (seconds) for the Python-kernel paths at
