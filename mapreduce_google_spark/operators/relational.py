@@ -2230,3 +2230,37 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+#: second verbatim-shared statement (t184's recursive rollup being the
+#: first): modern-dialect surface — GROUP BY ALL, aggregate FILTER
+#: clauses, exact-decimal accumulation, and a window over the aggregate —
+#: one text, two engines.
+SHARED_DIALECT_SQL = """WITH seg AS (
+  SELECT c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(count(*) FILTER (WHERE c_acctbal > 5000) AS BIGINT) AS n_rich,
+         CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_negative,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+  FROM customer
+  GROUP BY ALL
+)
+SELECT segment, n_customers, n_rich, n_negative,
+       round(total_bal, 6) AS total_bal,
+       CAST(rank() OVER (ORDER BY total_bal DESC, segment) AS INTEGER)
+           AS bal_rank
+FROM seg
+ORDER BY segment"""
+
+
+def shared_dialect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T188 — modern-SQL dialect parity, verbatim: GROUP BY ALL,
+    aggregate FILTER clauses, exact-decimal sums, and a rank window over
+    the aggregate, in ONE statement that runs unchanged on Spark and
+    DuckDB (the oracle IS this text — t184's recursive rollup proved
+    the recursion surface; this proves the day-to-day analytics
+    dialect)."""
+    from mapreduce_google_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_DIALECT_SQL)
