@@ -1112,3 +1112,87 @@ def ivf_topk_invariants(
         [(int(bad_cos), int(rank_bad), int(beats), int(1 if n_rows > 0 else 0))],
         "bad_cosines long, rank_violations long, beats_exact long, found_nonempty long",
     )
+
+
+def top_principal_component(
+    spark: SparkSession, sf_dir: str, iters: int = 20
+) -> DataFrame:
+    """T189 — distributed PCA, the scalable way: the d×d covariance
+    matrix is ONE pass over the embeddings (outer-product partial sums,
+    shuffle keyed on (i, j) — 4096 cells for d=64, metadata-sized
+    regardless of corpus size), then the top eigenvector comes from 20
+    power iterations on the DRIVER over that tiny matrix — exactly how
+    PCA/whitening statistics are computed over a 100 TB embedding
+    corpus (cf. k-means' k×dim and PageRank's k² driver state).
+
+    Bit-exact with the unrolled SQL oracle: covariance entries are
+    exact-decimal sums of quantized products with a fixed closed form;
+    each matvec term cov·v is quantized to 12 decimals HALF_UP before
+    its exact sum; the per-iteration normalization is one IEEE
+    sqrt/division chain from deterministic operands. Start vector is
+    the uniform unit vector (1/√d exact for d=64).
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    a = exploded.select("vec_id", F.col("i"), F.col("x").cast("double").alias("xa"))
+    b = exploded.select(
+        "vec_id", F.col("i").alias("j"), F.col("x").cast("double").alias("xb")
+    )
+    moments = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(20,12)"))
+            .cast("double")
+            .alias("sxy"),
+            F.count("*").cast("double").alias("n"),
+        )
+    )
+    means = (
+        exploded.groupBy("i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(20,12)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    cov = (
+        moments.join(means.select(F.col("i"), F.col("m").alias("mi")), "i")
+        .join(means.select(F.col("i").alias("j"), F.col("m").alias("mj")), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj")).alias("cov"),
+        )
+    )
+    rows = cov.collect()
+    d = max(r.i for r in rows) + 1
+    C = {(r.i, r.j): r.cov for r in rows}
+    q12 = Decimal(1).scaleb(-12)
+    v = [1.0 / (d ** 0.5)] * d
+    for _ in range(iters):
+        w = []
+        for i in range(d):
+            s = Decimal(0)
+            for j in range(d):
+                s += Decimal(C[(i, j)] * v[j]).quantize(
+                    q12, rounding=ROUND_HALF_UP
+                )
+            w.append(float(s))
+        nrm_sq = Decimal(0)
+        for wi in w:
+            nrm_sq += Decimal(wi * wi).quantize(q12, rounding=ROUND_HALF_UP)
+        nrm = math.sqrt(float(nrm_sq))
+        v = [wi / nrm for wi in w]
+    out = spark.createDataFrame(
+        [(i, v[i]) for i in range(d)], "dim_idx int, loading double"
+    )
+    return out.select("dim_idx", F.round("loading", 6).alias("loading")).orderBy(
+        "dim_idx"
+    )

@@ -5286,6 +5286,79 @@ register(
     )
 )
 
+def _pca_oracle(iters: int = 20) -> str:
+    """Unrolled power-iteration SQL mirroring top_principal_component:
+    same covariance closed form (quantized outer products, exact means),
+    same quantized matvec terms, same sqrt/divide normalization chain —
+    every CTE materialized so DuckDB doesn't re-inline the covariance
+    build per iteration."""
+    head = """
+        WITH expl AS MATERIALIZED (
+            SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        moments AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(sum(CAST(a.x * b.x AS DECIMAL(20,12))) AS DOUBLE)
+                       AS sxy,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM expl a JOIN expl b USING (vec_id)
+            GROUP BY a.i, b.i
+        ),
+        means AS MATERIALIZED (
+            SELECT i,
+                   CAST(sum(CAST(x AS DECIMAL(20,12))) AS DOUBLE) / count(*)
+                       AS m
+            FROM expl GROUP BY i
+        ),
+        cov AS MATERIALIZED (
+            SELECT moments.i AS i, moments.j AS j,
+                   sxy / n - mi.m * mj.m AS cov
+            FROM moments
+            JOIN means mi ON mi.i = moments.i
+            JOIN means mj ON mj.i = moments.j
+        ),
+        r0 AS MATERIALIZED (
+            SELECT DISTINCT i, 0.125 AS v FROM cov
+        )
+    """
+    steps = "".join(
+        f""",
+        w{k} AS MATERIALIZED (
+            SELECT c.i,
+                   CAST(sum(CAST(c.cov * r.v AS DECIMAL(20,12))) AS DOUBLE)
+                       AS w
+            FROM cov c JOIN r{k - 1} r ON r.i = c.j
+            GROUP BY c.i
+        ),
+        n{k} AS MATERIALIZED (
+            SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(20,12))) AS DOUBLE))
+                AS nrm
+            FROM w{k}
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT i, w / nrm AS v FROM w{k} CROSS JOIN n{k}
+        )"""
+        for k in range(1, iters + 1)
+    )
+    return (
+        head
+        + steps
+        + f""" SELECT CAST(i AS INTEGER) AS dim_idx, round(v, 6) AS loading
+          FROM r{iters} ORDER BY dim_idx"""
+    )
+
+
+register(
+    QuerySpec(
+        name="t189_top_principal_component",
+        builder=sim_ops.top_principal_component,
+        oracle=_pca_oracle(20),
+        doc="distributed PCA: one-pass dxd covariance (metadata-sized outer-product agg) + 20 driver power iterations; the oracle unrolls the identical quantized matvec/normalize chain",
+        tags=("llm", "similarity", "iterative", "statistics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
