@@ -1196,3 +1196,49 @@ def top_principal_component(
     return out.select("dim_idx", F.round("loading", 6).alias("loading")).orderBy(
         "dim_idx"
     )
+
+
+def principal_score_stats(
+    spark: SparkSession, sf_dir: str, iters: int = 20
+) -> DataFrame:
+    """T190 — USE the principal component: project every embedding onto
+    the t189 eigenvector and report per-label score statistics — the
+    "does the top direction of variance separate my labels" check run
+    before trusting PCA features downstream.
+
+    The eigenvector is driver-state (t189's power iteration); the
+    projection is a narrow JVM fold against the broadcast-literal
+    vector (no Python, no second shuffle of embeddings); per-label
+    stats quantize each score before the exact sums.
+    """
+    from pyspark.sql import Row
+
+    pc = top_principal_component(spark, sf_dir, iters).collect()
+    v = [r.loading for r in sorted(pc, key=lambda r: r.dim_idx)]
+    lit = F.array(*[F.lit(float(x)) for x in v])
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), lit, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    return (
+        emb.select("label", score.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(20,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_score"),
+            F.round(F.min("s"), 6).alias("min_score"),
+            F.round(F.max("s"), 6).alias("max_score"),
+        )
+        .orderBy("label")
+    )

@@ -5349,6 +5349,33 @@ def _pca_oracle(iters: int = 20) -> str:
     )
 
 
+def _pca_score_oracle(iters: int = 20) -> str:
+    """t190: the t189 chain with a scoring tail — embeddings projected
+    onto the ROUNDED eigenvector (t189's emitted loadings), per-label
+    stats over quantized scores."""
+    base = _pca_oracle(iters)
+    chain = base[: base.rindex(" SELECT ")]
+    return (
+        chain
+        + f""",
+        vlist AS MATERIALIZED (
+            SELECT list(round(v, 6) ORDER BY i) AS vl FROM r{iters}
+        ),
+        scored AS (
+            SELECT label,
+                   round(list_inner_product(embedding::DOUBLE[], vl), 6) AS s
+            FROM embeddings CROSS JOIN vlist
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(CAST(sum(CAST(s AS DECIMAL(20,12))) AS DOUBLE)
+                     / count(*), 6) AS mean_score,
+               round(min(s), 6) AS min_score,
+               round(max(s), 6) AS max_score
+        FROM scored GROUP BY label ORDER BY label"""
+    )
+
+
 register(
     QuerySpec(
         name="t189_top_principal_component",
@@ -5356,6 +5383,16 @@ register(
         oracle=_pca_oracle(20),
         doc="distributed PCA: one-pass dxd covariance (metadata-sized outer-product agg) + 20 driver power iterations; the oracle unrolls the identical quantized matvec/normalize chain",
         tags=("llm", "similarity", "iterative", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t190_principal_score_stats",
+        builder=sim_ops.principal_score_stats,
+        oracle=_pca_score_oracle(20),
+        doc="PCA in use: embeddings projected onto the t189 eigenvector (broadcast-literal JVM fold), per-label score stats — the label-separation check for the top variance direction",
+        tags=("llm", "similarity", "statistics"),
     )
 )
 
