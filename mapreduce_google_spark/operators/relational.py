@@ -2264,3 +2264,43 @@ def shared_dialect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(SHARED_DIALECT_SQL)
+
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T191 — 2-D skyline: parts not dominated on (price, size) — no
+    other part is ≤ on both and < on one ("cheapest for its size
+    class"). The multi-criteria shortlist operator warehouses express
+    with a quadratic NOT EXISTS; in dataflow the 2-D case collapses to
+    ONE sorted window pass — sort by (price asc, size asc, key), keep a
+    row iff its size is strictly below the running minimum size of all
+    STRICTLY CHEAPER rows — O(n log n), no self-join anywhere.
+
+    Equal values need care (domination requires strict inequality
+    somewhere): collapse to per-price minimum sizes first, run the
+    running-min over STRICTLY cheaper distinct prices (a
+    price-cardinality-sized window), and join back — a row survives iff
+    it holds its price's minimum size AND beats the best size among all
+    cheaper prices. (price, size) ties are all kept. The oracle states
+    the quadratic NOT-EXISTS textbook definition directly, proving the
+    sweep equivalent.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    per_price = part.groupBy("price").agg(F.min("size").alias("pmin"))
+    wp = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    cheaper = per_price.withColumn("min_cheaper", F.min("pmin").over(wp))
+    return (
+        part.join(cheaper, "price")
+        .where(
+            (F.col("size") == F.col("pmin"))
+            & (
+                F.col("min_cheaper").isNull()
+                | (F.col("size") < F.col("min_cheaper"))
+            )
+        )
+        .select("p_partkey", F.round("price", 6).alias("price"), "size")
+        .orderBy("p_partkey")
+    )

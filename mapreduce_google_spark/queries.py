@@ -5396,6 +5396,29 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t191_pareto_frontier",
+        builder=rel_ops.pareto_frontier,
+        oracle="""
+            SELECT p_partkey,
+                   round(CAST(p_retailprice AS DOUBLE), 6) AS price,
+                   CAST(p_size AS BIGINT) AS size
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size <= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size < p.p_size)
+            )
+            ORDER BY p_partkey
+        """,
+        doc="2-D skyline (non-dominated on price x size) computed as one sorted sweep over per-price minima — O(n log n), no self-join; oracle is the textbook quadratic NOT EXISTS",
+        tags=("relational", "skyline", "window"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
