@@ -1086,3 +1086,42 @@ def edit_distance_pairs(
         .where(F.col("edit_sim") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T192 — canonical-selection policy: exact-dup groups keep the
+    HIGHEST-quality member (t27's composite; doc_id breaks ties) instead
+    of t17's lowest-id — the policy real pipelines want, where the
+    canonical copy should be the cleanest one, not the earliest-crawled.
+
+    Same single fingerprint shuffle as t17 with the quality column
+    riding along; the winner is one row_number window over the group.
+    """
+    from mapreduce_google_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    flagged = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    ).join(quality, "doc_id")
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_dups",
+            F.count("*").over(
+                Window.partitionBy("fingerprint").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").cast("long").alias("kept_doc"),
+            "quality",
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+        .orderBy("kept_doc")
+    )

@@ -5419,6 +5419,60 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t192_dedup_keep_best",
+        builder=dedup_ops.dedup_keep_best,
+        oracle="""
+            WITH base AS (
+                SELECT doc_id,
+                       md5(lower(trim(text))) AS fingerprint,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS tokens,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(length(text) -
+                            length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                            AS BIGINT) AS n_punct
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, fingerprint,
+                       round(CAST(
+                           (CASE WHEN len(tokens) BETWEEN 5 AND 100000
+                                 THEN 0.4 ELSE 0.0 END)
+                           + (CASE WHEN (CASE WHEN n_chars > 0
+                                         THEN n_punct / CAST(n_chars AS DOUBLE)
+                                         ELSE 0.0 END) < 0.2
+                              THEN 0.3 ELSE 0.0 END)
+                           + (CASE WHEN (CASE WHEN len(tokens) > 0
+                                         THEN len(list_filter(tokens,
+                                              t -> list_contains(
+                                                  ['the','a','of','and',
+                                                   'der','el','la'], t)))
+                                              / CAST(len(tokens) AS DOUBLE)
+                                         ELSE 0.0 END) > 0.01
+                              THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6)
+                           AS quality
+                FROM base
+            )
+            SELECT doc_id AS kept_doc, quality,
+                   CAST(n_dups AS BIGINT) AS n_dups
+            FROM (
+                SELECT doc_id, quality,
+                       row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY quality DESC, doc_id)
+                           AS rn,
+                       count(*) OVER (PARTITION BY fingerprint) AS n_dups
+                FROM scored
+            )
+            WHERE rn = 1
+            ORDER BY kept_doc
+        """,
+        doc="canonical-selection policy: exact-dup groups keep the highest-quality member (t27 composite, doc_id tiebreak) — the keep-cleanest counterpart to t17's keep-earliest",
+        tags=("llm", "dedup", "quality"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
