@@ -23,7 +23,7 @@ def test_oracles_reference_only_known_tables():
             continue
         ctes = set(
             re.findall(
-                r"(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(",
+                r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(",
                 spec.oracle,
                 re.I,
             )
