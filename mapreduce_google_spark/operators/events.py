@@ -1102,3 +1102,43 @@ def interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T194 — journey timing: mean dwell seconds per (current, next)
+    event-type transition — t175's edge table with TIME on the edges,
+    the input to journey bottleneck analysis ("users stall between
+    view and purchase").
+
+    Same single lag/lead window pass; gaps are exact BIGINT
+    microseconds, the mean is an exact decimal sum with one division,
+    emitted in seconds.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_ts", F.lead("ts_us").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+            (F.col("next_ts") - F.col("ts_us")).alias("dwell_us"),
+        )
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.round(
+                F.sum(F.col("dwell_us").cast("decimal(20,0)")).cast("double")
+                / F.count("*")
+                / 1_000_000.0,
+                6,
+            ).alias("mean_dwell_sec"),
+            F.round(F.max("dwell_us") / 1_000_000.0, 6).alias("max_dwell_sec"),
+        )
+        .orderBy("src", "dst")
+    )

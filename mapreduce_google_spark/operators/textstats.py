@@ -1046,3 +1046,44 @@ def vocab_mass_cut(
         )
         .orderBy("rank")
     )
+
+
+def lm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T193 — filter calibration: decile the corpus by the statistical
+    LM score (t67) and report each decile's mean heuristic quality
+    (t27) — the agreement check run before trusting either filter to
+    gate the other's blind spots; a monotone table means the two
+    signals rank documents consistently.
+
+    Both scores are existing single-pass operators; the decile cut is
+    one NTILE window over (score, doc_id) and the means use the
+    decimal-quantize recipe. The oracle composes the two operators' SQL
+    verbatim as CTEs, so calibration can never drift from the
+    registered definitions.
+    """
+    from mapreduce_google_spark.operators.textstats import (
+        bigram_lm_score,
+        quality_score,
+    )
+
+    lm = bigram_lm_score(spark, sf_dir).select("doc_id", "lm_score")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = lm.join(q, "doc_id")
+    w = Window.orderBy("lm_score", "doc_id")
+    dec = lambda c: F.col(c).cast("decimal(20,12)")  # noqa: E731
+    return (
+        j.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum(dec("lm_score")).cast("double") / F.count("*"), 6).alias(
+                "mean_lm_score"
+            ),
+            F.round(F.sum(dec("quality")).cast("double") / F.count("*"), 6).alias(
+                "mean_quality"
+            ),
+        )
+        .select(F.col("decile").cast("integer").alias("decile"), "n_docs",
+                "mean_lm_score", "mean_quality")
+        .orderBy("decile")
+    )

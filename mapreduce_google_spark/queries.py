@@ -5473,6 +5473,63 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t193_lm_quality_calibration",
+        builder=ts_ops.lm_quality_calibration,
+        oracle=(
+            "WITH lm AS ("
+            + REGISTRY["t67_bigram_lm_score"].oracle
+            + "), q AS ("
+            + REGISTRY["t27_quality_score"].oracle
+            + """)
+            SELECT CAST(decile AS INTEGER) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(sum(CAST(lm_score AS DECIMAL(20,12)))
+                              AS DOUBLE) / count(*), 6) AS mean_lm_score,
+                   round(CAST(sum(CAST(quality AS DECIMAL(20,12)))
+                              AS DOUBLE) / count(*), 6) AS mean_quality
+            FROM (
+                SELECT lm.doc_id, lm.lm_score, q.quality,
+                       ntile(10) OVER (ORDER BY lm.lm_score, lm.doc_id)
+                           AS decile
+                FROM lm JOIN q ON q.doc_id = lm.doc_id
+            )
+            GROUP BY decile ORDER BY decile
+            """
+        ),
+        doc="filter calibration: LM-score deciles vs mean heuristic quality — the two registered filters' SQL composed verbatim, so the agreement table can't drift from their definitions",
+        tags=("llm", "quality", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t194_transition_dwell_times",
+        builder=event_ops.transition_dwell_times,
+        oracle="""
+            WITH pairs AS (
+                SELECT event_type AS src,
+                       lead(event_type) OVER w AS dst,
+                       lead(ts_us) OVER w - ts_us AS dwell_us
+                FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                             event_type FROM events)
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            )
+            SELECT src, dst,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   round(CAST(sum(CAST(dwell_us AS DECIMAL(20,0)))
+                              AS DOUBLE) / count(*) / 1000000.0, 6)
+                       AS mean_dwell_sec,
+                   round(max(dwell_us) / 1000000.0, 6) AS max_dwell_sec
+            FROM pairs WHERE dst IS NOT NULL
+            GROUP BY src, dst ORDER BY src, dst
+        """,
+        doc="journey timing: mean/max dwell seconds per event-type transition (t175's edges with time) — exact integer gaps, decimal-exact means",
+        tags=("events", "statistics", "graph"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
