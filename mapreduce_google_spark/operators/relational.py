@@ -2304,3 +2304,47 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", F.round("price", 6).alias("price"), "size")
         .orderBy("p_partkey")
     )
+
+
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T195 — hierarchical contribution: each nation's share of its
+    REGION's revenue and of the GLOBAL total in one result — the
+    ratio-to-parent / ratio-to-report pattern, computed with two window
+    sums over the nation-grain aggregate (no re-scan, no join back).
+
+    Revenue aggregates to nation grain first with exact decimals (the
+    t09 shape); both shares are IEEE divisions of exactly-accumulated
+    operands, so the window denominator equals the sum of its
+    numerators bit-for-bit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("rev")
+    )
+    per_nation = (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rev").alias("rev_dec"))
+    )
+    wr = Window.partitionBy("r_name")
+    wg = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("rev_dec").cast("double"), 6).alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(wg).cast("double"),
+            6,
+        ).alias("share_of_total"),
+    ).orderBy("r_name", "n_name")

@@ -1242,3 +1242,59 @@ def principal_score_stats(
         )
         .orderBy("label")
     )
+
+
+def dim_standardization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T196 — the feature-standardization table: per embedding dimension,
+    exact mean and population std plus the count of |z| > 3 values — the
+    per-dim scaler a training pipeline persists (and the screen for dead
+    or exploding dimensions).
+
+    One posexplode pass: Σx and Σx² accumulate in quantized decimal per
+    dim (order-independent), mean/std are fixed IEEE expressions, and
+    the outlier count re-uses the same per-row values against the
+    derived bounds — all in one map-side-combined aggregation plus one
+    broadcast join back.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    moments = exploded.groupBy("dim").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,12)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(20,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    stats = moments.select(
+        "dim",
+        F.col("n").cast("long").alias("n_values"),
+        mean.alias("m"),
+        std.alias("s"),
+    )
+    joined = exploded.join(F.broadcast(stats), "dim")
+    return (
+        joined.groupBy("dim")
+        .agg(
+            F.max("n_values").alias("n_values"),
+            F.round(F.max("m"), 6).alias("mean_val"),
+            F.round(F.max("s"), 6).alias("std_val"),
+            F.sum(
+                F.when(F.abs(F.col("x") - F.col("m")) > 3.0 * F.col("s"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("dim").cast("integer").alias("dim_idx"),
+            "n_values",
+            "mean_val",
+            "std_val",
+            "n_outliers",
+        )
+        .orderBy("dim_idx")
+    )

@@ -5530,6 +5530,77 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t195_nation_share_of_region",
+        builder=rel_ops.nation_share_of_region,
+        oracle="""
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+                FROM orders GROUP BY o_custkey
+            ),
+            per_nation AS (
+                SELECT r_name, n_name, sum(rev) AS rev_dec
+                FROM per_cust
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                GROUP BY r_name, n_name
+            )
+            SELECT r_name, n_name,
+                   round(CAST(rev_dec AS DOUBLE), 6) AS revenue,
+                   round(CAST(rev_dec AS DOUBLE)
+                         / CAST(sum(rev_dec) OVER (PARTITION BY r_name)
+                                AS DOUBLE), 6) AS share_of_region,
+                   round(CAST(rev_dec AS DOUBLE)
+                         / CAST(sum(rev_dec) OVER () AS DOUBLE), 6)
+                       AS share_of_total
+            FROM per_nation
+            ORDER BY r_name, n_name
+        """,
+        doc="hierarchical contribution: nation revenue share of region and of total via two window sums over the nation-grain aggregate (ratio-to-parent / ratio-to-report)",
+        tags=("relational", "window", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t196_dim_standardization_stats",
+        builder=sim_ops.dim_standardization_stats,
+        oracle="""
+            WITH expl AS (
+                SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings,
+                     UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            moments AS (
+                SELECT dim,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(x AS DECIMAL(20,12))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(x * x AS DECIMAL(20,12))) AS DOUBLE)
+                           AS sxx
+                FROM expl GROUP BY dim
+            ),
+            stats AS (
+                SELECT dim, n, sx / n AS m,
+                       sqrt(sxx / n - (sx / n) * (sx / n)) AS s
+                FROM moments
+            )
+            SELECT CAST(e.dim AS INTEGER) AS dim_idx,
+                   CAST(max(n) AS BIGINT) AS n_values,
+                   round(max(m), 6) AS mean_val,
+                   round(max(s), 6) AS std_val,
+                   CAST(sum(CASE WHEN abs(x - m) > 3.0 * s THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM expl e JOIN stats USING (dim)
+            GROUP BY e.dim ORDER BY dim_idx
+        """,
+        doc="per-dimension scaler table: exact mean/std from quantized moments plus |z|>3 outlier counts — the standardization a pipeline persists, and the dead/exploding-dim screen",
+        tags=("llm", "similarity", "ml-prep"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
