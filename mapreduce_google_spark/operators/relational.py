@@ -2348,3 +2348,55 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_total"),
     ).orderBy("r_name", "n_name")
+
+
+def price_quantity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T197 — 2-D histogram: lineitem binned on (price, quantity) into a
+    fixed equi-width grid with exact-decimal revenue per cell — the
+    density grid behind every heatmap, and the cheap joint-distribution
+    summary a planner's multi-column statistics need.
+
+    Bin ids are integer arithmetic on exact decimals (floor of value
+    over width — no float boundary wobble); one map-side-combined
+    hash-agg on the (row, col) cell key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price_bin = F.floor(money("l_extendedprice") / F.lit(10000)).cast("long")
+    qty_bin = F.floor(money("l_quantity") / F.lit(10)).cast("long")
+    return (
+        li.groupBy(price_bin.alias("price_bin"), qty_bin.alias("qty_bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(money("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("price_bin", "qty_bin")
+    )
+
+
+def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T198 — rolling 7-day revenue by RANGE frame: per order day, the
+    sum of revenue over the trailing week BY VALUE (RANGE BETWEEN 6
+    PRECEDING AND CURRENT ROW over the day number) — the frame that
+    stays correct when days are MISSING, where a ROWS frame would
+    silently reach further back. The registry's first RANGE-frame
+    query; everything else uses ROWS.
+
+    Daily revenue aggregates exactly first (tiny day-grain table); the
+    RANGE window runs over day numbers with decimal revenue summed
+    inside the frame — order-independent because the frame content is
+    value-determined, not tie-ordered.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day_num"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(money("o_totalprice")).alias("rev_dec"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("rev_dec").cast("double"), 6).alias("day_revenue"),
+        F.round(F.sum("rev_dec").over(w).cast("double"), 6).alias(
+            "trailing_7d_revenue"
+        ),
+        F.count("*").over(w).cast("long").alias("n_days_in_window"),
+    ).orderBy("day")

@@ -5601,6 +5601,53 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t197_price_quantity_grid",
+        builder=rel_ops.price_quantity_grid,
+        oracle="""
+            SELECT CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2)) / 10000)
+                        AS BIGINT) AS price_bin,
+                   CAST(floor(CAST(l_quantity AS DECIMAL(12,2)) / 10)
+                        AS BIGINT) AS qty_bin,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                              AS DOUBLE), 6) AS sum_price
+            FROM lineitem
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        doc="2-D equi-width histogram over (price, quantity): integer bin arithmetic on exact decimals, one hash-agg on the cell key — the joint-distribution grid behind heatmaps and multi-column stats",
+        tags=("relational", "statistics", "histogram"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t198_rolling_week_revenue",
+        builder=rel_ops.rolling_week_revenue,
+        oracle="""
+            WITH daily AS (
+                SELECT datediff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE)) AS day_num,
+                       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+                       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT day,
+                   round(CAST(rev_dec AS DOUBLE), 6) AS day_revenue,
+                   round(CAST(sum(rev_dec) OVER w AS DOUBLE), 6)
+                       AS trailing_7d_revenue,
+                   CAST(count(*) OVER w AS BIGINT) AS n_days_in_window
+            FROM daily
+            WINDOW w AS (ORDER BY day_num
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY day
+        """,
+        doc="the registry's first RANGE frame: trailing-7-day revenue BY VALUE over day numbers, correct across missing days where a ROWS frame would over-reach; exact decimals inside the frame",
+        tags=("relational", "window", "date"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
