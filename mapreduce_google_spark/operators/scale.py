@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.functions.numeric import dsum, money
+from mapreduce_google_spark.functions.text import tokenize
 from mapreduce_google_spark.io import cache_tag, load_table, register_views
 
 #: decimal sum → double, rounded — deterministic vs the oracle regardless
@@ -700,4 +701,64 @@ def numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.col_a", "r.col_b", "r.pearson_r")
         .orderBy("col_a", "col_b")
+    )
+
+
+def pipeline_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T200 — the engine's one-row-per-metric health dashboard: corpus
+    size, exact-dup rate, vocabulary size, mean doc quality, event
+    volume, conversion count, and revenue total — the numbers a data
+    team glances at before a run, computed as a union of the registered
+    operators' own aggregates (long form, so adding metrics never
+    changes the schema).
+
+    Each leg is a tiny independent aggregate; Spark runs them as one
+    job with union parallelism. Values are emitted as rounded doubles
+    for schema uniformity; the oracle restates each leg in SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    toks = F.filter(tokenize("text"), lambda t: t != "")
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("metric"), F.round(F.col("v").cast("double"), 6).alias("value"))
+
+    n_docs = metric("n_documents", docs.agg(F.count("*").alias("v")))
+    dup_rate = metric(
+        "exact_dup_fraction",
+        docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(
+            (
+                (F.count("*") - F.countDistinct("fp")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        ),
+    )
+    vocab = metric(
+        "vocab_size",
+        docs.select(F.explode(toks).alias("t")).agg(
+            F.countDistinct("t").alias("v")
+        ),
+    )
+    tokens = metric(
+        "total_tokens", docs.select(F.size(toks).alias("n")).agg(F.sum("n").alias("v"))
+    )
+    events_n = metric("n_events", ev.agg(F.count("*").alias("v")))
+    purchases = metric(
+        "n_purchases",
+        ev.where(F.col("event_type") == "purchase").agg(F.count("*").alias("v")),
+    )
+    revenue = metric(
+        "total_order_revenue",
+        orders.agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("v")),
+    )
+    return (
+        n_docs.unionAll(dup_rate)
+        .unionAll(vocab)
+        .unionAll(tokens)
+        .unionAll(events_n)
+        .unionAll(purchases)
+        .unionAll(revenue)
+        .orderBy("metric")
     )

@@ -1087,3 +1087,45 @@ def lm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_lm_score", "mean_quality")
         .orderBy("decile")
     )
+
+
+def token_budget_allocation(
+    spark: SparkSession, sf_dir: str, budget: int = 1_000_000
+) -> DataFrame:
+    """T199 — the mixing plan in tokens: per source, its token count,
+    its t140 temperature weight (count^0.5 over docs), the token budget
+    it receives under a 1M-token run, and the implied epochs (budgeted
+    tokens over available tokens — >1 means the source repeats).
+
+    Composes the registered operators' math: token counts from the t19
+    pass, weights from the t140 normalizer (same quantized sqrt), both
+    at source grain, so the plan is one small-table join. Epochs are
+    one IEEE division; budget tokens round half-up to integers via
+    exact decimal scaling.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda t: t != "")
+    per_source = docs.select(
+        "source", F.size(toks).cast("long").alias("n_toks")
+    ).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    scaled = per_source.withColumn(
+        "w_dec", F.sqrt(F.col("n_docs").cast("double")).cast("decimal(20,12)")
+    )
+    total = scaled.groupBy().agg(F.sum("w_dec").alias("w_total"))
+    weighted = scaled.crossJoin(F.broadcast(total)).withColumn(
+        "weight",
+        F.col("w_dec").cast("double") / F.col("w_total").cast("double"),
+    )
+    return weighted.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("weight", 6).alias("weight"),
+        F.round(F.col("weight") * budget, 6).alias("budget_tokens"),
+        F.round(
+            (F.col("weight") * budget) / F.col("n_tokens").cast("double"), 6
+        ).alias("epochs"),
+    ).orderBy("source")

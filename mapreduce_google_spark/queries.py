@@ -5648,6 +5648,82 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t199_token_budget_allocation",
+        builder=ts_ops.token_budget_allocation,
+        oracle="""
+            WITH per_source AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           t -> t <> ''))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            scaled AS (
+                SELECT source, n_docs, n_tokens,
+                       CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(20,12))
+                           AS w_dec
+                FROM per_source
+            ),
+            total AS (SELECT sum(w_dec) AS w_total FROM scaled)
+            SELECT source, n_docs, n_tokens,
+                   round(CAST(w_dec AS DOUBLE) / CAST(w_total AS DOUBLE), 6)
+                       AS weight,
+                   round((CAST(w_dec AS DOUBLE) / CAST(w_total AS DOUBLE))
+                         * 1000000, 6) AS budget_tokens,
+                   round(((CAST(w_dec AS DOUBLE) / CAST(w_total AS DOUBLE))
+                          * 1000000) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+            FROM scaled CROSS JOIN total
+            ORDER BY source
+        """,
+        doc="the mixing plan in tokens: per-source counts, t140 temperature weights, budgeted tokens under a 1M run, and implied epochs (>1 means the source repeats)",
+        tags=("llm", "sampling", "statistics"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t200_pipeline_dashboard",
+        builder=scale_ops.pipeline_dashboard,
+        oracle="""
+            SELECT metric, round(CAST(v AS DOUBLE), 6) AS value FROM (
+                SELECT 'exact_dup_fraction' AS metric,
+                       (count(*) - count(DISTINCT md5(lower(trim(text)))))
+                       / CAST(count(*) AS DOUBLE) AS v
+                FROM documents
+                UNION ALL
+                SELECT 'n_documents', count(*) FROM documents
+                UNION ALL
+                SELECT 'n_events', count(*) FROM events
+                UNION ALL
+                SELECT 'n_purchases', count(*) FROM events
+                WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT 'total_order_revenue',
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                            AS DOUBLE)
+                FROM orders
+                UNION ALL
+                SELECT 'total_tokens',
+                       sum(len(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '')))
+                FROM documents
+                UNION ALL
+                SELECT 'vocab_size', count(DISTINCT t) FROM (
+                    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+                    FROM documents
+                ) WHERE t <> ''
+            )
+            ORDER BY metric
+        """,
+        doc="one-glance engine dashboard: corpus size, dup rate, vocabulary, token total, event volume, purchases, revenue — long-form union of the registered operators' own aggregates",
+        tags=("scale", "diagnostics", "pipeline"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
