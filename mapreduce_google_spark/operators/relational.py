@@ -2400,3 +2400,39 @@ def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").over(w).cast("long").alias("n_days_in_window"),
     ).orderBy("day")
+
+
+def quantile_transform_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T201 — quantile (rank) transform: map part prices to uniform
+    (0, 1) by rank/(n+1) — the monotone normalization robust to any
+    distribution shape, persisted per brand so serving can replay it.
+
+    percent-style rank with AVERAGE tie handling ((min_rank + max_rank)
+    / 2, the scikit-learn default) so equal prices get equal quantiles:
+    two rank windows per brand partition, integer arithmetic until the
+    final division.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.col("p_retailprice").cast("double").alias("price")
+    )
+    wb = Window.partitionBy("p_brand").orderBy("price")
+    wn = Window.partitionBy("p_brand")
+    ranked = part.withColumn("rmin", F.rank().over(wb)).withColumn(
+        "cnt_le",
+        F.count("*").over(
+            Window.partitionBy("p_brand")
+            .orderBy("price")
+            .rangeBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.count("*").over(wn))
+    # average rank of a tie group = (min_rank + max_rank) / 2, where
+    # max_rank = count of rows with price <= this one
+    q = (F.col("rmin") + F.col("cnt_le")).cast("double") / (
+        2.0 * (F.col("n") + 1).cast("double")
+    )
+    return ranked.select(
+        "p_partkey",
+        "p_brand",
+        F.round("price", 6).alias("price"),
+        F.round(q, 6).alias("quantile"),
+    ).orderBy("p_partkey")

@@ -325,3 +325,43 @@ def shard_planner(
         )
         .orderBy("shard")
     )
+
+
+def split_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T202 — split-quality QA: chi-square independence of the
+    train/val/test assignment against the embedding labels (documents ⋈
+    embeddings on id) — a biased hash split would make label
+    distribution depend on split, poisoning eval comparability; a sound
+    one shows a small statistic.
+
+    Same exact-decimal chi-square grid as t158 (every (split, label)
+    combo contributes its (o−e)²/e term, empty cells included), over
+    the deterministic md5 split column.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    assigned = split_assign(docs.join(emb, "doc_id"))
+    cont = assigned.groupBy("split", "label").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    rows = cont.groupBy("split").agg(F.sum("o").alias("rt"))
+    cols = cont.groupBy("label").agg(F.sum("o").alias("ct"))
+    tot = cont.groupBy().agg(F.sum("o").alias("n"))
+    grid = (
+        rows.crossJoin(F.broadcast(cols))
+        .crossJoin(F.broadcast(tot))
+        .join(cont, ["split", "label"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0.0)))
+        .withColumn("e", (F.col("rt") * F.col("ct")) / F.col("n"))
+    )
+    term = ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))) / F.col("e")
+    return grid.agg(
+        F.countDistinct("split").cast("long").alias("n_splits"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.round(F.sum(term.cast("decimal(20,12)")).cast("double"), 6).alias("chi2"),
+        ((F.countDistinct("split") - 1) * (F.countDistinct("label") - 1))
+        .cast("long")
+        .alias("dof"),
+    )

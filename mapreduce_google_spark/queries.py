@@ -5724,6 +5724,81 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t201_quantile_transform",
+        builder=rel_ops.quantile_transform_prices,
+        oracle="""
+            WITH ranked AS (
+                SELECT p_partkey, p_brand,
+                       CAST(p_retailprice AS DOUBLE) AS price,
+                       rank() OVER (PARTITION BY p_brand
+                                    ORDER BY CAST(p_retailprice AS DOUBLE))
+                           AS rmin,
+                       count(*) OVER (PARTITION BY p_brand
+                                      ORDER BY CAST(p_retailprice AS DOUBLE)
+                                      RANGE BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS cnt_le,
+                       count(*) OVER (PARTITION BY p_brand) AS n
+                FROM part
+            )
+            SELECT p_partkey, p_brand,
+                   round(price, 6) AS price,
+                   round(CAST(rmin + cnt_le AS DOUBLE)
+                         / (2.0 * CAST(n + 1 AS DOUBLE)), 6) AS quantile
+            FROM ranked ORDER BY p_partkey
+        """,
+        doc="quantile (rank) transform to uniform (0,1) with average tie handling ((min_rank+max_rank)/2) — the monotone normalization persisted per brand; integer arithmetic until the final division",
+        tags=("relational", "ml-prep", "window"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t202_split_label_drift",
+        builder=sample_ops.split_label_drift,
+        oracle="""
+            WITH assigned AS (
+                SELECT CASE WHEN bucket < 80 THEN 'train'
+                            WHEN bucket < 90 THEN 'val'
+                            ELSE 'test' END AS split,
+                       label
+                FROM (
+                    SELECT CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                                25, 8)) AS BIGINT) % 100
+                               AS bucket,
+                           e.label
+                    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+                )
+            ),
+            cont AS (
+                SELECT split, label, CAST(count(*) AS DOUBLE) AS o
+                FROM assigned GROUP BY split, label
+            ),
+            rows_t AS (SELECT split, sum(o) AS rt FROM cont GROUP BY split),
+            cols_t AS (SELECT label, sum(o) AS ct FROM cont GROUP BY label),
+            tot AS (SELECT sum(o) AS n FROM cont),
+            grid AS (
+                SELECT r.split, c.label, rt, ct, n,
+                       coalesce(o, 0.0) AS o,
+                       (rt * ct) / n AS e
+                FROM rows_t r CROSS JOIN cols_t c CROSS JOIN tot
+                LEFT JOIN cont USING (split, label)
+            )
+            SELECT CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+                   CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+                   round(CAST(sum(CAST(((o - e) * (o - e)) / e
+                                       AS DECIMAL(20,12))) AS DOUBLE), 6)
+                       AS chi2,
+                   CAST((count(DISTINCT split) - 1)
+                        * (count(DISTINCT label) - 1) AS BIGINT) AS dof
+            FROM grid
+        """,
+        doc="split-quality QA: chi-square of the md5 train/val/test assignment against embedding labels — a biased split shows up as label-split dependence; exact-decimal grid, empty cells included",
+        tags=("llm", "sampling", "statistics", "invariant"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
