@@ -1142,3 +1142,55 @@ def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+def sequence_anomaly_scores(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """T203 — behavioral anomaly detection: score each user's event
+    sequence by its mean negative log-likelihood under the corpus
+    transition model (t175's matrix) and report the top-k most
+    surprising users — the classic bot / scripted-traffic screen.
+
+    The transition model is one lag-window + hash-agg pass; scoring
+    joins each user's transition instances back to the model
+    probabilities (an equi-join on the type pair — 25 keys, broadcast)
+    and averages −ln P per user with quantized-decimal sums. One
+    shuffle on user_id, one broadcast join, a global top-k heap.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    inst = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+    )
+    pairs = inst.groupBy("src", "dst").agg(F.count("*").cast("long").alias("c"))
+    tot = Window.partitionBy("src")
+    model = pairs.select(
+        "src",
+        "dst",
+        (F.col("c").cast("double") / F.sum("c").over(tot).cast("double")).alias(
+            "p"
+        ),
+    )
+    scored = inst.join(F.broadcast(model), ["src", "dst"]).select(
+        "user_id", (-F.log("p")).cast("decimal(20,12)").alias("nll")
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias(
+                "mean_nll"
+            ),
+        )
+        .orderBy(F.col("mean_nll").desc(), F.col("user_id").asc())
+        .limit(k)
+    )

@@ -5799,6 +5799,40 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t203_sequence_anomaly_scores",
+        builder=event_ops.sequence_anomaly_scores,
+        oracle="""
+            WITH inst AS (
+                SELECT user_id, event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY epoch_us(ts), event_id)
+                           AS dst
+                FROM events
+            ),
+            inst2 AS (SELECT * FROM inst WHERE dst IS NOT NULL),
+            model AS (
+                SELECT src, dst,
+                       CAST(count(*) AS DOUBLE)
+                       / CAST(sum(count(*)) OVER (PARTITION BY src)
+                              AS DOUBLE) AS p
+                FROM inst2 GROUP BY src, dst
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   round(CAST(sum(CAST(-ln(p) AS DECIMAL(20,12))) AS DOUBLE)
+                         / count(*), 6) AS mean_nll
+            FROM inst2 JOIN model USING (src, dst)
+            GROUP BY user_id
+            ORDER BY mean_nll DESC, user_id ASC
+            LIMIT 20
+        """,
+        doc="bot screen: per-user mean -lnP of consecutive transitions under the corpus Markov model, top-20 most surprising; broadcast model join, quantized NLL sums",
+        tags=("events", "statistics", "anomaly"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
