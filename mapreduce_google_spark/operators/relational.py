@@ -2436,3 +2436,50 @@ def quantile_transform_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("price", 6).alias("price"),
         F.round(q, 6).alias("quantile"),
     ).orderBy("p_partkey")
+
+
+def weekday_adjusted_anomalies(
+    spark: SparkSession, sf_dir: str, z_threshold: float = 2.0
+) -> DataFrame:
+    """T204 — seasonality-corrected anomaly detection: daily order
+    revenue flagged where it sits more than 2 population std-devs from
+    ITS WEEKDAY's mean — the correction that stops every Sunday from
+    alerting just for being a Sunday (t154's z-score recipe, grouped by
+    the t178 seasonal key).
+
+    Daily revenue aggregates exactly once; weekday moments come from
+    exact decimal sums over that day-grain table and join back
+    broadcast-small. The z expression is fixed IEEE on deterministic
+    operands.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.dayofweek(F.col("o_orderdate")).cast("integer").alias("dow"),
+    ).agg(F.sum(money("o_totalprice")).alias("rev_dec"))
+    moments = daily.groupBy("dow").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("rev_dec").cast("double").alias("s"),
+        F.sum(
+            (
+                F.col("rev_dec").cast("double") * F.col("rev_dec").cast("double")
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(F.col("ss") / F.col("n") - mean * mean)
+    z = (F.col("rev_dec").cast("double") - mean) / std
+    return (
+        daily.join(F.broadcast(moments), "dow")
+        .where(F.abs(z) > z_threshold)
+        .select(
+            "day",
+            "dow",
+            F.round(F.col("rev_dec").cast("double"), 6).alias("revenue"),
+            F.round(mean, 6).alias("weekday_mean"),
+            F.round(z, 6).alias("z_score"),
+        )
+        .orderBy("day")
+    )

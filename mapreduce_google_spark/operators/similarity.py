@@ -1298,3 +1298,62 @@ def dim_standardization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_idx")
     )
+
+
+def source_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T205 — per-source embedding dispersion WITHOUT a pairwise join:
+    mean squared distance to the source centroid via the identity
+    E‖x − c‖² = E‖x‖² − ‖c‖² (c the exact mean vector) — the
+    source-tightness number behind "is this source one topic or many",
+    at O(rows·dim) instead of O(rows²).
+
+    All moments are decimal-quantized sums: per-source Σ‖x‖² from one
+    row-level fold, the centroid from per-dimension sums (t151's
+    build); the final subtraction is fixed IEEE on deterministic
+    operands. One scan + two metadata-sized aggregates.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", "vec_id", "embedding"
+    )
+    sqnorm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    row_stats = j.select(
+        "source", sqnorm.cast("decimal(20,12)").alias("sq")
+    ).groupBy("source").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("sq").cast("double").alias("ssq"),
+    )
+    cent = (
+        j.select("source", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("source", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(20,12)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("m") * F.col("m")).cast("decimal(20,12)"))
+            .cast("double")
+            .alias("cnorm_sq")
+        )
+    )
+    return (
+        row_stats.join(cent, "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round(F.col("ssq") / F.col("n") - F.col("cnorm_sq"), 6).alias(
+                "mean_sq_dist"
+            ),
+        )
+        .orderBy("source")
+    )

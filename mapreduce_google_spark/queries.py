@@ -5833,6 +5833,83 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t204_weekday_adjusted_anomalies",
+        builder=rel_ops.weekday_adjusted_anomalies,
+        oracle="""
+            WITH daily AS (
+                SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+                       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+                       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+                FROM orders GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT dow,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(rev_dec) AS DOUBLE) AS s,
+                       CAST(sum(CAST(CAST(rev_dec AS DOUBLE)
+                                     * CAST(rev_dec AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS ss
+                FROM daily GROUP BY dow
+            )
+            SELECT day, dow,
+                   round(CAST(rev_dec AS DOUBLE), 6) AS revenue,
+                   round(s / n, 6) AS weekday_mean,
+                   round((CAST(rev_dec AS DOUBLE) - s / n)
+                         / sqrt(ss / n - (s / n) * (s / n)), 6) AS z_score
+            FROM daily JOIN m USING (dow)
+            WHERE abs((CAST(rev_dec AS DOUBLE) - s / n)
+                      / sqrt(ss / n - (s / n) * (s / n))) > 2.0
+            ORDER BY day
+        """,
+        doc="seasonality-corrected alerting: daily revenue z-scored against ITS WEEKDAY's exact moments, so weekends don't alert for being weekends",
+        tags=("relational", "statistics", "monitoring", "date"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t205_source_dispersion",
+        builder=sim_ops.source_dispersion,
+        oracle="""
+            WITH j AS (
+                SELECT d.source, e.vec_id, e.embedding::DOUBLE[] AS emb
+                FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            ),
+            row_stats AS (
+                SELECT source,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(list_inner_product(emb, emb)
+                                     AS DECIMAL(20,12))) AS DOUBLE) AS ssq
+                FROM j GROUP BY source
+            ),
+            cent AS (
+                SELECT source,
+                       CAST(sum(CAST(m * m AS DECIMAL(20,12))) AS DOUBLE)
+                           AS cnorm_sq
+                FROM (
+                    SELECT source, i,
+                           CAST(sum(CAST(x AS DECIMAL(20,12))) AS DOUBLE)
+                           / count(*) AS m
+                    FROM (
+                        SELECT source, i, emb[i] AS x
+                        FROM j, UNNEST(range(1, len(emb) + 1)) AS t(i)
+                    )
+                    GROUP BY source, i
+                ) GROUP BY source
+            )
+            SELECT source,
+                   CAST(n AS BIGINT) AS n_vectors,
+                   round(ssq / n - cnorm_sq, 6) AS mean_sq_dist
+            FROM row_stats JOIN cent USING (source)
+            ORDER BY source
+        """,
+        doc="source tightness without a pairwise join: mean squared distance to the centroid via E|x-c|^2 = E|x|^2 - |c|^2 — O(rows x dim), quantized moments",
+        tags=("llm", "similarity", "statistics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
