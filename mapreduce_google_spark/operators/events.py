@@ -1194,3 +1194,62 @@ def sequence_anomaly_scores(
         .orderBy(F.col("mean_nll").desc(), F.col("user_id").asc())
         .limit(k)
     )
+
+
+def session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T206 — which event types co-occur in the same session? PMI of
+    unordered type pairs over 30-minute sessions (t16's islands), the
+    session-level association mining that reveals e.g. "errors co-occur
+    with purchases" operational stories.
+
+    Sessions from one islands pass; per-session DISTINCT types from a
+    session-grain hash-agg; pairs by a session-keyed self-join of that
+    small table (bounded: ≤ 5 types per session → ≤ 10 pairs); PMI from
+    exact counts with a fixed ln-term order (t126's recipe).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    sess = ev.withColumn(
+        "is_start",
+        F.coalesce(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us, F.lit(True)
+        ).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    stypes = sess.select("user_id", "session_id", "event_type").distinct()
+    n_sessions = stypes.select("user_id", "session_id").distinct().count()
+    type_counts = stypes.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a = stypes.select("user_id", "session_id", F.col("event_type").alias("ta"))
+    b = stypes.select("user_id", "session_id", F.col("event_type").alias("tb"))
+    pair_counts = (
+        a.join(b, ["user_id", "session_id"])
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    ca = type_counts.select(F.col("event_type").alias("ta"), F.col("c").alias("c1"))
+    cb = type_counts.select(F.col("event_type").alias("tb"), F.col("c").alias("c2"))
+    pmi = (
+        F.log(F.col("c12").cast("double"))
+        - F.log(F.col("c1").cast("double"))
+        - F.log(F.col("c2").cast("double"))
+        + F.log(F.lit(float(n_sessions)))
+    )
+    return (
+        pair_counts.join(F.broadcast(ca), "ta")
+        .join(F.broadcast(cb), "tb")
+        .select("ta", "tb", "c12", F.round(pmi, 6).alias("pmi"))
+        .orderBy("ta", "tb")
+    )

@@ -5910,6 +5910,65 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t206_session_type_pmi",
+        builder=event_ops.session_type_pmi,
+        oracle="""
+            WITH marked AS (
+                SELECT user_id, event_type, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS is_start
+                FROM (SELECT user_id, event_id, event_type,
+                             epoch_us(ts) AS ts_us FROM events)
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ),
+            sess AS (
+                SELECT user_id, event_type,
+                       sum(is_start) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM marked
+            ),
+            stypes AS (
+                SELECT DISTINCT user_id, session_id, event_type FROM sess
+            ),
+            ns AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM (
+                    SELECT DISTINCT user_id, session_id FROM stypes
+                )
+            ),
+            tc AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS c
+                FROM stypes GROUP BY event_type
+            ),
+            pc AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       CAST(count(*) AS BIGINT) AS c12
+                FROM stypes a
+                JOIN stypes b
+                  ON a.user_id = b.user_id AND a.session_id = b.session_id
+                 AND a.event_type < b.event_type
+                GROUP BY a.event_type, b.event_type
+            )
+            SELECT ta, tb, c12,
+                   round(ln(CAST(c12 AS DOUBLE))
+                         - ln(CAST(ca.c AS DOUBLE))
+                         - ln(CAST(cb.c AS DOUBLE))
+                         + ln(n), 6) AS pmi
+            FROM pc
+            JOIN tc ca ON ca.event_type = ta
+            JOIN tc cb ON cb.event_type = tb
+            CROSS JOIN ns
+            ORDER BY ta, tb
+        """,
+        doc="session-level association mining: PMI of unordered event-type pairs co-occurring within 30-min sessions; islands sessionization + bounded session-keyed pair join, fixed ln-term order",
+        tags=("events", "statistics", "session"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
