@@ -175,3 +175,61 @@ def test_cache_tag_fingerprints_source(spark, tmp_path):
     shutil.rmtree(a / "documents.parquet")
     spark.range(6).write.parquet(str(a / "documents.parquet"))
     assert cache_tag(str(a), "documents") != t_a  # regen invalidates
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
+    """Backfill correctness: with partitionOverwriteMode=dynamic, an
+    overwrite write that contains only SOME day-partitions must replace
+    exactly those partitions and leave every other day untouched — the
+    daily-job catchup pattern; static mode would wipe the whole table."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.io import load_table
+
+    out = str(tmp_path / "daily")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    daily.write.partitionBy("day").mode("overwrite").parquet(out)
+    before = {r["day"]: r["n"] for r in spark.read.parquet(out).collect()}
+    some_days = sorted(before)[:3]
+    patch = spark.createDataFrame(
+        [(d, -1) for d in some_days], "day string, n long"
+    )
+    with_conf = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        if with_conf is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_conf)
+    after = {r["day"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert set(after) == set(before)
+    for d, n in after.items():
+        assert n == (-1 if d in some_days else before[d]), d
+
+
+def test_targeted_user_purge_rewrite(spark, sf_dir, tmp_path):
+    """Compliance purge: remove a deterministic user set from a stored
+    events table by anti-join rewrite; purged users are gone, everyone
+    else's rows are untouched (count-preserving minus the purge set)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.io import load_table
+
+    store = str(tmp_path / "events_store")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(store)
+    purge = ev.select("user_id").distinct().where(F.col("user_id") % 7 == 0)
+    n_purged_rows = ev.join(purge, "user_id", "left_semi").count()
+    total = ev.count()
+    kept = spark.read.parquet(store).join(purge, "user_id", "left_anti")
+    out = str(tmp_path / "events_clean")
+    kept.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == total - n_purged_rows
+    assert back.where(F.col("user_id") % 7 == 0).count() == 0
