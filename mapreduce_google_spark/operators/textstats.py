@@ -838,27 +838,27 @@ def heldout_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rare_token_docs(spark: SparkSession, sf_dir: str, max_freq: int = 2) -> DataFrame:
-    """T163 — OOV / mojibake detector: documents containing tokens whose
-    whole-corpus frequency is ≤ ``max_freq``, with the rare-token count
-    and an example — the screen that surfaces encoding corruption and
-    tokenizer-hostile junk before it reaches training.
+def rare_token_docs(spark: SparkSession, sf_dir: str, k_rarest: int = 5) -> DataFrame:
+    """T163 — OOV / mojibake detector, corpus-relative form: documents
+    containing any of the corpus's ``k_rarest`` lowest-frequency tokens
+    (freq asc, token asc — deterministic cut), with the rare-token count
+    and an example. A relative threshold stays non-vacuous on ANY corpus
+    — an absolute "frequency ≤ 2" rule silently matches nothing on a
+    closed-vocabulary corpus like the test fixture, which is exactly the
+    failure mode a screen must not have.
 
-    Single-scan shape (the t138 recipe): distinct (doc, token) postings
-    off one explode, corpus frequency as a COUNT window partitioned by
-    token over the postings — occurrence counts, matching "how often
-    does this token appear", not doc frequency — then one per-doc
-    hash-agg over the rare rows only.
+    Single-scan shape: token occurrence counts (vocabulary-sized), the
+    k-rarest cut via TakeOrdered, broadcast back onto the postings.
     """
     docs = load_table(spark, sf_dir, "documents")
     occ = docs.select(
         "doc_id",
         F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias("token"),
     )
-    wt = Window.partitionBy("token")
+    counts = occ.groupBy("token").agg(F.count("*").cast("long").alias("freq"))
+    rare = counts.orderBy(F.col("freq").asc(), F.col("token").asc()).limit(k_rarest)
     return (
-        occ.withColumn("freq", F.count("*").over(wt))
-        .where(F.col("freq") <= max_freq)
+        occ.join(F.broadcast(rare.select("token")), "token")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("token").cast("long").alias("n_rare_tokens"),

@@ -4591,18 +4591,18 @@ register(
             occ AS (
                 SELECT doc_id, unnest(tokens) AS token FROM toks
             ),
-            freq AS (
-                SELECT doc_id, token,
-                       count(*) OVER (PARTITION BY token) AS freq
-                FROM occ
+            rare AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS freq FROM occ GROUP BY token
+                ) ORDER BY freq ASC, token ASC LIMIT 5
             )
             SELECT doc_id,
                    CAST(count(DISTINCT token) AS BIGINT) AS n_rare_tokens,
                    min(token) AS example_token
-            FROM freq WHERE freq <= 2
+            FROM occ JOIN rare USING (token)
             GROUP BY doc_id ORDER BY doc_id
         """,
-        doc="OOV/mojibake screen: docs containing corpus-frequency<=2 tokens, with count and example; single-scan postings + token-partitioned frequency window",
+        doc="OOV/mojibake screen, corpus-relative: docs containing any of the 5 rarest tokens (deterministic freq-asc cut) — non-vacuous on any corpus, unlike an absolute frequency rule",
         tags=("llm", "text", "quality"),
     )
 )
