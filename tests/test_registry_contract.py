@@ -67,3 +67,32 @@ def test_driver_window_ordering():
     assert names[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     for name in DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, f"{name} wastes a window slot"
+
+
+def test_oracles_are_nonvacuous_at_driver_scale():
+    """Every oracle must return rows at sf0.01 (the driver's gate
+    scale) — a hash match between two empty results proves nothing, and
+    the r04 vacuity audit caught exactly one silent case (t163's
+    absolute rare-token rule on the closed-vocabulary fixture).
+    t02_grep is the single allowed empty (its non-vacuous twin is
+    t02b). DuckDB-only, so the sweep is cheap."""
+    import duckdb
+
+    from mapreduce_google_spark.io import TABLES
+
+    allowed_empty = {"t02_grep"}
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    empty = [
+        name
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+        and duck.execute(f"SELECT count(*) FROM ({spec.oracle})").fetchone()[0]
+        == 0
+    ]
+    duck.close()
+    assert set(empty) <= allowed_empty, f"vacuous oracles: {empty}"
