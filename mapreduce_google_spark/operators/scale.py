@@ -762,3 +762,44 @@ def pipeline_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(revenue)
         .orderBy("metric")
     )
+
+
+def cardinality_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T207 — sketch QA across columns: for each lineitem key column,
+    the HLL++ estimate (rsd=0.01) next to the exact distinct count and
+    a within-3·rsd bound flag — the audit that decides whether sketches
+    can replace exact counts in the planner's statistics.
+
+    One scan computes every approx+exact pair in a single aggregate
+    (the t152 multi-statistic recipe); the long-form output means
+    adding columns never changes the schema. Exact counts are
+    hash-checked by the oracle; the bound flag is the t164 invariant
+    per column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"a_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"e_{c}"))
+    row = li.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"e_{c}").cast("long").alias("exact_distinct"),
+            F.when(
+                F.abs(F.col(f"a_{c}") - F.col(f"e_{c}"))
+                <= 3 * 0.01 * F.col(f"e_{c}"),
+                0,
+            )
+            .otherwise(1)
+            .cast("long")
+            .alias("bound_violations"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*entries)).alias("r"))
+        .select("r.column", "r.exact_distinct", "r.bound_violations")
+        .orderBy("column")
+    )

@@ -5969,6 +5969,32 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t207_cardinality_sketch_audit",
+        builder=scale_ops.cardinality_sketch_audit,
+        oracle="""
+            SELECT "column", exact_distinct,
+                   CAST(0 AS BIGINT) AS bound_violations
+            FROM (
+                SELECT 'l_orderkey' AS "column",
+                       CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                           AS exact_distinct
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_partkey', CAST(count(DISTINCT l_partkey) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_suppkey', CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                FROM lineitem
+            )
+            ORDER BY "column"
+        """,
+        doc="multi-column sketch QA: HLL++ within 3 rsd of the exact distinct count for every key column, exact counts re-derived by SQL; one scan, long-form output",
+        tags=("scale", "sketch", "invariant"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
