@@ -2483,3 +2483,71 @@ def weekday_adjusted_anomalies(
         )
         .orderBy("day")
     )
+
+
+def shipping_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T208 — operational SLA: per order priority, the fraction of line
+    items shipped within 30/60/90 days of the order date — the
+    conditional-share report every ops dashboard leads with.
+
+    One fact-fact join pre-filtered to the needed columns, day deltas
+    as exact integer date arithmetic, and the three shares as
+    conditional sums over one hash-agg (no repeated scans per
+    threshold).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    def share(days: int):
+        return F.round(
+            F.sum(F.when(F.col("lag_days") <= days, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            share(30).alias("within_30d"),
+            share(60).alias("within_60d"),
+            share(90).alias("within_90d"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T209 — market concentration: the Herfindahl–Hirschman index of
+    supplier revenue within each nation — Σ share² over suppliers, the
+    antitrust-style "is this nation's supply concentrated" number.
+
+    Supplier revenue aggregates exactly once; shares are IEEE divisions
+    of exact decimals and each share² is quantized to decimal(20,12)
+    before the per-nation sum, so the index is order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = money("l_extendedprice") * one_minus("l_discount")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_dec"))
+    j = per_supp.join(supplier, per_supp.l_suppkey == supplier.s_suppkey).join(
+        nation, supplier.s_nationkey == nation.n_nationkey
+    )
+    wn = Window.partitionBy("n_name")
+    share = F.col("rev_dec").cast("double") / F.sum("rev_dec").over(wn).cast(
+        "double"
+    )
+    return (
+        j.select("n_name", (share * share).cast("decimal(20,12)").alias("s2"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.sum("s2").cast("double"), 6).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )

@@ -5995,6 +5995,68 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t208_shipping_sla_report",
+        builder=rel_ops.shipping_sla_report,
+        oracle="""
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_lineitems,
+                   round(CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS within_30d,
+                   round(CAST(sum(CASE WHEN lag_days <= 60 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS within_60d,
+                   round(CAST(sum(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS within_90d
+            FROM (
+                SELECT o_orderpriority,
+                       datediff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS lag_days
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        doc="operational SLA: fraction of line items shipped within 30/60/90 days per priority — conditional shares over one hash-agg, exact integer day arithmetic",
+        tags=("relational", "statistics", "date"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t209_supplier_concentration",
+        builder=rel_ops.supplier_concentration,
+        oracle="""
+            WITH per_supp AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2)))) AS rev_dec
+                FROM lineitem GROUP BY l_suppkey
+            ),
+            shares AS (
+                SELECT n_name,
+                       CAST(CAST(rev_dec AS DOUBLE)
+                            / CAST(sum(rev_dec) OVER (PARTITION BY n_name)
+                                   AS DOUBLE)
+                            * (CAST(rev_dec AS DOUBLE)
+                               / CAST(sum(rev_dec) OVER (PARTITION BY n_name)
+                                      AS DOUBLE))
+                            AS DECIMAL(20,12)) AS s2
+                FROM per_supp
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+            )
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   round(CAST(sum(s2) AS DOUBLE), 6) AS hhi
+            FROM shares GROUP BY n_name ORDER BY n_name
+        """,
+        doc="Herfindahl index of supplier revenue per nation: shares from exact decimals, each share^2 quantized before the order-independent sum",
+        tags=("relational", "statistics", "window"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
