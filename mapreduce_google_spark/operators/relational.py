@@ -2551,3 +2551,70 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T210 — the 80/20 report: what share of total order revenue comes
+    from the top 1%/10%/25% of customers by spend — the concentration
+    curve read before any retention or pricing decision.
+
+    Customer spend aggregates exactly once; customers rank by (spend
+    desc, key) and each percentile tier is a conditional share against
+    the exact total — one customer-grain window pass, integer
+    cross-multiplication for the tier cut (rank·100 ≤ p·n), no float
+    boundary.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("spend_dec")
+    )
+    w = Window.orderBy(F.col("spend_dec").desc(), F.col("o_custkey").asc())
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = spend.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wall)
+    ).withColumn("total", F.sum("spend_dec").over(wall))
+    def tier(p: int):
+        return F.round(
+            F.sum(
+                F.when(F.col("rnk") * 100 <= F.lit(p) * F.col("n"), F.col("spend_dec"))
+                .otherwise(F.lit(0).cast("decimal(12,2)"))
+            ).cast("double")
+            / F.max("total").cast("double"),
+            6,
+        )
+    return ranked.groupBy().agg(
+        F.max("n").cast("long").alias("n_customers"),
+        tier(1).alias("top1_share"),
+        tier(10).alias("top10_share"),
+        tier(25).alias("top25_share"),
+    )
+
+
+def reorder_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T211 — repeat-purchase cadence: each repeat customer's MEDIAN gap
+    between consecutive orders, summarized as the count of repeat
+    customers and the p25/p50/p75 of those per-customer medians — the
+    two-level percentile that tells you how often "a typical customer"
+    reorders, robust to both outlier customers and outlier gaps.
+
+    One lag window per customer for gaps (exact integer days), an exact
+    per-customer median, then global percentiles over the
+    customer-grain medians — each level is the interpolated-percentile
+    recipe with deterministic operands.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = orders.withColumn(
+        "gap_days", F.datediff(F.col("d"), F.lag("d").over(w))
+    ).where(F.col("gap_days").isNotNull())
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.expr("percentile(gap_days, 0.5)").alias("median_gap")
+    )
+    return per_cust.agg(
+        F.count("*").cast("long").alias("n_repeat_customers"),
+        F.round(F.expr("percentile(median_gap, 0.25)"), 6).alias("p25_median_gap"),
+        F.round(F.expr("percentile(median_gap, 0.5)"), 6).alias("p50_median_gap"),
+        F.round(F.expr("percentile(median_gap, 0.75)"), 6).alias("p75_median_gap"),
+    )

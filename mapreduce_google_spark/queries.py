@@ -6057,6 +6057,75 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t210_revenue_pareto",
+        builder=rel_ops.revenue_pareto,
+        oracle="""
+            WITH spend AS (
+                SELECT o_custkey,
+                       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+                FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+                SELECT spend_dec,
+                       row_number() OVER (ORDER BY spend_dec DESC, o_custkey)
+                           AS rnk,
+                       count(*) OVER () AS n,
+                       sum(spend_dec) OVER () AS total
+                FROM spend
+            )
+            SELECT CAST(max(n) AS BIGINT) AS n_customers,
+                   round(CAST(sum(CASE WHEN rnk * 100 <= 1 * n
+                                       THEN spend_dec ELSE 0 END) AS DOUBLE)
+                         / CAST(max(total) AS DOUBLE), 6) AS top1_share,
+                   round(CAST(sum(CASE WHEN rnk * 100 <= 10 * n
+                                       THEN spend_dec ELSE 0 END) AS DOUBLE)
+                         / CAST(max(total) AS DOUBLE), 6) AS top10_share,
+                   round(CAST(sum(CASE WHEN rnk * 100 <= 25 * n
+                                       THEN spend_dec ELSE 0 END) AS DOUBLE)
+                         / CAST(max(total) AS DOUBLE), 6) AS top25_share
+            FROM ranked
+        """,
+        doc="revenue concentration: share of total spend from the top 1/10/25% of customers; integer cross-multiplied tier cuts, exact-decimal sums",
+        tags=("relational", "statistics", "window"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t211_reorder_cadence",
+        builder=rel_ops.reorder_cadence,
+        oracle="""
+            WITH gaps AS (
+                SELECT o_custkey,
+                       datediff('day',
+                                lag(CAST(o_orderdate AS DATE))
+                                    OVER (PARTITION BY o_custkey
+                                          ORDER BY CAST(o_orderdate AS DATE),
+                                                   o_orderkey),
+                                CAST(o_orderdate AS DATE)) AS gap_days
+                FROM orders
+            ),
+            per_cust AS (
+                SELECT o_custkey,
+                       quantile_cont(gap_days, 0.5) AS median_gap
+                FROM gaps WHERE gap_days IS NOT NULL
+                GROUP BY o_custkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_repeat_customers,
+                   round(quantile_cont(median_gap, 0.25), 6)
+                       AS p25_median_gap,
+                   round(quantile_cont(median_gap, 0.5), 6) AS p50_median_gap,
+                   round(quantile_cont(median_gap, 0.75), 6)
+                       AS p75_median_gap
+            FROM per_cust
+        """,
+        doc="repeat-purchase cadence: per-customer median order gap, then global quartiles of those medians — the two-level robust percentile",
+        tags=("relational", "statistics", "window"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
