@@ -1125,3 +1125,45 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kept_doc")
     )
+
+
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T213 — what dedup buys you, in bytes: per source, the characters
+    (and docs) that exact dedup would DROP — the duplicate rows beyond
+    each fingerprint group's kept copy — plus the resulting shrink
+    fraction. The storage/compute-savings estimate that justifies
+    running the pass at all.
+
+    Same single fingerprint shuffle as t17; "dropped" is everything
+    whose doc_id is not its group's minimum, so kept/dropped falls out
+    of one min-window without a second aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    ).withColumn(
+        "kept",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fingerprint")),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(~F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_saved"),
+            F.round(
+                F.sum(F.when(~F.col("kept"), F.col("n_chars")).otherwise(0))
+                .cast("double")
+                / F.sum("n_chars").cast("double"),
+                6,
+            ).alias("shrink_fraction"),
+        )
+        .orderBy("source")
+    )

@@ -2618,3 +2618,38 @@ def reorder_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(median_gap, 0.5)"), 6).alias("p50_median_gap"),
         F.round(F.expr("percentile(median_gap, 0.75)"), 6).alias("p75_median_gap"),
     )
+
+
+def monthly_ship_lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T212 — lead-time trend: mean order→ship lag in days per order
+    month, with the month-over-month delta — the time series that shows
+    a fulfillment pipeline degrading before SLA breaches (t208) pile
+    up.
+
+    Exact integer day lags accumulate in decimal for an
+    order-independent mean; the MoM delta is one lag window over the
+    month-grain result. Fact-fact join pre-projected to three columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    monthly = j.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("lag_days").cast("decimal(20,0)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_lag_days"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n_lineitems",
+        "mean_lag_days",
+        F.round(
+            F.col("mean_lag_days") - F.lag("mean_lag_days").over(w), 6
+        ).alias("mom_delta"),
+    ).orderBy("month")

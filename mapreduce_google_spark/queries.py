@@ -6126,6 +6126,58 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t212_monthly_ship_lag_trend",
+        builder=rel_ops.monthly_ship_lag_trend,
+        oracle="""
+            WITH monthly AS (
+                SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+                       CAST(count(*) AS BIGINT) AS n_lineitems,
+                       round(CAST(sum(CAST(datediff('day',
+                                 CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) AS DECIMAL(20,0)))
+                              AS DOUBLE) / count(*), 6) AS mean_lag_days
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                GROUP BY 1
+            )
+            SELECT month, n_lineitems, mean_lag_days,
+                   round(mean_lag_days - lag(mean_lag_days)
+                         OVER (ORDER BY month), 6) AS mom_delta
+            FROM monthly ORDER BY month
+        """,
+        doc="fulfillment lead-time trend: mean ship lag per order month plus the month-over-month delta; decimal-exact means, one lag window over the month grain",
+        tags=("relational", "statistics", "date"),
+    )
+)
+
+register(
+    QuerySpec(
+        name="t213_dedup_savings_by_source",
+        builder=dedup_ops.dedup_savings_by_source,
+        oracle="""
+            WITH flagged AS (
+                SELECT source, n_chars,
+                       doc_id = min(doc_id) OVER (
+                           PARTITION BY md5(lower(trim(text)))) AS kept
+                FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped,
+                   CAST(sum(CASE WHEN NOT kept THEN n_chars ELSE 0 END)
+                        AS BIGINT) AS chars_saved,
+                   round(CAST(sum(CASE WHEN NOT kept THEN n_chars ELSE 0 END)
+                              AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6)
+                       AS shrink_fraction
+            FROM flagged GROUP BY source ORDER BY source
+        """,
+        doc="dedup's storage dividend: per source, docs and characters the exact-dedup pass drops plus the shrink fraction — one fingerprint window, no second aggregation",
+        tags=("llm", "dedup", "diagnostics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
