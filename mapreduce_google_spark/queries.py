@@ -6178,6 +6178,16 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t214_stream_top_tokens",
+        builder=stream_jobs.stream_top_tokens,
+        oracle=REGISTRY["t06_top_k_tokens"].oracle,
+        doc="streaming twin of t06: micro-batched documents merge token counts via foreachBatch (full counts in the store — top-k is not incrementally maintainable), global top-k cut at drain must hash-equal batch t06",
+        tags=("streaming", "text"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the

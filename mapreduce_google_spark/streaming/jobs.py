@@ -578,3 +578,78 @@ def stream_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_disc").cast("double") / F.col("n"), 6).alias("avg_disc"),
         F.col("n").alias("count_order"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+def stream_top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """T214 — streaming twin of the top-k token query (t06): documents
+    arrive in micro-batches, a ``foreachBatch`` merge maintains the
+    token-count store (sums — replay-safe to merge in any order), and
+    the global top-k with the token-asc tiebreak is taken from merged
+    state at drain. Must hash-equal batch t06.
+
+    Closes the loop on the text surface: the same mergeable-state
+    recipe that served dedup (t72), anomalies (t157), and pricing IVM
+    (t169) applied to the engine's oldest query — top-k is NOT
+    incrementally maintainable per batch (a token outside today's top-k
+    can enter it tomorrow), which is exactly why the store keeps FULL
+    counts and the cut happens at read time.
+    """
+    import os
+    import shutil
+
+    from mapreduce_google_spark.functions.text import tokenize
+
+    tag = cache_tag(sf_dir, "documents")
+    staged = f"/tmp/mgs_docs_dir_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    store = f"/tmp/mgs_toptok_store_{tag}"
+    ckpt = f"{store}_ckpt"
+    for d in (store, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias(
+                    "token"
+                )
+            )
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        if os.path.exists(store):
+            prev = batch_df.sparkSession.read.parquet(store)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("token")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        else:
+            merged = delta
+        tmp = store + "_tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(store):
+            shutil.rmtree(store)
+        os.rename(tmp, store)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(store)
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -324,3 +324,12 @@ def test_stream_pricing_summary_matches_batch(spark, sf_dir):
     batch = {tuple(r) for r in pricing_summary(spark, sf_dir).collect()}
     stream = {tuple(r) for r in stream_pricing_summary(spark, sf_dir).collect()}
     assert stream == batch and len(stream) > 0
+
+
+def test_stream_top_tokens_matches_batch(spark, sf_dir):
+    from mapreduce_google_spark.operators.text import top_k_tokens
+    from mapreduce_google_spark.streaming.jobs import stream_top_tokens
+
+    batch = [tuple(r) for r in top_k_tokens(spark, sf_dir).collect()]
+    stream = [tuple(r) for r in stream_top_tokens(spark, sf_dir).collect()]
+    assert stream == batch and len(stream) > 0
