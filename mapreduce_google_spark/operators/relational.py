@@ -2653,3 +2653,63 @@ def monthly_ship_lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mean_lag_days") - F.lag("mean_lag_days").over(w), 6
         ).alias("mom_delta"),
     ).orderBy("month")
+
+
+def full_star_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T215 — the widest join in the registry: lineitem against ALL six
+    other star tables (orders, customer, part, supplier, both
+    geography dims) at once, rolling profit-proxy revenue up to
+    (region, customer nation, supplier nation, part brand) — the query
+    shape that stresses join ORDER, and where Catalyst's reordering +
+    broadcast decisions earn their keep.
+
+    Scale notes: the two fact-fact joins key on orderkey/partkey/
+    suppkey (bucketed at 100 TB); all four dimension hops broadcast;
+    revenue pre-aggregates to order grain only after the part/supplier
+    filters that need line grain, so the heavy exchange carries
+    line-grain rows exactly once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    cust_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+            F.col("n_regionkey").alias("cn_region"),
+        )
+    )
+    supp_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    rev = money("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(cust_nation, customer.c_nationkey == F.col("cn_key"))
+        .join(supp_nation, supplier.s_nationkey == F.col("sn_key"))
+        .join(region, F.col("cn_region") == region.r_regionkey)
+        .groupBy("r_name", "cust_nation", "supp_nation", "p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(rev).alias("revenue"),
+        )
+        .orderBy("r_name", "cust_nation", "supp_nation", "p_brand")
+    )

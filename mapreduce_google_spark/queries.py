@@ -6188,6 +6188,34 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t215_full_star_profit",
+        builder=rel_ops.full_star_profit,
+        oracle="""
+            SELECT r_name, cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   p_brand,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(3,2))))
+                              AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = cn.n_regionkey
+            GROUP BY r_name, cn.n_name, sn.n_name, p_brand
+            ORDER BY r_name, cust_nation, supp_nation, p_brand
+        """,
+        doc="the widest join: lineitem against all six star tables at once, profit rolled to (region, cust nation, supp nation, brand) — the join-order stress query where Catalyst's reordering earns its keep",
+        tags=("relational", "join", "star"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
