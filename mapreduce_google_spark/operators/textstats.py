@@ -1129,3 +1129,42 @@ def token_budget_allocation(
             (F.col("weight") * budget) / F.col("n_tokens").cast("double"), 6
         ).alias("epochs"),
     ).orderBy("source")
+
+
+def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T216 — ingestion-order drift: per source, the OLS slope of the
+    quality composite (t27) against doc_id — the monitor that catches a
+    source silently degrading as newer batches arrive (negative slope
+    scaled to "quality change per 1000 docs" so the number is
+    readable).
+
+    The grouped-regression template (t180): doc_id moments are exact
+    integers, quality is the round-6 composite quantized before its
+    sums, the closed form is a fixed IEEE chain per source.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = docs.join(quality, "doc_id")
+    x = F.col("doc_id").cast("decimal(20,0)")
+    y = F.col("quality").cast("decimal(20,12)")
+    m = j.groupBy("source").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(
+            (F.col("doc_id").cast("double") * F.col("quality")).cast(
+                "decimal(20,12)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(slope * 1000.0, 6).alias("quality_drift_per_1k_docs"),
+    ).orderBy("source")

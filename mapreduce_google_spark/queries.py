@@ -6216,6 +6216,44 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t216_quality_drift_by_source",
+        builder=ts_ops.quality_drift_by_source,
+        oracle=(
+            "WITH q AS ("
+            + REGISTRY["t27_quality_score"].oracle
+            + """),
+            j AS (
+                SELECT d.source, d.doc_id, q.quality
+                FROM documents d JOIN q ON q.doc_id = d.doc_id
+            ),
+            m AS (
+                SELECT source,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(doc_id AS DECIMAL(20,0))) AS DOUBLE)
+                           AS sx,
+                       CAST(sum(CAST(quality AS DECIMAL(20,12))) AS DOUBLE)
+                           AS sy,
+                       CAST(sum(CAST(CAST(doc_id AS DOUBLE) * quality
+                                     AS DECIMAL(20,12))) AS DOUBLE) AS sxy,
+                       CAST(sum(CAST(CAST(doc_id AS DECIMAL(20,0))
+                                     * CAST(doc_id AS DECIMAL(20,0))
+                                     AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+                FROM j GROUP BY source
+            )
+            SELECT source,
+                   CAST(n AS BIGINT) AS n_docs,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000.0, 6)
+                       AS quality_drift_per_1k_docs
+            FROM m ORDER BY source
+            """
+        ),
+        doc="ingestion-order drift monitor: per-source OLS slope of the t27 quality composite on doc_id (scaled per 1000 docs); the registered filter's SQL composed verbatim",
+        tags=("llm", "quality", "statistics", "monitoring"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
