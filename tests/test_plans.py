@@ -499,3 +499,13 @@ def test_t153_correlations_single_scan_single_row_agg(spark, sf_dir):
     plan = formatted_plan(numeric_correlations(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "SinglePartition" in plan, plan
+
+
+def test_t215_star_join_broadcasts_all_dims(spark, sf_dir):
+    # the widest join must broadcast every dimension hop — any dim that
+    # falls back to a shuffle join multiplies the fact exchange
+    from mapreduce_google_spark.operators.relational import full_star_profit
+    from mapreduce_google_spark.plans import has_broadcast_join
+
+    df = full_star_profit(spark, sf_dir)
+    assert has_broadcast_join(df, at_least=4), formatted_plan(df)
