@@ -2713,3 +2713,44 @@ def full_star_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "cust_nation", "supp_nation", "p_brand")
     )
+
+
+def order_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T217 — exact two-sample Kolmogorov–Smirnov statistic between 1996
+    and 1997 order values: sup over values of |F96(v) − F97(v)| — the
+    distribution-shift test run when "did pricing change" needs a
+    number, computed exactly instead of sampled.
+
+    Tie-safe by construction: values collapse to (value, n94, n95)
+    FIRST, so the running CDFs advance once per DISTINCT value — the
+    sup over that grid is the textbook statistic. One value-grain
+    window ordered by value; counts are exact integers and each CDF is
+    one IEEE division.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    ).where(F.col("yr").isin(1996, 1997))
+    per_value = orders.groupBy("v").agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("n94"),
+        F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0)).alias("n95"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdfs = per_value.select(
+        (
+            F.sum("n94").over(w).cast("double")
+            / F.sum("n94").over(wall).cast("double")
+        ).alias("f94"),
+        (
+            F.sum("n95").over(w).cast("double")
+            / F.sum("n95").over(wall).cast("double")
+        ).alias("f95"),
+        F.sum("n94").over(wall).alias("t94"),
+        F.sum("n95").over(wall).alias("t95"),
+    )
+    return cdfs.agg(
+        F.max("t94").cast("long").alias("n_1996"),
+        F.max("t95").cast("long").alias("n_1997"),
+        F.round(F.max(F.abs(F.col("f94") - F.col("f95"))), 6).alias("ks_stat"),
+    )

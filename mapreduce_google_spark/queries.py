@@ -6254,6 +6254,42 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t217_order_value_ks",
+        builder=rel_ops.order_value_ks,
+        oracle="""
+            WITH per_value AS (
+                SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                       sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                                THEN 1 ELSE 0 END) AS n94,
+                       sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                                THEN 1 ELSE 0 END) AS n95
+                FROM orders
+                WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+                GROUP BY 1
+            ),
+            cdfs AS (
+                SELECT CAST(sum(n94) OVER (ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / CAST(sum(n94) OVER () AS DOUBLE) AS f94,
+                       CAST(sum(n95) OVER (ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / CAST(sum(n95) OVER () AS DOUBLE) AS f95,
+                       sum(n94) OVER () AS t94,
+                       sum(n95) OVER () AS t95
+                FROM per_value
+            )
+            SELECT CAST(max(t94) AS BIGINT) AS n_1996,
+                   CAST(max(t95) AS BIGINT) AS n_1997,
+                   round(max(abs(f94 - f95)), 6) AS ks_stat
+            FROM cdfs
+        """,
+        doc="exact two-sample KS statistic between 1996/1997 order values: tie-safe value-grain CDFs, sup of |F94-F95| — the distribution-shift number, computed exactly",
+        tags=("relational", "statistics", "distribution"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
