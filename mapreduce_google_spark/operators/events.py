@@ -1253,3 +1253,32 @@ def session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ta", "tb", "c12", F.round(pmi, 6).alias("pmi"))
         .orderBy("ta", "tb")
     )
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T218 — behavioral diversity: Shannon entropy of each user's
+    event-type distribution — near zero flags single-action scripts
+    (the cheap cousin of t203's Markov screen), near ln(5) flags
+    uniformly mixed organic use.
+
+    t181's entropy recipe at user grain: exact (user, type) counts, a
+    user-partition total, each −p·ln p term quantized before the
+    per-user sum. Two shuffles, both on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    wu = Window.partitionBy("user_id")
+    term = (
+        -(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+    ).cast("decimal(20,12)")
+    return (
+        counts.withColumn("n", F.sum("c").over(wu))
+        .select("user_id", term.alias("term"), "n")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.round(F.sum("term").cast("double"), 6).alias("type_entropy"),
+        )
+        .orderBy("user_id")
+    )

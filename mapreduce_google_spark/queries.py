@@ -6290,6 +6290,37 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t218_user_behavior_entropy",
+        builder=event_ops.user_behavior_entropy,
+        oracle="""
+            WITH counts AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id, event_type
+            ),
+            terms AS (
+                SELECT user_id,
+                       sum(c) OVER (PARTITION BY user_id) AS n,
+                       CAST(-(CAST(c AS DOUBLE) / CAST(
+                                 sum(c) OVER (PARTITION BY user_id)
+                                 AS DOUBLE))
+                             * ln(CAST(c AS DOUBLE) / CAST(
+                                 sum(c) OVER (PARTITION BY user_id)
+                                 AS DOUBLE))
+                            AS DECIMAL(20,12)) AS term
+                FROM counts
+            )
+            SELECT user_id,
+                   CAST(max(n) AS BIGINT) AS n_events,
+                   round(CAST(sum(term) AS DOUBLE), 6) AS type_entropy
+            FROM terms GROUP BY user_id ORDER BY user_id
+        """,
+        doc="behavioral diversity: per-user Shannon entropy of the event-type mix — near zero flags single-action scripts; quantized -p ln p terms, two user-keyed shuffles",
+        tags=("events", "statistics", "anomaly"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
