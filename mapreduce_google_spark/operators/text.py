@@ -337,3 +337,27 @@ def approx_distinct_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "found_nonempty"
         ),
     )
+
+
+def kvtext_roundtrip_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T219 — the pluggable SINK's registered correctness row: the T01
+    word count is written through the kvtext Python DataSource writer
+    (reference part-NNNNN key\\tvalue files, exactly-once tmp-rename
+    commit), read back through the kvtext READER, and re-emitted — the
+    result must hash-equal the T01 oracle, proving the full
+    export→import loop preserves every (token, count) record including
+    tab/empty edge cases.
+    """
+    from mapreduce_google_spark.kvtext import read_kvtext, write_kvtext
+
+    counts = word_count(spark, sf_dir).select(
+        F.col("token").alias("key"), F.col("cnt").cast("string").alias("value")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = f"/tmp/mgs_kv_roundtrip{tag}"
+    write_kvtext(counts, out)
+    return (
+        read_kvtext(spark, out)
+        .select(F.col("key").alias("token"), F.col("value").cast("long").alias("cnt"))
+        .orderBy("token")
+    )

@@ -6321,6 +6321,16 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t219_kvtext_roundtrip_word_count",
+        builder=text_ops.kvtext_roundtrip_word_count,
+        oracle=REGISTRY["t01_word_count"].oracle,
+        doc="the pluggable SINK's correctness row: T01 written through the kvtext Python DataSource writer (part-NNNNN, exactly-once commit), read back through the reader, must hash-equal the T01 oracle",
+        tags=("io", "sink", "text"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
