@@ -1168,3 +1168,45 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_docs"),
         F.round(slope * 1000.0, 6).alias("quality_drift_per_1k_docs"),
     ).orderBy("source")
+
+
+def token_position_stats(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """T220 — positional structure: for the top-k corpus tokens, the
+    mean RELATIVE position (0 = document start, 1 = end) of their
+    occurrences — boilerplate headers/footers show up as tokens pinned
+    near 0 or 1, while content words hover near 0.5. The structural
+    signal behind header/footer stripping rules.
+
+    One posexplode pass emits (token, pos/(len−1)) with the fraction
+    quantized to decimal(20,12); the top-k cut is TakeOrdered on the
+    vocabulary-sized counts and broadcasts back. Docs with a single
+    token are excluded (relative position undefined).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(tokenize("text"), lambda t: t != "").alias("tokens")
+    ).where(F.size("tokens") >= 2)
+    pos = toks.select(
+        F.posexplode("tokens").alias("i", "token"),
+        (F.size("tokens") - 1).alias("last"),
+    ).select(
+        "token",
+        (F.col("i").cast("double") / F.col("last").cast("double"))
+        .cast("decimal(20,12)")
+        .alias("rel"),
+    )
+    counts = pos.groupBy("token").agg(F.count("*").cast("long").alias("n_occ"))
+    top = counts.orderBy(F.col("n_occ").desc(), F.col("token").asc()).limit(k)
+    return (
+        pos.join(F.broadcast(top), "token")
+        .groupBy("token")
+        .agg(
+            F.max("n_occ").alias("n_occ"),
+            F.round(F.sum("rel").cast("double") / F.count("*"), 6).alias(
+                "mean_rel_pos"
+            ),
+        )
+        .orderBy("token")
+    )

@@ -6331,6 +6331,43 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t220_token_position_stats",
+        builder=ts_ops.token_position_stats,
+        oracle="""
+            WITH pos AS (
+                SELECT tokens[i] AS token,
+                       CAST(CAST(i - 1 AS DOUBLE)
+                            / CAST(len(tokens) - 1 AS DOUBLE)
+                            AS DECIMAL(20,12)) AS rel
+                FROM (
+                    SELECT list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        t -> t <> '') AS tokens
+                    FROM documents
+                ), (SELECT unnest(range(1, 100000)) AS i)
+                WHERE len(tokens) >= 2 AND i <= len(tokens)
+            ),
+            counts AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+                FROM pos GROUP BY token
+            ),
+            top AS (
+                SELECT token, n_occ FROM counts
+                ORDER BY n_occ DESC, token ASC LIMIT 10
+            )
+            SELECT token, max(n_occ) AS n_occ,
+                   round(CAST(sum(rel) AS DOUBLE) / count(*), 6)
+                       AS mean_rel_pos
+            FROM pos JOIN top USING (token)
+            GROUP BY token ORDER BY token
+        """,
+        doc="positional structure of the top-10 tokens: mean relative in-document position (0=start, 1=end) — boilerplate pins near the edges, content near 0.5; quantized fractions, broadcast top-k cut",
+        tags=("llm", "text", "statistics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
