@@ -2754,3 +2754,27 @@ def order_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t95").cast("long").alias("n_1997"),
         F.round(F.max(F.abs(F.col("f94") - F.col("f95"))), 6).alias("ks_stat"),
     )
+
+
+def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T221 — the count-of-counts everyone forgets to look at: how many
+    orders have exactly k line items, with each k's share — the fanout
+    histogram that sizes join exchanges (t137 profiles percentiles of
+    it; this is the full distribution a capacity model consumes).
+
+    Two stacked map-side hash-aggs (order grain, then k grain); shares
+    are one IEEE division against the exact order total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    dist = per_order.groupBy("k").agg(F.count("*").cast("long").alias("n_orders"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return dist.select(
+        F.col("k").cast("long").alias("lines_per_order"),
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(wall).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("lines_per_order")

@@ -6368,6 +6368,27 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t221_order_size_distribution",
+        builder=rel_ops.order_size_distribution,
+        oracle="""
+            WITH dist AS (
+                SELECT k, CAST(count(*) AS BIGINT) AS n_orders FROM (
+                    SELECT l_orderkey, count(*) AS k
+                    FROM lineitem GROUP BY l_orderkey
+                ) GROUP BY k
+            )
+            SELECT CAST(k AS BIGINT) AS lines_per_order, n_orders,
+                   round(CAST(n_orders AS DOUBLE)
+                         / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS share
+            FROM dist ORDER BY lines_per_order
+        """,
+        doc="the full fanout histogram (orders with exactly k lines + shares) — the distribution a capacity model consumes; two stacked map-side aggs",
+        tags=("relational", "statistics", "diagnostics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
