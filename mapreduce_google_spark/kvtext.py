@@ -81,8 +81,9 @@ class _KVTextReader(DataSourceReader):
 
 
 class _KVTextCommit(WriterCommitMessage):
-    def __init__(self, tmp_file: str) -> None:
+    def __init__(self, tmp_file: str, final_file: str) -> None:
         self.tmp_file = tmp_file
+        self.final_file = final_file
 
 
 class _KVTextWriter(DataSourceWriter):
@@ -90,11 +91,21 @@ class _KVTextWriter(DataSourceWriter):
     reference-format ``part-NNNNN`` files of ``key\tvalue`` lines.
 
     Exactly-once via the DataSource commit protocol: each task writes a
-    ``.tmp`` file named by its partition id and reports it in the commit
-    message; the DRIVER renames the reported files into place on commit
-    and deletes strays on abort — a failed/speculative task's output is
-    never visible (the same tmp-then-rename contract the reference's
-    workers use for their part files).
+    ``.tmp`` file named by its partition id AND task attempt id (so two
+    concurrent attempts of the same partition — speculation, or a retry
+    racing a zombie — never share a file), and reports both the tmp and
+    the final name in its commit message; the DRIVER renames only the
+    WINNING attempts' files into place on commit, and ``abort`` removes
+    only the aborting attempt's own file — a failed/speculative task's
+    output is never visible (the same tmp-then-rename contract the
+    reference's workers use for their part files).
+
+    Format contract (matches the reference's, ``worker/__main__.py:183``):
+    a record is one line, key = everything before the FIRST tab. Values
+    MAY therefore contain tabs (round-trips exactly); keys must not
+    contain tabs, and neither side may contain newlines — the line
+    format cannot represent those, so the writer VALIDATES and raises
+    ``ValueError`` rather than silently corrupting records.
     """
 
     def __init__(self, options, overwrite: bool) -> None:
@@ -106,26 +117,48 @@ class _KVTextWriter(DataSourceWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".part-{pid:05d}.tmp")
+        # Attempt id in the tmp name: concurrent attempts of the same
+        # partition write disjoint files; the driver later renames only
+        # the attempt whose commit message it accepted.
+        tmp = os.path.join(self.path, f".part-{pid:05d}-a{attempt}.tmp")
+        final = os.path.join(self.path, f"part-{pid:05d}")
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 key = "" if row[0] is None else str(row[0])
                 value = "" if row[1] is None else str(row[1])
+                if "\t" in key:
+                    raise ValueError(
+                        "kvtext key may not contain a tab (key = text "
+                        f"before the first tab on readback): {key!r}"
+                    )
+                if "\n" in key or "\r" in key or "\n" in value or "\r" in value:
+                    raise ValueError(
+                        "kvtext records are line-oriented; keys/values "
+                        "may not contain newlines"
+                    )
                 fh.write(f"{key}\t{value}\n")
-        return _KVTextCommit(tmp)
+        return _KVTextCommit(tmp, final)
 
     def commit(self, messages) -> None:
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.startswith("part-"):
                     os.remove(os.path.join(self.path, f))
+        # Rename ONLY the winning attempts (the ones Spark reported);
+        # losing speculative attempts' tmp files are swept afterwards.
         for m in messages:
-            final = m.tmp_file.replace("/.", "/").removesuffix(".tmp")
-            os.replace(m.tmp_file, final)
+            os.replace(m.tmp_file, m.final_file)
+        for f in os.listdir(self.path):
+            if f.startswith(".part-") and f.endswith(".tmp"):
+                os.remove(os.path.join(self.path, f))
 
     def abort(self, messages) -> None:
+        # Remove only files this job's failed attempts reported — never
+        # another (possibly still-winning) attempt's output.
         for m in messages:
             if m is not None and os.path.exists(m.tmp_file):
                 os.remove(m.tmp_file)

@@ -725,6 +725,27 @@ def pipeline_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(F.lit(name).alias("metric"), F.round(F.col("v").cast("double"), 6).alias("value"))
 
     n_docs = metric("n_documents", docs.agg(F.count("*").alias("v")))
+    # mean doc quality: t27's blended 0–1 composite, averaged corpus-wide
+    q_tokens = F.size(toks).cast("long")
+    q_chars = F.length("text").cast("long")
+    q_punct = (
+        q_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    ).cast("long")
+    q_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "der", "el", "la"))
+    ).cast("long")
+    punct_ratio = F.when(q_chars > 0, q_punct / q_chars.cast("double")).otherwise(0.0)
+    stop_ratio = F.when(q_tokens > 0, q_stop / q_tokens.cast("double")).otherwise(0.0)
+    quality = metric(
+        "mean_doc_quality",
+        docs.select(
+            (
+                F.when((q_tokens >= 5) & (q_tokens <= 100000), 0.4).otherwise(0.0)
+                + F.when(punct_ratio < 0.2, 0.3).otherwise(0.0)
+                + F.when(stop_ratio > 0.01, 0.3).otherwise(0.0)
+            ).alias("q")
+        ).agg(F.avg("q").alias("v")),
+    )
     dup_rate = metric(
         "exact_dup_fraction",
         docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
@@ -757,6 +778,7 @@ def pipeline_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_docs.unionAll(dup_rate)
         .unionAll(vocab)
         .unionAll(tokens)
+        .unionAll(quality)
         .unionAll(events_n)
         .unionAll(purchases)
         .unionAll(revenue)

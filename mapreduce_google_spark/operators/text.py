@@ -345,8 +345,11 @@ def kvtext_roundtrip_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference part-NNNNN key\\tvalue files, exactly-once tmp-rename
     commit), read back through the kvtext READER, and re-emitted — the
     result must hash-equal the T01 oracle, proving the full
-    export→import loop preserves every (token, count) record including
-    tab/empty edge cases.
+    export→import loop preserves every (token, count) record, including
+    empty keys/values. (Embedded tabs-in-values also round-trip — the
+    reader splits on the FIRST tab only — but tabs in keys and newlines
+    anywhere are unrepresentable in the line format; the writer
+    validates and raises on those rather than corrupting records.)
     """
     from mapreduce_google_spark.kvtext import read_kvtext, write_kvtext
 

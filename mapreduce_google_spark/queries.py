@@ -5716,10 +5716,38 @@ register(
                     SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
                     FROM documents
                 ) WHERE t <> ''
+                UNION ALL
+                SELECT 'mean_doc_quality', avg(
+                    (CASE WHEN n_tokens BETWEEN 5 AND 100000
+                          THEN 0.4 ELSE 0.0 END)
+                    + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END)
+                    + (CASE WHEN stop_ratio > 0.01 THEN 0.3 ELSE 0.0 END))
+                FROM (
+                    SELECT CAST(len(tokens) AS BIGINT) AS n_tokens,
+                           CASE WHEN length(text) > 0
+                                THEN (length(text) - length(regexp_replace(
+                                          text, '[^\\w\\s]', '', 'g')))
+                                     / CAST(length(text) AS DOUBLE)
+                                ELSE 0.0 END AS punct_ratio,
+                           CASE WHEN len(tokens) > 0
+                                THEN len(list_filter(tokens,
+                                         t -> list_contains(
+                                             ['the','a','of','and','der','el','la'],
+                                             t)))
+                                     / CAST(len(tokens) AS DOUBLE)
+                                ELSE 0.0 END AS stop_ratio
+                    FROM (
+                        SELECT text,
+                               list_filter(string_split_regex(lower(text),
+                                                              '\\s+'),
+                                           t -> t <> '') AS tokens
+                        FROM documents
+                    )
+                )
             )
             ORDER BY metric
         """,
-        doc="one-glance engine dashboard: corpus size, dup rate, vocabulary, token total, event volume, purchases, revenue — long-form union of the registered operators' own aggregates",
+        doc="one-glance engine dashboard: corpus size, dup rate, vocabulary, token total, mean doc quality (t27 composite), event volume, purchases, revenue — long-form union of the registered operators' own aggregates",
         tags=("scale", "diagnostics", "pipeline"),
     )
 )

@@ -210,6 +210,56 @@ def stream_event_pairs(
     )
 
 
+
+def _store_last_batch_id(store: str) -> int:
+    """Last batch id applied to a foreachBatch merge store (-1 if none).
+
+    foreachBatch is AT-LEAST-once: after a mid-merge failure Spark
+    replays the batch with the SAME batch_id. Recording the id inside
+    the store (an underscore-prefixed marker parquet ignores) lets the
+    merge skip already-applied replays, making it effectively
+    exactly-once."""
+    import os
+
+    try:
+        with open(os.path.join(store, "_BATCH_ID"), encoding="ascii") as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _recover_store(store: str) -> None:
+    """Roll back a swap interrupted between the two renames: if the
+    store is missing but the rename-aside copy exists, restore it — the
+    prior state is never lost (unlike rmtree-then-rename)."""
+    import os
+
+    old = store + "_old"
+    if not os.path.exists(store) and os.path.exists(old):
+        os.rename(old, store)
+
+
+def _swap_store(merged: DataFrame, store: str, batch_id: int) -> None:
+    """Atomically replace a merge store via rename-aside (store → _old,
+    tmp → store, drop _old) and stamp the applied batch_id. A crash at
+    any point leaves either the old state (recoverable via
+    :func:`_recover_store`) or the new state — never neither."""
+    import os
+    import shutil
+
+    tmp = store + "_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_BATCH_ID"), "w", encoding="ascii") as fh:
+        fh.write(str(batch_id))
+    old = store + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(store):
+        os.rename(store, old)
+    os.rename(tmp, store)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table into a multi-file /tmp directory (the file
     stream source requires a directory; 4 files → 4 micro-batches under
@@ -421,6 +471,9 @@ def stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(d)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store)
+        if batch_id <= _store_last_batch_id(store):
+            return  # at-least-once replay of an applied batch: skip
         delta = batch_df.groupBy(
             "event_type",
             F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT).alias("hour"),
@@ -434,11 +487,7 @@ def stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = delta
-        tmp = store + "_tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(store):
-            shutil.rmtree(store)
-        os.rename(tmp, store)
+        _swap_store(merged, store, batch_id)
 
     q = (
         spark.readStream.schema(schema)
@@ -488,8 +537,11 @@ def stream_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the store in any arrival order and the final avg is one IEEE
     division of exactly-maintained operands — a running double mean
     would depend on batch boundaries. Store size is the 6-row group
-    grid regardless of volume; the checkpoint makes each batch land
-    exactly once.
+    grid regardless of volume. ``foreachBatch`` is at-least-once, so
+    exactly-once is earned, not assumed: the store records the last
+    applied batch_id (replays skip), and the swap is rename-aside, so a
+    crash at any point leaves either the old or the new state intact
+    (``_swap_store``/``_recover_store``).
     """
     import os
     import shutil
@@ -531,6 +583,9 @@ def stream_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store)
+        if batch_id <= _store_last_batch_id(store):
+            return  # at-least-once replay of an applied batch: skip
         delta = partials(batch_df)
         if os.path.exists(store):
             prev = batch_df.sparkSession.read.parquet(store)
@@ -548,11 +603,7 @@ def stream_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = delta
-        tmp = store + "_tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(store):
-            shutil.rmtree(store)
-        os.rename(tmp, store)
+        _swap_store(merged, store, batch_id)
 
     q = (
         spark.readStream.schema(schema)
@@ -613,6 +664,9 @@ def stream_top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
             shutil.rmtree(d)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store)
+        if batch_id <= _store_last_batch_id(store):
+            return  # at-least-once replay of an applied batch: skip
         delta = (
             batch_df.select(
                 F.explode(F.filter(tokenize("text"), lambda t: t != "")).alias(
@@ -631,11 +685,7 @@ def stream_top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
             )
         else:
             merged = delta
-        tmp = store + "_tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(store):
-            shutil.rmtree(store)
-        os.rename(tmp, store)
+        _swap_store(merged, store, batch_id)
 
     q = (
         spark.readStream.schema(schema)

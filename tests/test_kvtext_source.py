@@ -70,3 +70,60 @@ def test_kvtext_writer_overwrite_replaces(spark, tmp_path):
         spark.createDataFrame([("y", "2")], "key string, value string"), out
     )
     assert [tuple(r) for r in read_kvtext(spark, out).collect()] == [("y", "2")]
+
+
+def test_kvtext_writer_under_hidden_dir(spark, tmp_path):
+    # Regression: final names are built from the basename only — a
+    # hidden directory component (".cache") must survive the rename.
+    from mapreduce_google_spark.kvtext import read_kvtext, write_kvtext
+
+    out = str(tmp_path / ".cache" / "kv_out")
+    write_kvtext(
+        spark.createDataFrame([("h", "1")], "key string, value string"), out
+    )
+    assert [tuple(r) for r in read_kvtext(spark, out).collect()] == [("h", "1")]
+
+
+def test_kvtext_writer_value_tabs_round_trip(spark, tmp_path):
+    # Values may contain tabs (reader splits on FIRST tab only).
+    from mapreduce_google_spark.kvtext import read_kvtext, write_kvtext
+
+    df = spark.createDataFrame(
+        [("k", "v\twith\ttabs")], "key string, value string"
+    )
+    out = str(tmp_path / "kv_tabs")
+    write_kvtext(df, out)
+    assert [tuple(r) for r in read_kvtext(spark, out).collect()] == [
+        ("k", "v\twith\ttabs")
+    ]
+
+
+def test_kvtext_writer_rejects_unrepresentable(spark, tmp_path):
+    # Tab-in-key and newlines cannot be represented by the line format:
+    # the writer raises instead of silently corrupting records.
+    import pytest
+    from mapreduce_google_spark.kvtext import write_kvtext
+
+    for rows in ([("bad\tkey", "v")], [("k", "bad\nvalue")], [("bad\nkey", "v")]):
+        df = spark.createDataFrame(rows, "key string, value string")
+        with pytest.raises(Exception, match="kvtext"):
+            write_kvtext(df, str(tmp_path / "kv_bad"))
+
+
+def test_kvtext_commit_sweeps_stale_attempt_tmp(spark, tmp_path):
+    # A losing/zombie attempt's tmp file (attempt id in the name, so it
+    # never collides with the winner) is swept by the driver's commit.
+    from mapreduce_google_spark.kvtext import read_kvtext, write_kvtext
+
+    out = tmp_path / "kv_sweep"
+    out.mkdir()
+    stray = out / ".part-00000-a999.tmp"
+    stray.write_text("zombie\t0\n", encoding="utf-8")
+    write_kvtext(
+        spark.createDataFrame([("w", "1")], "key string, value string"),
+        str(out),
+    )
+    assert not stray.exists()
+    assert [tuple(r) for r in read_kvtext(spark, str(out)).collect()] == [
+        ("w", "1")
+    ]

@@ -333,3 +333,38 @@ def test_stream_top_tokens_matches_batch(spark, sf_dir):
     batch = [tuple(r) for r in top_k_tokens(spark, sf_dir).collect()]
     stream = [tuple(r) for r in stream_top_tokens(spark, sf_dir).collect()]
     assert stream == batch and len(stream) > 0
+
+
+def test_merge_store_replay_skip_and_crash_recovery(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed (same batch_id) merge
+    must be a no-op, and a crash between the two swap renames must be
+    recoverable without losing the prior state."""
+    import os
+
+    from mapreduce_google_spark.streaming.jobs import (
+        _recover_store,
+        _store_last_batch_id,
+        _swap_store,
+    )
+
+    store = str(tmp_path / "store")
+    df1 = spark.createDataFrame([("a", 1)], "k string, n long")
+    _swap_store(df1, store, batch_id=0)
+    assert _store_last_batch_id(store) == 0
+    # replay of batch 0 → the guard condition callers use must skip
+    assert 0 <= _store_last_batch_id(store)
+
+    df2 = spark.createDataFrame([("a", 2)], "k string, n long")
+    _swap_store(df2, store, batch_id=1)
+    assert _store_last_batch_id(store) == 1
+    assert spark.read.parquet(store).collect()[0].n == 2
+    # _BATCH_ID marker must not break the parquet read
+    assert spark.read.parquet(store).count() == 1
+
+    # simulate a crash between rename(store, old) and rename(tmp, store)
+    os.rename(store, store + "_old")
+    _recover_store(store)
+    assert os.path.exists(store)
+    assert not os.path.exists(store + "_old")
+    assert spark.read.parquet(store).collect()[0].n == 2
+    assert _store_last_batch_id(store) == 1
