@@ -1922,8 +1922,11 @@ register(
         builder=rel_ops.approx_segment_percentiles,
         oracle=None,  # GK sketch values aren't SQL-portable (DuckDB's
         # approx_quantile uses t-digest); rank-error bound vs exact T35
-        # pinned in tests/test_approx_ops.py
-        doc="GK-sketch percentiles (median, p90) per segment — bounded-memory scale path of exact T35, rank error <= 1/accuracy",
+        # pinned in tests/test_approx_ops.py. ORACLE-BEARING TWIN:
+        # t124_percentile_rank_invariants proves the GK guarantee
+        # (rank error <= n/accuracy per segment) with a driver-checkable
+        # hash oracle — driver-green in CORRECTNESS_r04.
+        doc="GK-sketch percentiles (median, p90) per segment — bounded-memory scale path of exact T35, rank error <= 1/accuracy; invariant twin t124",
         tags=("relational", "sketch", "percentile"),
     )
 )
@@ -6430,75 +6433,76 @@ register(
 # --------------------------------------------------------------------------
 
 #: first-50 window, in the order the driver will check them.
-#: Round-4 composition: 3 fixed canaries (never rotate out — VERDICT r2
-#: item 3), the 5 queries NEW this round (t120–t124: invariant oracles
-#: for the remaining approx ops + the native-codec decode query), the
-#: t114 re-proof (r03's one red row — fixed by emitting the years array
-#: as a canonical joined string), then every r01-stale oracle-bearing
-#: entry (no driver evidence since round 1), and the OLDEST r02-stale
-#: entries in registration order for the remaining slots. Rotation
-#: policy: every registry entry's latest driver evidence should be ≤2
-#: rounds old (VERDICT r03 item 4).
+#: Round-5 composition (VERDICT r04 items 1-2): the registry is FROZEN at
+#: 223 entries this round; every slot beyond the canaries goes to the
+#: never-driver-checked backlog. 3 fixed canaries + t02b (replacing the
+#: vacuous t02 slot — a 0-rows-vs-0-rows hash match proves nothing; t02
+#: stays local-only evidence) + the FIRST 46 backlog entries in
+#: registration order: t64/t71/t82 (rows-only, but each has a
+#: driver-green invariant twin — t83/t124/t84 — so the weaker rows-only
+#: driver row completes their evidence pair) then t152-t194.
+#:
+#: COMMITTED r6 WINDOW (do not renegotiate next round): 3 canaries +
+#: the remaining 27 backlog entries t195_nation_share_of_region through
+#: t221_order_size_distribution + the 20 stalest re-proofs in last-
+#: checked order starting from the r02 set (t07 t08 t12 t15 t15b t16
+#: t18 t24 t33 t37 t40 t41 t42 t23 t30 ...). That reaches 223/223
+#: union driver-evidence coverage by the end of r6.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- canaries (keep in every round's window) ---
     "t01_word_count",
     "t09_revenue_per_region",
     "t17_exact_dedup",
-    # --- new this round: invariant oracles + codec decode ---
-    "t120_lsh_precision_invariants",
-    "t121_image_dims",
-    "t122_ann_topk_invariants",
-    "t123_cluster_invariants",
-    "t124_percentile_rank_invariants",
-    # --- new this round: merge / text-stats / vector / audio surface ---
-    "t125_merge_upsert",
-    "t126_token_pmi",
-    "t127_label_centroids",
-    "t128_wav_frame_stats",
-    "t129_bpe_pair_counts",
-    "t130_compaction_invariants",
-    "t131_event_debounce",
-    "t132_session_paths",
-    "t133_event_type_runs",
-    "t134_containment_pairs",
-    "t135_cross_source_dup_matrix",
-    "t136_curation_funnel",
-    "t137_join_skew_profile",
-    # --- re-proof: r03's one red row, fixed this round ---
-    "t114_customer_order_years",
-    # --- r01-stale: no driver evidence since round 1 ---
-    "t02_grep",
-    "t03_identity",
-    "t21_ngram_jaccard_pairs",
-    "t26_language_id",
-    "t27_quality_score",
-    "t28_token_counts",
-    "t29_fingerprints",
-    "t30_multimodal_metadata",
-    "t31_revenue_cube",
-    "t32_price_band_join",
-    "t34_running_order_analytics",
-    "t35_segment_percentiles",
-    "t36_pricing_pivot",
-    "t38_top_orders_global",
-    # --- new this round, second wave (never driver-checked beats
-    # --- re-proving r02-green entries; the r02 set — t07 t08 t12 t15
-    # --- t15b t16 t18 t23 t24 t33 t37 t40 t41 t42 — rotates into r05,
-    # --- still within the ≤2-round staleness budget) ---
-    "t138_tfidf_top_terms",
-    "t139_duplicate_span_coverage",
-    "t140_mixing_weights",
-    "t141_weighted_sample",
-    "t142_zipf_fit",
-    "t143_late_event_accounting",
-    "t144_peak_concurrency",
-    "t145_semantic_dedup_invariants",
-    "t146_per_source_sample",
-    "t147_snapshot_diff",
-    "t148_price_outliers",
-    "t149_last_touch_attribution",
-    "t150_heldout_lm_nll",
-    "t151_source_coherence",
+    # --- non-vacuous grep twin (swapped in for vacuous t02) ---
+    "t02b_grep_hit",
+    # --- backlog: rows-only trio (invariant twins already driver-green) ---
+    "t64_pack_documents",
+    "t71_approx_percentiles",
+    "t82_kmeans_clusters",
+    # --- backlog: the t152+ wave, registration order ---
+    "t152_column_profile",
+    "t153_numeric_correlations",
+    "t154_hourly_anomalies",
+    "t155_native_session_windows",
+    "t156_image_resize_checksum",
+    "t157_stream_hourly_anomalies",
+    "t158_cluster_source_chi2",
+    "t159_contrastive_pairs",
+    "t160_shard_planner",
+    "t161_event_pagerank",
+    "t162_conversion_latency",
+    "t163_rare_token_docs",
+    "t164_approx_distinct_invariants",
+    "t165_ivf_topk_invariants",
+    "t166_curated_corpus",
+    "t167_weighted_median_price",
+    "t168_cep_pattern_counts",
+    "t169_stream_pricing_summary",
+    "t170_ensemble_dup_pairs",
+    "t171_referential_integrity_audit",
+    "t172_linear_attribution",
+    "t173_rolling_window_dedup",
+    "t174_props_struct_stats",
+    "t175_transition_matrix",
+    "t176_price_bins_equidepth",
+    "t177_largest_remainder_allocation",
+    "t178_weekday_revenue_profile",
+    "t179_edit_distance_pairs",
+    "t180_discount_sensitivity",
+    "t181_char_entropy",
+    "t182_token_burstiness",
+    "t183_interarrival_percentiles",
+    "t184_recursive_hierarchy_rollup",
+    "t185_header_dims",
+    "t186_vocab_mass_cut",
+    "t187_winsorized_price_stats",
+    "t188_shared_dialect_stats",
+    "t189_top_principal_component",
+    "t190_principal_score_stats",
+    "t191_pareto_frontier",
+    "t192_dedup_keep_best",
+    "t193_lm_quality_calibration",
+    "t194_transition_dwell_times",
 )
 
 
