@@ -267,7 +267,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_df: int | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup: shingle → minhash → band → bucket-join →
     exact-Jaccard verify of CANDIDATES ONLY.
@@ -280,19 +280,27 @@ def minhash_lsh_pairs(
     per row (``array_intersect``) — two doc-level joins, instead of
     re-exploding the inverted index per candidate.
 
-    Two opt-in skew guards for boilerplate-heavy corpora (defaults off so
-    the clean-corpus fast path keeps its single signature pass — turn
-    them on whenever the corpus hasn't been profiled):
+    Two skew guards for boilerplate-heavy corpora:
 
-    * ``max_df`` — drop shingles shared by more than ``max_df`` docs
-      BEFORE signatures (see :func:`_doc_shingle_arrays`), so boilerplate
-      never reaches the hash family;
-    * ``max_bucket`` — drop band buckets holding more than ``max_bucket``
-      docs before the candidate self-join. A bucket of k docs emits
-      k·(k−1)/2 candidates; one degenerate bucket (near-identical
-      template pages, or max_df left off) otherwise dominates the whole
-      job. Oversized bucket keys are few by construction, so the guard
-      is a broadcast anti-join against their keys.
+    * ``max_df`` (opt-in; default off because it CHANGES semantics —
+      dropped shingles never reach the hash family) — drop shingles
+      shared by more than ``max_df`` docs BEFORE signatures (see
+      :func:`_doc_shingle_arrays`), so boilerplate never reaches the
+      hash family;
+    * ``max_bucket`` (ON by default at 1000, matching
+      :func:`minhash_lsh_pairs_from_bands` — a pure safety net: on any
+      non-degenerate corpus no bucket comes near the cap, so results
+      are unchanged, and on an unprofiled boilerplate-heavy corpus it
+      is the difference between a bounded job and a quadratic one) —
+      drop band buckets holding more than ``max_bucket`` docs before
+      the candidate self-join. A bucket of k docs emits k·(k−1)/2
+      candidates; one degenerate bucket (near-identical template
+      pages, or max_df left off) otherwise dominates the whole job.
+      Oversized bucket keys are few by construction, so the guard is a
+      broadcast anti-join against their keys. The banded table is
+      cached so the profile and both self-join sides read one
+      materialization — the guard costs one tiny aggregation, not a
+      second signature pass.
 
     For repeated/incremental runs use :func:`minhash_lsh_pairs_from_bands`,
     which materializes the band table once and verifies candidate docs
@@ -306,22 +314,28 @@ def minhash_lsh_pairs(
     docs = load_table(spark, sf_dir, "documents")
     sets = _doc_shingle_arrays(docs, n, max_df=max_df).cache()
     sig = minhash_signatures(docs, n, num_hashes, shingle_arrays=sets)
-    banded = _band_buckets(sig, num_hashes, bands)
+    # cache the banded table: the bucket-size profile and BOTH sides of
+    # the candidate self-join read it, so without the cache the
+    # signature pipeline (the expensive pass) would run once per
+    # consumer. At 100 TB the same role is played by the materialized
+    # parquet band table (minhash_band_table).
+    banded = _band_buckets(sig, num_hashes, bands).cache()
+    left = banded
     if max_bucket is not None:
         # oversized buckets are FEW by construction (only boilerplate
         # collapse produces them), so the guard is a broadcast anti-join
         # against their keys — no window sort over the full banded set.
-        # The profile subtree recomputes the signature pipeline once more;
-        # at 100 TB materialize the signature/band table to parquet first
-        # and run the profile + self-join off that (one signature pass).
+        # Filtering ONE side of the self-join is sufficient (a candidate
+        # pair needs a bucket match on BOTH sides), so the guard costs a
+        # single tiny aggregation + one anti-join, not two.
         oversized = (
             banded.groupBy("band", "bucket")
             .agg(F.count("*").alias("n"))
             .where(F.col("n") > max_bucket)
             .select("band", "bucket")
         )
-        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
-    a, b_ = banded.alias("a"), banded.alias("b")
+        left = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    a, b_ = left.alias("a"), banded.alias("b")
     candidates = (
         a.join(
             b_,
