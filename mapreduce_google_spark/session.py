@@ -35,6 +35,27 @@ def _default_master() -> str:
     return f"local[{cpus}]"
 
 
+def _ensure_driver_memory() -> None:
+    """Pin local-mode driver heap BEFORE the JVM launches.
+
+    In local mode the driver JVM hosts every executor thread, all cache
+    blocks, and every broadcast build, but builder ``.config()`` values
+    arrive after py4j has already launched the JVM — so
+    ``spark.driver.memory`` set there is silently ignored and the heap
+    stays at spark-submit's 1g default. That is invisible at sf0.01
+    and OOMs the first ≥64 MB broadcast build at sf1 ("Not enough
+    memory to build and broadcast the table"). The only pre-JVM channel
+    from Python is ``PYSPARK_SUBMIT_ARGS``; respect it if the caller
+    already set one. On a real cluster this knob is spark-submit's
+    ``--driver-memory`` / ``--executor-memory`` and this function is a
+    no-op (the JVM is up long before user code runs).
+    """
+    if "PYSPARK_SUBMIT_ARGS" in os.environ:
+        return
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
+
 def get_spark(
     app_name: str = "mapreduce_google_spark",
     master: str | None = None,
@@ -91,6 +112,7 @@ def get_spark(
     if extra_conf:
         conf.update(extra_conf)
 
+    _ensure_driver_memory()
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in conf.items():
         builder = builder.config(k, v)
