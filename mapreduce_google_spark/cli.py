@@ -287,6 +287,12 @@ def main(argv: list[str] | None = None) -> int:
     p_curate.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_curate.add_argument("--output", required=True, help="parquet destination")
 
+    p_status = sub.add_parser(
+        "status",
+        help="engine health probe (reference bin/mapreduce status analog)",
+    )
+    p_status.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     p_batch = sub.add_parser(
         "batch", help="run a JSONL job list FIFO through one session (F10 queue)"
     )
@@ -360,6 +366,48 @@ def main(argv: list[str] | None = None) -> int:
             kept.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(json.dumps({"kept_docs": n, "output": args.output}))
+        elif args.mode == "status":
+            # The reference daemon script probes resident manager/worker
+            # processes (bin/mapreduce:1-107 start/stop/status/restart).
+            # Spark has no resident manager — the runtime IS the session —
+            # so the analog is: launch one, run a liveness job (the
+            # heartbeat), and report the engine's capacity + the query
+            # registry + data visibility as one JSON health record.
+            import os as _os
+
+            from mapreduce_google_spark.io import TABLES
+            from mapreduce_google_spark.queries import REGISTRY
+
+            sc = spark.sparkContext
+            tables_bytes = {}
+            for t in TABLES:
+                p = _os.path.join(args.sf_dir, f"{t}.parquet")
+                tables_bytes[t] = (
+                    _os.path.getsize(p) if _os.path.exists(p) else None
+                )
+            missing = [t for t, v in tables_bytes.items() if v is None]
+            alive = spark.range(1000).count() == 1000
+            healthy = alive and not missing
+            print(
+                json.dumps(
+                    {
+                        "status": "up" if healthy else "degraded",
+                        "liveness_job_ok": alive,
+                        "spark_version": spark.version,
+                        "master": sc.master,
+                        "app_id": sc.applicationId,
+                        "default_parallelism": sc.defaultParallelism,
+                        "registered_queries": len(REGISTRY),
+                        "oracle_bearing": sum(
+                            1 for s in REGISTRY.values() if s.oracle is not None
+                        ),
+                        "sf_dir": args.sf_dir,
+                        "tables_bytes": tables_bytes,
+                        "missing_tables": missing,
+                    }
+                )
+            )
+            return 0 if healthy else 1
         elif args.mode == "query":
             try:
                 _run_query(

@@ -197,3 +197,61 @@ def test_curate_writes_kept_corpus(spark, tmp_path, sf_dir):
     back = spark.read.parquet(out)
     assert back.count() == expected.count() > 0
     assert set(back.columns) == {"doc_id", "source", "lang", "n_chars"}
+
+
+def test_cli_status_probe(sf_dir):
+    """F-daemon analog (reference bin/mapreduce status): the status
+    subcommand launches the runtime, runs a liveness job, and reports a
+    healthy JSON record with registry + data visibility."""
+    import json as _json
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "mapreduce_google_spark.cli",
+            "status",
+            "--sf-dir",
+            sf_dir,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["status"] == "up"
+    assert rec["liveness_job_ok"] is True
+    assert rec["registered_queries"] >= 223
+    assert rec["missing_tables"] == []
+    assert all(v for v in rec["tables_bytes"].values())
+
+
+def test_cli_status_degraded_on_missing_tables(tmp_path):
+    """status exits nonzero and reports the missing tables when the data
+    directory is incomplete — the 'worker not running' analog."""
+    import json as _json
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "mapreduce_google_spark.cli",
+            "status",
+            "--sf-dir",
+            str(tmp_path),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=300,
+    )
+    assert res.returncode == 1
+    rec = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["status"] == "degraded"
+    assert len(rec["missing_tables"]) == 10
