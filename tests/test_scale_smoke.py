@@ -83,3 +83,46 @@ def test_python_kernel_walltime_bound(name, spark):
         f"{name} took {elapsed:.1f}s at sf0.1 "
         f"(bound {KERNEL_TIME_BOUNDS[name]}s) — Arrow batching regressed?"
     )
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SF1_SMOKE"),
+    reason="sf1 smoke is opt-in (SPARK_GRAFT_SF1_SMOKE=1): generates a "
+    "10x corpus in /tmp and re-runs the headline queries once (~3 min)",
+)
+def test_sf1_headline_scaling_curve(spark, tmp_path_factory):
+    """Opt-in 1000x-the-test-tier smoke: synthesize the 10x corpus
+    (tools/make_scaled_sf.py), run every headline query once, and assert
+    each stays within a 15x wall-time growth bound vs the recorded sf0.1
+    medians — the reproducible form of BENCH_sf1.json's scaling curve.
+    (Linear scaling is ~10x; the bound leaves headroom for noise while
+    still catching a superlinear regression.)"""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1_dir = "/tmp/mgs_sf1"
+    if not os.path.exists(os.path.join(sf1_dir, "embeddings.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "make_scaled_sf.py")],
+            check=True,
+            timeout=600,
+        )
+    with open(os.path.join(repo, "BENCH_sf1.json")) as fh:
+        sf01_total = json.load(fh)["sf01_reference_total"]
+    headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
+    # warm once (codegen + caches), then time once — mirrors bench.py
+    for spec in headline.values():
+        spec.builder(spark, sf1_dir).count()
+    total = 0.0
+    for name, spec in headline.items():
+        t0 = time.monotonic()
+        spec.builder(spark, sf1_dir).count()
+        total += time.monotonic() - t0
+    assert total < 15 * sf01_total, (
+        f"sf1 headline total {total:.1f}s vs sf0.1 total {sf01_total}s — "
+        "scaling regressed past linear"
+    )
