@@ -81,6 +81,18 @@ def main() -> int:
     }
     total = round(sum(timings.values()), 3)
 
+    # BASELINE.md's only quantitative bar is >=0.5 MB/s/core on the text
+    # path with bounded memory; report t01's wall-clock throughput over
+    # the raw corpus bytes directly so the comparison needs no hand math.
+    text_mb = (
+        load_table(spark, SF_DIR, "documents")
+        .agg({"n_chars": "sum"})
+        .collect()[0][0]
+        or 0
+    ) / 1e6
+    t01 = timings.get("t01_word_count")
+    text_mb_per_s = round(text_mb / t01, 2) if t01 else None
+
     print(
         json.dumps(
             {
@@ -92,6 +104,9 @@ def main() -> int:
                 "spread_min_max": spread,
                 "n_reps": n_reps,
                 "sf": sf_of(SF_DIR),
+                "text_corpus_mb": round(text_mb, 3),
+                "t01_text_mb_per_s": text_mb_per_s,
+                "baseline_floor_mb_per_s": 0.5,
             }
         )
     )
