@@ -472,3 +472,79 @@ def test_sliding_window_alignment_fuzz(spark, duck, ks):
     )
     duck.unregister("fuzz_win")
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def _docs_view(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "fuzz_docs"
+    )
+
+
+@given(
+    min_len=st.integers(0, 6),
+    prefix=st.sampled_from(["a", "s", "th", "pro", "qu", "zz"]),
+    use_prefix=st.booleans(),
+)
+@_FUZZ_SETTINGS
+def test_token_hof_fuzz_spark_matches_duckdb(
+    spark, duck, _docs_view, min_len, prefix, use_prefix
+):
+    """Random tokenize→filter→aggregate pipelines over documents must
+    agree between Spark's HOFs (split/filter/aggregate) and DuckDB's
+    list functions — these primitives underlie most of the LLM-text
+    registry (word count, TF-IDF, quality, chunking), so their parity
+    deserves fuzzing, not just the fixed inventory's specific uses."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.functions.text import tokenize
+
+    cond = f"t <> '' AND length(t) > {min_len}"
+    if use_prefix:
+        cond += f" AND t LIKE '{prefix}%'"
+
+    def keep(t):
+        c = (t != "") & (F.length(t) > min_len)
+        if use_prefix:
+            c = c & t.startswith(prefix)
+        return c
+
+    kept = F.filter(tokenize("text"), keep)
+    per_doc = spark.table("fuzz_docs").select(
+        F.size(kept).alias("n"),
+        F.aggregate(
+            kept, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("chars"),
+        kept.alias("toks"),
+    )
+    totals = per_doc.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum("chars").cast("long").alias("total_chars"),
+    ).first()
+    n_distinct = (
+        per_doc.select(F.explode_outer("toks").alias("t"))
+        .agg(F.countDistinct("t").alias("d"))
+        .first()["d"]
+    )
+    got = {
+        "total_tokens": totals["total_tokens"],
+        "total_chars": totals["total_chars"],
+        "n_distinct": n_distinct,
+    }
+    want = duck.execute(
+        f"""
+        WITH kept AS (
+            SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> {cond}) AS toks
+            FROM documents
+        )
+        SELECT CAST(sum(len(toks)) AS BIGINT),
+               CAST(sum(list_aggregate(list_transform(toks, t -> length(t)),
+                                       'sum')) AS BIGINT),
+               (SELECT count(DISTINCT t) FROM (SELECT unnest(toks) AS t FROM kept))
+        FROM kept
+        """
+    ).fetchone()
+    assert (got["total_tokens"] or 0) == (want[0] or 0)
+    assert (got["total_chars"] or 0) == (want[1] or 0)
+    assert got["n_distinct"] == want[2]
