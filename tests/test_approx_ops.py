@@ -168,6 +168,11 @@ def test_boilerplate_footer_does_not_explode_candidates(spark, tmp_path):
     # candidate pair — the guard must reach the candidate join
     assert minhash_lsh_pairs(spark, sf, max_bucket=1).count() == 0
 
+    # the REGISTERED default (max_bucket=1000) is a pure safety net: on
+    # buckets under the cap it must change nothing vs guards-off
+    unguarded = minhash_lsh_pairs(spark, sf, max_bucket=None).count()
+    assert minhash_lsh_pairs(spark, sf).count() == unguarded
+
 
 def test_embedding_lsh_pairs_equal_exact(spark, sf_dir):
     """t24's LSH-candidate → verify pipeline must reproduce the exact
