@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -56,6 +57,9 @@ class KVTextDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
         return _KVTextWriter(self.options, overwrite)
 
+    def simpleStreamReader(self, schema) -> "SimpleDataSourceStreamReader":
+        return _KVTextStreamReader(self.options)
+
 
 class _KVTextReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -78,6 +82,67 @@ class _KVTextReader(DataSourceReader):
             for line in fh:
                 key, _, value = line.rstrip("\n").partition("\t")
                 yield (key, value)
+
+
+class _KVTextStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("kvtext").load(dir)`` — the reference
+    text directory as an UNBOUNDED source: each micro-batch consumes the
+    files that arrived since the last offset (the file-arrival model the
+    reference's job queue implies, re-expressed through Spark's
+    pluggable streaming API).
+
+    Offset = the sorted list of file names consumed so far. Explicit
+    name-sets (not a high-watermark index) make replay exact under ANY
+    arrival order: ``readBetweenOffsets`` re-reads precisely
+    ``end − start`` during recovery, so a batch is reconstructed
+    deterministically even if later files sort before earlier ones.
+    Honesty at scale: a name-set offset grows with file count — fine for
+    the reference's part-file layout (thousands), not for millions of
+    files; the parquet file stream source with compacted log is the
+    scale path.
+    """
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvtext stream source requires a path")
+
+    def _visible(self) -> list:
+        return sorted(
+            f
+            for f in os.listdir(self.path)
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(self.path, f))
+        )
+
+    def _rows_of(self, names):
+        # a LIST, not a generator: the engine pickles the prefetched
+        # rows to make the batch replayable from the checkpoint
+        rows = []
+        for name in names:
+            with open(
+                os.path.join(self.path, name), encoding="utf-8"
+            ) as fh:
+                for line in fh:
+                    key, _, value = line.rstrip("\n").partition("\t")
+                    rows.append((key, value))
+        return rows
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        seen = set(start["seen"])
+        new = [f for f in self._visible() if f not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return self._rows_of(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        delta = sorted(set(end["seen"]) - set(start["seen"]))
+        return self._rows_of(delta)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: source files are immutable
 
 
 class _KVTextCommit(WriterCommitMessage):
@@ -179,6 +244,14 @@ def read_kvtext(spark, path: str):
     """Read a reference-format text dir through the pluggable source."""
     ensure_registered(spark)
     return spark.read.format("kvtext").load(path)
+
+
+def read_kvtext_stream(spark, path: str):
+    """Stream a reference-format text dir: one micro-batch per set of
+    newly-arrived files (exactly-once with checkpointing — offsets are
+    file-name sets, replayed deterministically on recovery)."""
+    ensure_registered(spark)
+    return spark.readStream.format("kvtext").load(path)
 
 
 def write_kvtext(df, path: str) -> None:

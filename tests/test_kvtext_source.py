@@ -127,3 +127,38 @@ def test_kvtext_commit_sweeps_stale_attempt_tmp(spark, tmp_path):
     assert [tuple(r) for r in read_kvtext(spark, str(out)).collect()] == [
         ("w", "1")
     ]
+
+
+def test_kvtext_stream_incremental_consumption(spark, tmp_path):
+    """Streaming read of a kvtext dir: first drain consumes the files
+    present; after new files arrive, a restart from the same checkpoint
+    consumes ONLY the delta (offset = consumed file-name set)."""
+    from mapreduce_google_spark.kvtext import read_kvtext_stream
+
+    src = tmp_path / "kv_src"
+    src.mkdir()
+    _write(src, "part-00000", "a\t1\n")
+    _write(src, "part-00001", "b\t2\n")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            read_kvtext_stream(spark, str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert first == [("a", "1"), ("b", "2")]
+
+    _write(src, "part-00002", "c\t3\n")
+    drain()
+    second = sorted(map(tuple, spark.read.parquet(out).collect()))
+    # append sink: only the delta file's rows were added
+    assert second == [("a", "1"), ("b", "2"), ("c", "3")]
