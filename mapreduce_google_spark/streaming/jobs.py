@@ -361,9 +361,14 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.exists(work):
         shutil.rmtree(work)
     schema = spark.read.parquet(staged).schema
-    state: dict[str, str | None] = {"cur": None}
+    state: dict = {"cur": None, "last_batch": -1}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a replay after a post-write
+        # failure would merge v_N into itself (double-counting n_dups
+        # and overwriting the file being read) — skip applied batches.
+        if batch_id <= state["last_batch"]:
+            return
         mins = (
             batch_df.select(
                 F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
@@ -388,6 +393,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = os.path.join(work, f"v{batch_id}")
         mins.write.mode("overwrite").parquet(out)
         state["cur"] = out
+        state["last_batch"] = batch_id
 
     q = (
         spark.readStream.schema(schema)
