@@ -322,8 +322,9 @@ def minhash_lsh_pairs(
     # and the guard aggregation's distribution requirements — zero
     # further shuffles of the banded set (measured ~15% off t22's
     # steady state). At 100 TB the same role is played by the
-    # materialized parquet band table (minhash_band_table), bucketed
-    # the same way.
+    # materialized parquet band table (minhash_band_table); write it
+    # bucketed by (band, bucket) — the t40 recipe — for the same
+    # shuffle-free join property across runs.
     banded = (
         _band_buckets(sig, num_hashes, bands)
         .repartition("band", "bucket")
