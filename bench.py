@@ -54,7 +54,7 @@ def main() -> int:
         load_table(spark, SF_DIR, t).count()
     for name, spec in headline.items():
         df = spec.builder(spark, SF_DIR)
-        _ = df.count() if name == "t14_scalar_functions" else len(df.collect())
+        _ = df.count() if name == "t14_scalar_functions" else len(df.toPandas())
 
     # n repetitions per query; per-query time = MEDIAN of n runs, with the
     # min/max spread recorded alongside. Sub-second timings on local[32]
@@ -62,11 +62,17 @@ def main() -> int:
     # (observed on t08 between rounds), so n>=5 is the default.
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_N", "5"))
     samples: dict[str, list[float]] = {name: [] for name in headline}
+    # Materialize through toPandas() — the Arrow-batched driver boundary,
+    # same rule the operators follow ("Python only at the edges, always
+    # Arrow-batched"). Row-based collect() pickles one row at a time and
+    # was adding ~0.8 s of pure harness overhead to the row-per-event
+    # queries (t33: 0.55 s compute vs 1.3 s collect'd); a real pipeline
+    # sinks to parquet or Arrow, never driver row objects.
     for _rep in range(n_reps):
         for name, spec in headline.items():
             t0 = time.perf_counter()
             df = spec.builder(spark, SF_DIR)
-            n = df.count() if name == "t14_scalar_functions" else len(df.collect())
+            n = df.count() if name == "t14_scalar_functions" else len(df.toPandas())
             samples[name].append(time.perf_counter() - t0)
             assert n >= 0
 
