@@ -17,6 +17,17 @@ Every revenue/spend/average in the registry uses these helpers, and each
 query's DuckDB oracle mirrors the same casts, so both engines round the
 SAME exact value. ``scale.py`` pioneered the recipe (t32/t40/t41/t43
 green in CORRECTNESS_r01); this module makes it uniform.
+
+Measured cost of exactness (sf0.1, local[32], r5): a 600k-row decimal
+group-sum runs ~3.5× a ``sum(long)``/``sum(double)`` of the same data
+(1.2 s vs 0.35 s in t12's order-grain collapse) because the widened
+accumulator exceeds 18 digits and leaves compact-long decimals for
+BigDecimal. The integer-cents alternative is NOT taken deliberately:
+e4-scaled longs overflow past ~10^9 rows per group
+(10^9 per-row value × 10^9 rows ≈ long max), i.e. exactly at the
+100 TB scale this engine targets, while the decimal accumulator is
+unbounded. Exactness + scale-safety outrank local seconds here; the
+2× baseline gate has ~9× headroom (BENCH vs BASELINE).
 """
 
 from __future__ import annotations
