@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# One-command round-readiness gate: run before a round closes.
+#   bash tools/round_gate.sh
+# 1. full pytest suite
+# 2. exact driver-window replay at sf0.01 (what CORRECTNESS_rNN checks)
+# 3. headline bench at sf0.1 (what BENCH_rNN records)
+# Exits nonzero on the first failure.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/3 pytest =="
+python -m pytest tests/ -q
+
+echo "== 2/3 driver window replay (sf0.01) =="
+python tools/driver_sim.py --window --json /tmp/CORRECTNESS_local.json \
+    2>/dev/null | tail -3
+
+echo "== 3/3 bench (sf0.1) =="
+python bench.py 2>/dev/null | grep '"metric"'
+
+echo "ROUND GATE: all green"
