@@ -162,3 +162,23 @@ def test_kvtext_stream_incremental_consumption(spark, tmp_path):
     second = sorted(map(tuple, spark.read.parquet(out).collect()))
     # append sink: only the delta file's rows were added
     assert second == [("a", "1"), ("b", "2"), ("c", "3")]
+
+
+def test_kvtext_stream_replay_is_deterministic(tmp_path):
+    # unit-level: readBetweenOffsets(start, end) must return exactly the
+    # rows of end-start regardless of later arrivals (recovery replay)
+    from mapreduce_google_spark.kvtext import _KVTextStreamReader
+
+    _write(tmp_path, "part-00000", "a\t1\n")
+    _write(tmp_path, "part-00001", "b\t2\n")
+    r = _KVTextStreamReader({"path": str(tmp_path)})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert sorted(rows) == [("a", "1"), ("b", "2")]
+    # a file arriving AFTER the batch was planned must not leak into the
+    # replay of that batch
+    _write(tmp_path, "part-00002", "c\t3\n")
+    assert sorted(r.readBetweenOffsets(start, end)) == [("a", "1"), ("b", "2")]
+    rows2, end2 = r.read(end)
+    assert sorted(rows2) == [("c", "3")]
+    assert sorted(r.readBetweenOffsets(end, end2)) == [("c", "3")]

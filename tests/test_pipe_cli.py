@@ -255,3 +255,37 @@ def test_cli_status_degraded_on_missing_tables(tmp_path):
     rec = _json.loads(res.stdout.strip().splitlines()[-1])
     assert rec["status"] == "degraded"
     assert len(rec["missing_tables"]) == 10
+
+
+def test_cli_exec_empty_input(tmp_path):
+    """Reference parity: a job over an empty input directory completes
+    and writes an (empty) output dir rather than failing."""
+    input_dir = tmp_path / "empty_in"
+    input_dir.mkdir()
+    out_dir = tmp_path / "out"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "mapreduce_google_spark.cli",
+            "exec",
+            "--input", str(input_dir),
+            "--output", str(out_dir),
+            "--mapper", f"{sys.executable} {ASSETS}/wc_mapper.py",
+            "--reducer", f"{sys.executable} {ASSETS}/wc_reducer.py",
+            "--num-reducers", "2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert out_dir.exists()
+    data_lines = []
+    for p in out_dir.iterdir():
+        if p.name.startswith("part-"):
+            data_lines += [ln for ln in p.read_text().splitlines() if ln.strip()]
+    assert data_lines == []
