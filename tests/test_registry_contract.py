@@ -61,25 +61,54 @@ def test_driver_window_ordering():
     every window slot must be oracle-bearing (rows-only specs waste the
     slot) and iteration order must match DRIVER_WINDOW exactly.
 
-    Exception (r5 backlog clearance, VERDICT r04 item 1): the three
-    rows-only ops whose INVARIANT TWINS are already driver-green
-    (t64↔t83, t71↔t124, t82↔t84) may hold a slot once — the weaker
-    rows-only driver row completes their evidence pair and retires the
-    never-checked backlog."""
+    The r5 one-time exception for the rows-only trio (t64/t71/t82) is
+    retired: their rows-only driver evidence was banked in
+    CORRECTNESS_r05 and every future slot must buy a full hash check."""
     from mapreduce_google_spark.queries import DRIVER_WINDOW
 
-    rows_only_allowed = {
-        "t64_pack_documents",
-        "t71_approx_percentiles",
-        "t82_kmeans_clusters",
-    }
     names = list(REGISTRY)
     assert len(DRIVER_WINDOW) == 50
     assert names[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     for name in DRIVER_WINDOW:
-        if name in rows_only_allowed:
-            continue
         assert REGISTRY[name].oracle is not None, f"{name} wastes a window slot"
+
+
+def test_staleness_budget():
+    """Steady-state rotation budget (VERDICT r05 item 2), as an
+    assertion rather than prose: with 223 entries and 47 rotating
+    window slots per round, every oracle-bearing entry must be
+    re-provable within <=5 rounds. Concretely: counting the CURRENT
+    DRIVER_WINDOW as evidence for the upcoming round, no oracle-bearing
+    entry's last-checked round may be more than 4 rounds behind it.
+    Rows-only specs are exempt (a window slot can never buy them a hash
+    row; their invariant twins carry the evidence and are themselves
+    budgeted here)."""
+    import glob
+    import json
+    import os
+
+    from mapreduce_google_spark.queries import DRIVER_WINDOW
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    rounds = []
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(rnd)
+        with open(f) as fh:
+            for name in json.load(fh):
+                last[name] = max(last.get(name, 0), rnd)
+    assert rounds, "no correctness history found"
+    current = max(rounds) + 1
+    for name in DRIVER_WINDOW:  # the upcoming round's evidence
+        last[name] = current
+    budget = 5
+    over = [
+        f"{name} (last r{last.get(name, 0)}, staleness {current - last.get(name, 0)})"
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None and current - last.get(name, 0) > budget - 1
+    ]
+    assert not over, f"entries exceed the {budget}-round staleness budget: {over}"
 
 
 def test_oracles_are_nonvacuous_at_driver_scale():
