@@ -472,9 +472,13 @@ def stream_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(staged).schema
     store = f"/tmp/mgs_anom_store_{tag}"
     ckpt = f"{store}_ckpt"
-    for d in (store, ckpt):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    # A prior invocation killed mid-_swap_store leaves store+'_old' /
+    # store+'_tmp' behind; if only (store, ckpt) were removed here,
+    # _recover_store would resurrect the stale previous-run store and its
+    # _BATCH_ID would make the batch-id skip drop this run's early batches
+    # (fresh checkpoints restart ids at 0). Sweep the whole family.
+    for d in (store, store + "_old", store + "_tmp", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         _recover_store(store)
@@ -568,9 +572,13 @@ def stream_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(staged).schema
     store = f"/tmp/mgs_q1_store_{tag}"
     ckpt = f"{store}_ckpt"
-    for d in (store, ckpt):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    # A prior invocation killed mid-_swap_store leaves store+'_old' /
+    # store+'_tmp' behind; if only (store, ckpt) were removed here,
+    # _recover_store would resurrect the stale previous-run store and its
+    # _BATCH_ID would make the batch-id skip drop this run's early batches
+    # (fresh checkpoints restart ids at 0). Sweep the whole family.
+    for d in (store, store + "_old", store + "_tmp", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
 
     def partials(df: DataFrame) -> DataFrame:
         disc_price = money("l_extendedprice") * one_minus("l_discount")
@@ -665,9 +673,13 @@ def stream_top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
     schema = spark.read.parquet(staged).schema
     store = f"/tmp/mgs_toptok_store_{tag}"
     ckpt = f"{store}_ckpt"
-    for d in (store, ckpt):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    # A prior invocation killed mid-_swap_store leaves store+'_old' /
+    # store+'_tmp' behind; if only (store, ckpt) were removed here,
+    # _recover_store would resurrect the stale previous-run store and its
+    # _BATCH_ID would make the batch-id skip drop this run's early batches
+    # (fresh checkpoints restart ids at 0). Sweep the whole family.
+    for d in (store, store + "_old", store + "_tmp", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         _recover_store(store)

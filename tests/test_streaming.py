@@ -335,6 +335,38 @@ def test_stream_top_tokens_matches_batch(spark, sf_dir):
     assert stream == batch and len(stream) > 0
 
 
+def test_stale_prior_run_store_not_resurrected(spark, sf_dir):
+    """A prior run killed mid-_swap_store (after store → store_old)
+    leaves store_old with a high _BATCH_ID. A fresh run's cleanup must
+    sweep it; otherwise _recover_store resurrects it and the batch-id
+    skip drops the new run's batches 0..N (fresh checkpoints restart
+    ids at 0), merging stale counts into the result."""
+    import os
+
+    from mapreduce_google_spark.operators.events import hourly_anomalies
+    from mapreduce_google_spark.streaming.jobs import (
+        _staged_events_dir,
+        stream_hourly_anomalies,
+    )
+
+    tag, _ = _staged_events_dir(spark, sf_dir)
+    store = f"/tmp/mgs_anom_store_{tag}"
+    poison = store + "_old"
+    # plant a poisoned previous-run store: bogus rows + batch_id far past
+    # anything the fresh run will produce
+    spark.createDataFrame(
+        [("poisoned", 0, 999999, 9.9)],
+        "event_type string, hour int, n long, z double",
+    ).write.mode("overwrite").parquet(poison)
+    with open(os.path.join(poison, "_BATCH_ID"), "w", encoding="ascii") as fh:
+        fh.write("99")
+
+    batch = {tuple(r) for r in hourly_anomalies(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in stream_hourly_anomalies(spark, sf_dir).collect()}
+    assert stream == batch and len(stream) > 0
+    assert not os.path.exists(poison)
+
+
 def test_merge_store_replay_skip_and_crash_recovery(spark, tmp_path):
     """foreachBatch is at-least-once: a replayed (same batch_id) merge
     must be a no-op, and a crash between the two swap renames must be
