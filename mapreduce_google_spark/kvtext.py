@@ -26,6 +26,7 @@ into this engine; columnar data belongs in parquet.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -178,6 +179,13 @@ class _KVTextWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("kvtext sink requires a path")
         self.overwrite = overwrite
+        # Per-JOB token (minted driver-side, shipped to every task via
+        # pickling): tmp sweeps in commit/abort match only THIS job's
+        # files, so a concurrent job writing the same directory never
+        # has its in-flight tmp files deleted, and an aborted job can
+        # sweep its own strays (attempts that died before reporting a
+        # commit message have no entry in `messages`).
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -189,7 +197,9 @@ class _KVTextWriter(DataSourceWriter):
         # Attempt id in the tmp name: concurrent attempts of the same
         # partition write disjoint files; the driver later renames only
         # the attempt whose commit message it accepted.
-        tmp = os.path.join(self.path, f".part-{pid:05d}-a{attempt}.tmp")
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-a{attempt}-{self.job_token}.tmp"
+        )
         final = os.path.join(self.path, f"part-{pid:05d}")
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -214,19 +224,27 @@ class _KVTextWriter(DataSourceWriter):
                 if f.startswith("part-"):
                     os.remove(os.path.join(self.path, f))
         # Rename ONLY the winning attempts (the ones Spark reported);
-        # losing speculative attempts' tmp files are swept afterwards.
+        # losing speculative attempts' tmp files are swept afterwards —
+        # scoped by job token so a concurrent job's tmp files survive.
         for m in messages:
             os.replace(m.tmp_file, m.final_file)
-        for f in os.listdir(self.path):
-            if f.startswith(".part-") and f.endswith(".tmp"):
-                os.remove(os.path.join(self.path, f))
+        self._sweep_own_tmp()
 
     def abort(self, messages) -> None:
-        # Remove only files this job's failed attempts reported — never
-        # another (possibly still-winning) attempt's output.
+        # Remove every tmp file THIS job produced (token-scoped) — that
+        # covers both reported attempts and attempts that died before
+        # returning a commit message (whose `messages` entry is None) —
+        # and never another job's (possibly still-winning) output.
         for m in messages:
             if m is not None and os.path.exists(m.tmp_file):
                 os.remove(m.tmp_file)
+        self._sweep_own_tmp()
+
+    def _sweep_own_tmp(self) -> None:
+        suffix = f"-{self.job_token}.tmp"
+        for f in os.listdir(self.path):
+            if f.startswith(".part-") and f.endswith(suffix):
+                os.remove(os.path.join(self.path, f))
 
 
 _REGISTERED: set[int] = set()

@@ -52,8 +52,29 @@ def _ensure_driver_memory() -> None:
     """
     if "PYSPARK_SUBMIT_ARGS" in os.environ:
         return
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
     os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
+
+def _default_driver_mem() -> str:
+    """min(24g, ~70% of MemAvailable): a host-blind 24g default lets the
+    JVM commit past physical memory on smaller machines and get
+    OOM-killed mid-job instead of failing fast at allocation time.
+    Floor of 2g keeps tiny CI hosts above spark-submit's 1g default
+    (which OOMs broadcast builds at ~sf1). SPARK_GRAFT_DRIVER_MEM
+    overrides unconditionally."""
+    avail_gb = None
+    try:
+        with open("/proc/meminfo", encoding="ascii") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) / 1048576  # kB → GiB
+                    break
+    except OSError:
+        pass
+    if avail_gb is None:
+        return "24g"
+    return f"{max(2, min(24, int(avail_gb * 0.7)))}g"
 
 
 def get_spark(

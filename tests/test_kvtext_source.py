@@ -110,23 +110,44 @@ def test_kvtext_writer_rejects_unrepresentable(spark, tmp_path):
             write_kvtext(df, str(tmp_path / "kv_bad"))
 
 
-def test_kvtext_commit_sweeps_stale_attempt_tmp(spark, tmp_path):
-    # A losing/zombie attempt's tmp file (attempt id in the name, so it
-    # never collides with the winner) is swept by the driver's commit.
-    from mapreduce_google_spark.kvtext import read_kvtext, write_kvtext
+def test_kvtext_commit_sweep_is_job_scoped(spark, tmp_path):
+    """Commit sweeps only THIS job's tmp files (job token in the name):
+    a concurrent job's in-flight tmp file must survive another job's
+    commit, while the committing job's own zombie-attempt files are
+    removed. Foreign strays are dot-prefixed so readers ignore them."""
+    from mapreduce_google_spark.kvtext import (
+        _KVTextWriter,
+        read_kvtext,
+        write_kvtext,
+    )
 
     out = tmp_path / "kv_sweep"
     out.mkdir()
-    stray = out / ".part-00000-a999.tmp"
-    stray.write_text("zombie\t0\n", encoding="utf-8")
+    # in-flight tmp of a DIFFERENT job (different token) — must survive
+    foreign = out / ".part-00000-a7-deadbeef0000.tmp"
+    foreign.write_text("other\t0\n", encoding="utf-8")
     write_kvtext(
         spark.createDataFrame([("w", "1")], "key string, value string"),
         str(out),
     )
-    assert not stray.exists()
+    assert foreign.exists(), "commit deleted a concurrent job's tmp file"
+    # readers ignore dot-prefixed strays
     assert [tuple(r) for r in read_kvtext(spark, str(out)).collect()] == [
         ("w", "1")
     ]
+    # no tmp litter from the committed job itself
+    own_tmp = [f for f in out.iterdir() if f.suffix == ".tmp" and f != foreign]
+    assert own_tmp == []
+
+    # own zombie-attempt file (same token) is swept on commit AND abort
+    w = _KVTextWriter({"path": str(out)}, overwrite=False)
+    zombie = out / f".part-00001-a999-{w.job_token}.tmp"
+    zombie.write_text("zombie\t0\n", encoding="utf-8")
+    w.commit([])
+    assert not zombie.exists() and foreign.exists()
+    zombie.write_text("zombie\t0\n", encoding="utf-8")
+    w.abort([None])
+    assert not zombie.exists() and foreign.exists()
 
 
 def test_kvtext_stream_incremental_consumption(spark, tmp_path):

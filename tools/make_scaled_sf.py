@@ -46,6 +46,28 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     )
 con.execute(f"CREATE TABLE reps AS SELECT unnest(range({K})) AS i")
 
+# The offsets above are only collision-free if every source key fits
+# under its table's offset; pointing this tool at a larger src sf dir
+# would otherwise silently produce colliding keys across replicas and
+# break the referential alignment the tool exists to preserve.
+_KEY_BOUNDS = {
+    "customer.c_custkey": CUST_OFF,
+    "orders.o_orderkey": ORD_OFF,
+    "part.p_partkey": PART_OFF,
+    "supplier.s_suppkey": SUPP_OFF,
+    "documents.doc_id": DOC_OFF,
+    "embeddings.vec_id": VEC_OFF,
+    "events.event_id": EVT_OFF,
+}
+for qual, off in _KEY_BOUNDS.items():
+    tbl, col = qual.split(".")
+    mx = con.execute(f"SELECT max({col}) FROM {tbl}").fetchone()[0]
+    if mx is not None and mx >= off:
+        raise SystemExit(
+            f"source {qual} max={mx} >= replica offset {off}: replicas "
+            f"would collide. Use a smaller src sf dir or raise the offset."
+        )
+
 
 def emit(name: str, sql: str) -> None:
     con.execute(
