@@ -380,29 +380,52 @@ def minhash_band_table(
     num_hashes: int = 32,
     bands: int = 8,
     max_df: int | None = None,
+    num_buckets: int = 32,
 ) -> str:
-    """Materialize the (doc_id, band, bucket) LSH index to parquet (one
-    signature pass), keyed by the source fingerprint (``io.cache_tag``).
-    Returns the table path; idempotent until the corpus changes.
+    """Materialize the (doc_id, band, bucket) LSH index as a parquet
+    table BUCKETED BY (band, bucket) (one signature pass), keyed by the
+    source fingerprint (``io.cache_tag``). Returns the catalog table
+    name; idempotent until the corpus changes.
 
     This is the production form of the LSH pipeline: the signature/band
     table is the durable asset — computed once per corpus version, read
     by every downstream pass (candidate joins, bucket-size profiles,
     incremental re-runs) — so signature computation cost is paid exactly
     once no matter how many consumers follow.
+
+    The bucketed+sorted layout (the same recipe t40 uses,
+    ``io.write_parquet``) is what makes the CROSS-RUN candidate join
+    shuffle-free: every reader of ``spark.table(name)`` sees the
+    bucketing metadata, so the self-join on exactly (band, bucket) and
+    the bucket-size guard aggregation run with ZERO exchange of the
+    banded set — the property the in-session path gets from
+    ``repartition("band","bucket").cache()``, held durably on disk.
+    At 100 TB, raise ``num_buckets`` to match cluster parallelism.
     """
     import os
 
-    from mapreduce_google_spark.io import cache_tag
+    from mapreduce_google_spark.io import cache_tag, write_parquet
 
     tag = cache_tag(sf_dir, "documents")
-    out = f"/tmp/mgs_lsh_bands_{tag}_n{n}_h{num_hashes}_b{bands}_df{max_df}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    name = f"mgs_lsh_bands_{tag}_n{n}_h{num_hashes}_b{bands}_df{max_df}"
+    out = f"/tmp/{name}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")) or not (
+        spark.catalog.tableExists(name)
+    ):
         docs = load_table(spark, sf_dir, "documents")
         sets = _doc_shingle_arrays(docs, n, max_df=max_df)
         sig = minhash_signatures(docs, n, num_hashes, shingle_arrays=sets)
-        _band_buckets(sig, num_hashes, bands).write.mode("overwrite").parquet(out)
-    return out
+        write_parquet(
+            # 1 file per bucket so readers trust the sortBy order too
+            _band_buckets(sig, num_hashes, bands).repartition(
+                num_buckets, "band", "bucket"
+            ),
+            out,
+            bucket_table=name,
+            bucket_cols=["band", "bucket"],
+            num_buckets=num_buckets,
+        )
+    return name
 
 
 def minhash_lsh_pairs_from_bands(
@@ -426,10 +449,15 @@ def minhash_lsh_pairs_from_bands(
     * the verify stage re-derives shingle arrays ONLY for documents that
       actually appear in a candidate pair (semi-join pruning) — on a
       corpus with a bounded near-dup rate that is a vanishing fraction
-      of the scan the non-materialized form spends on all documents.
+      of the scan the non-materialized form spends on all documents;
+    * the band table is bucketed+sorted on (band, bucket), so the
+      candidate self-join and the guard aggregation need NO exchange of
+      the banded set — the cross-run analog of the in-session
+      ``repartition().cache()`` (plan-gated in
+      ``tests/test_plans.py::test_from_bands_candidate_join_has_no_banded_exchange``).
     """
-    path = minhash_band_table(spark, sf_dir, n, num_hashes, bands, max_df)
-    banded = spark.read.parquet(path)
+    table = minhash_band_table(spark, sf_dir, n, num_hashes, bands, max_df)
+    banded = spark.table(table)
     if max_bucket is not None:
         oversized = (
             banded.groupBy("band", "bucket")
@@ -438,7 +466,12 @@ def minhash_lsh_pairs_from_bands(
             .select("band", "bucket")
         )
         banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
-    a, b_ = banded.alias("a"), banded.alias("b")
+    # `merge` hint (same rationale as t40): at test scale the tiny band
+    # table would broadcast, hiding the property this path exists for —
+    # the bucketed layout lets the self-join read co-located buckets with
+    # ZERO exchange of the banded set (plan-gated). At 100 TB neither
+    # side broadcasts and bucketed sort-merge is the plan regardless.
+    a, b_ = banded.hint("merge").alias("a"), banded.alias("b")
     candidates = (
         a.join(
             b_,

@@ -509,3 +509,33 @@ def test_t215_star_join_broadcasts_all_dims(spark, sf_dir):
 
     df = full_star_profit(spark, sf_dir)
     assert has_broadcast_join(df, at_least=4), formatted_plan(df)
+
+
+def test_from_bands_candidate_join_has_no_banded_exchange(spark, sf_dir):
+    """The materialized LSH band table is bucketed+sorted on
+    (band, bucket), so the cross-run candidate self-join must read
+    co-located buckets: a sort-merge join with ZERO shuffle exchange of
+    the banded set (the broadcast exchange of the tiny oversized-bucket
+    guard is the only one allowed). This is the durable on-disk analog
+    of the in-session repartition().cache() co-partitioning."""
+    from mapreduce_google_spark.operators.dedup import minhash_band_table
+
+    from pyspark.sql import functions as F
+
+    name = minhash_band_table(spark, sf_dir)
+    banded = spark.table(name)
+    a, b = banded.hint("merge").alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    plan = formatted_plan(cand)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # A local per-partition Sort remains: Spark 3+ ignores bucketed
+    # sortBy order unless spark.sql.legacy.bucketedTableScan.outputOrdering
+    # is set (one-file-per-bucket verification was deemed too costly).
+    # That sort is linear, local, and spill-safe — the shuffle the
+    # bucketing removes was the scale-killer, so only Exchange is gated.
