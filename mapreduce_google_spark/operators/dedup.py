@@ -152,6 +152,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    warn_df: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word-3-gram shingle sets.
 
@@ -160,9 +161,47 @@ def ngram_jaccard_pairs(
     (this one is O(pairs sharing a shingle) — ``max_df`` caps the
     per-shingle fan-out so boilerplate can't make it quadratic; Jaccard
     is then computed over the CAPPED sets on both engine and oracle).
+
+    ``warn_df`` (ON by default at 1000, the t22 ``max_bucket`` analog
+    for the exact detector): a NON-semantic skew guard. Dropping
+    shingles changes results, so nothing is capped by default — instead
+    the per-shingle document frequency is profiled up front (one tiny
+    hash-agg over the cached inverted index the query needs anyway) and
+    a loud warning names the worst shingles and the candidate-pair
+    fan-out when any df exceeds the threshold. A shingle shared by k
+    docs emits k·(k−1)/2 join rows, so one boilerplate footer on an
+    unprofiled corpus is the difference between a bounded job and a
+    quadratic one; the warning tells the operator to set ``max_df`` (or
+    use the LSH path) BEFORE the join runs, not after it hangs.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs, n, max_df=max_df).cache()
+    if warn_df is not None:
+        profile = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > warn_df)
+            .agg(
+                F.count("*").alias("n_hot"),
+                F.max("df").alias("max_df_seen"),
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("extra_pairs"),
+            )
+            .collect()[0]
+        )
+        if profile.n_hot:
+            import warnings
+
+            warnings.warn(
+                f"ngram_jaccard_pairs: {profile.n_hot} shingle(s) exceed "
+                f"df={warn_df} (max df {profile.max_df_seen}; "
+                f"~{int(profile.extra_pairs)} candidate pairs from hot "
+                f"shingles alone). The exact self-join is quadratic in "
+                f"per-shingle df — set max_df to drop boilerplate "
+                f"shingles, or use minhash_lsh_pairs (bucket-capped) at "
+                f"scale. Results are NOT capped by this warning.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -168,10 +168,37 @@ def test_boilerplate_footer_does_not_explode_candidates(spark, tmp_path):
     # candidate pair — the guard must reach the candidate join
     assert minhash_lsh_pairs(spark, sf, max_bucket=1).count() == 0
 
+    # warn_df guard (non-semantic): fires on the boilerplate corpus
+    # (footer df=32 > warn_df=5), names the fan-out, and changes NOTHING
+    # about the result set
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        warned = ngram_jaccard_pairs(spark, sf, warn_df=5).count()
+    hot = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert hot and "quadratic" in str(hot[0].message)
+    assert warned == uncapped, "warn_df must not change results"
+
     # the REGISTERED default (max_bucket=1000) is a pure safety net: on
     # buckets under the cap it must change nothing vs guards-off
     unguarded = minhash_lsh_pairs(spark, sf, max_bucket=None).count()
     assert minhash_lsh_pairs(spark, sf).count() == unguarded
+
+
+def test_t21_warn_df_guard_silent_on_clean_corpus(spark, sf_dir):
+    """The default warn_df=1000 guard must be a no-op on the real test
+    corpus: no warning, identical pairs to the guard-off run."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        guarded = {tuple(r) for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    bare = {
+        tuple(r) for r in ngram_jaccard_pairs(spark, sf_dir, warn_df=None).collect()
+    }
+    assert guarded == bare and len(guarded) > 0
 
 
 def test_embedding_lsh_pairs_equal_exact(spark, sf_dir):
