@@ -99,6 +99,20 @@ def main() -> int:
     t01 = timings.get("t01_word_count")
     text_mb_per_s = round(text_mb / t01, 2) if t01 else None
 
+    # t25 is the approximate scale path for t18; its headline number only
+    # means something next to its measured recall, so compute it here
+    # (once, untimed — both results are already warm from the reps).
+    ivf_recall = None
+    if "t25_ivf_topk" in timings and "t18_cosine_topk" in timings:
+        exact = REGISTRY["t18_cosine_topk"].builder(spark, SF_DIR).toPandas()
+        approx = REGISTRY["t25_ivf_topk"].builder(spark, SF_DIR).toPandas()
+        exact_pairs = set(zip(exact["probe_id"], exact["vec_id"]))
+        approx_pairs = set(zip(approx["probe_id"], approx["vec_id"]))
+        if exact_pairs:
+            ivf_recall = round(
+                len(exact_pairs & approx_pairs) / len(exact_pairs), 3
+            )
+
     print(
         json.dumps(
             {
@@ -113,6 +127,7 @@ def main() -> int:
                 "text_corpus_mb": round(text_mb, 3),
                 "t01_text_mb_per_s": text_mb_per_s,
                 "baseline_floor_mb_per_s": 0.5,
+                "t25_ivf_recall_vs_exact_t18": ivf_recall,
             }
         )
     )

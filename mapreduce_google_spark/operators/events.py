@@ -126,6 +126,46 @@ def session_window_stats(
     )
 
 
+def session_window_stats_native(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """T16 via Spark's NATIVE ``session_window`` operator — identical
+    output contract to :func:`session_window_stats` (hash-equality
+    pinned in ``tests/test_numeric.py``), different engine path: the
+    sessionization happens inside one session-window aggregation
+    (shuffle on user_id, bounded per-key state — the same operator
+    streaming uses) instead of a lag window + running sum + two
+    aggregations. ``w.end`` is ``last_ts + gap``, so the island
+    duration is ``end − gap − start``.
+
+    Benched against the gaps-and-islands form at sf0.1 and sf1
+    (see t16's docstring for the measured numbers and which form is
+    registered).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap_us = gap_minutes * 60 * 1_000_000
+    win = F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+    per_session = ev.groupBy("user_id", win.alias("w")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return (
+        per_session.select(
+            "user_id",
+            "n_events",
+            (
+                F.unix_micros(F.col("w.end")) - gap_us - F.unix_micros(F.col("w.start"))
+            ).alias("duration_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("duration_us").cast("long").alias("max_session_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T37 — semi-structured extraction: pull ``$.k`` out of the JSON
     ``props`` string, aggregate per event_type.

@@ -697,6 +697,9 @@ register(
         # against t18's exact result
         doc="IVF-bucketed approximate cosine top-k (scale path for T18)",
         tags=("llm", "similarity"),
+        headline=True,  # benched NEXT TO the exact t18 so the "scale
+        # path" claim is a measured number (bench.py also reports its
+        # recall vs t18 outside the timed loop)
     )
 )
 

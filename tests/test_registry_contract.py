@@ -36,10 +36,17 @@ def test_oracles_reference_only_known_tables():
 
 def test_headline_queries_are_oracle_checked():
     """Bench queries must also be correctness-gated — a fast wrong answer
-    is worse than a slow right one."""
+    is worse than a slow right one. Two approximate-by-construction
+    exceptions, each with measured evidence instead of a SQL oracle:
+    t22 (precision/recall vs the exact operator + t120 invariants) and
+    t25 (recall vs exact t18, asserted in tests and reported by
+    bench.py next to the exact number)."""
+    approx_with_measured_evidence = {"t22_minhash_lsh_pairs", "t25_ivf_topk"}
     for name, spec in REGISTRY.items():
         if spec.headline:
-            assert spec.oracle is not None or name == "t22_minhash_lsh_pairs", name
+            assert (
+                spec.oracle is not None or name in approx_with_measured_evidence
+            ), name
 
 
 def test_every_query_declares_semantics():
