@@ -131,7 +131,7 @@ def session_window_stats_native(
 ) -> DataFrame:
     """T16 via Spark's NATIVE ``session_window`` operator — identical
     output contract to :func:`session_window_stats` (hash-equality
-    pinned in ``tests/test_numeric.py``), different engine path: the
+    pinned in ``tests/test_property_fuzz.py``), different engine path: the
     sessionization happens inside one session-window aggregation
     (shuffle on user_id, bounded per-key state — the same operator
     streaming uses) instead of a lag window + running sum + two
