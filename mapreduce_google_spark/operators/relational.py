@@ -323,6 +323,16 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     max orderkey via the ascending sort, matching the argmax the oracle
     computes. The cogrouped-pandas ``merge_asof`` path (t50) remains the
     alternative when per-customer history outgrows a sort partition.
+
+    Measured crossover (tools/impl_shootout.py, medians, Arrow
+    materialization): at sf0.1 this form wins — 1.47 s vs t50's 2.37 s
+    (per-batch Python overhead dominates small groups); at sf1 (10×)
+    t50 wins — 5.42 s vs 8.82 s here (the global per-customer sort's
+    n·log n growth overtakes the fixed 64-bucket merge cost). The
+    crossover sits between sf0.1 and sf1, so t50 is the
+    SCALE-RECOMMENDED form (tagged in its registration): at 100 TB ship
+    the cogrouped merge; this all-JVM form stays the default at the
+    correctness-gate tiers where it is both faster and oracle-minimal.
     """
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
@@ -463,9 +473,15 @@ def asof_latest_order_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-max.
 
     The trade: a Python stage and full materialization of each group in
-    memory — so T33's all-JVM aggregate stays the default and this is the
-    skew-tolerant alternative (one giant customer costs one big pandas
-    frame, not a shuffled pair explosion).
+    memory — so T33's all-JVM aggregate stays the default at the
+    correctness-gate tiers and this is the skew-tolerant, SCALE-
+    RECOMMENDED form (one giant customer costs one big pandas frame,
+    not a shuffled pair explosion). Measured (tools/impl_shootout.py):
+    sf0.1 — 2.37 s here vs t33's 1.47 s (per-batch Python overhead
+    dominates small groups); sf1 — 5.42 s here vs t33's 8.82 s (the
+    union-merge's global per-customer n·log n sort overtakes the fixed
+    64-bucket merge). Crossover between sf0.1 and sf1; at 100 TB this
+    is the form to ship.
 
     Cogroup key: NOT the raw user (that made one Python call per user —
     ~40 ms of interpreter/Arrow overhead each, 58 s at sf0.1) but a fixed

@@ -1294,8 +1294,10 @@ register(
             WHERE rn = 1
             ORDER BY event_id
         """,
-        doc="as-of join via cogrouped applyInPandas merge_asof (skew-tolerant path)",
-        tags=("relational", "join", "asof", "pandas"),
+        doc="as-of join via cogrouped applyInPandas merge_asof (skew-tolerant, "
+        "scale-recommended form: beats t33's union-merge 5.42s vs 8.82s at "
+        "sf1; t33 wins below the sf0.1-sf1 crossover)",
+        tags=("relational", "join", "asof", "pandas", "scale-recommended"),
     )
 )
 
