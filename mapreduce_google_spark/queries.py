@@ -6453,6 +6453,9 @@ register(
 #: 223 entries and 47 rotating slots, every entry is re-provable within
 #: 5 rounds; tests/test_registry_contract.py asserts that budget against
 #: the recorded correctness history (see test_staleness_budget).
+#: FIRST ACTION EACH ROUND: `python tools/window_planner.py` emits the
+#: policy's window for the new round (paste here), and `--verify` proves
+#: the committed window IS the policy output (it is, for r6).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- canaries (keep in every round's window) ---
     "t01_word_count",
