@@ -112,17 +112,32 @@ def test_sf1_headline_scaling_curve(spark, tmp_path_factory):
             timeout=600,
         )
     with open(os.path.join(repo, "BENCH_sf1.json")) as fh:
-        sf01_total = json.load(fh)["sf01_reference_total"]
+        bench_sf1 = json.load(fh)
+    sf01_total = bench_sf1["sf01_reference_total"]
+    sf01_queries = bench_sf1.get("sf01_reference_queries", {})
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
     # warm once (codegen + caches), then time once — mirrors bench.py
     for spec in headline.values():
         spec.builder(spark, sf1_dir).count()
     total = 0.0
+    per_query: dict[str, float] = {}
     for name, spec in headline.items():
         t0 = time.monotonic()
         spec.builder(spark, sf1_dir).count()
-        total += time.monotonic() - t0
+        per_query[name] = time.monotonic() - t0
+        total += per_query[name]
     assert total < 15 * sf01_total, (
         f"sf1 headline total {total:.1f}s vs sf0.1 total {sf01_total}s — "
         "scaling regressed past linear"
     )
+    # per-query growth bound: BENCH_sf1 (r06, n_reps=3) measured the
+    # worst scaler at 6.16x (t33's n·log n per-customer sort) on 10x
+    # data; 12x leaves ~2x noise headroom while still catching a
+    # superlinear regression in any single query (the total bound alone
+    # would let one query blow up inside the others' slack).
+    over = {
+        n: round(per_query[n] / sf01_queries[n], 1)
+        for n in per_query
+        if sf01_queries.get(n) and per_query[n] / sf01_queries[n] > 12
+    }
+    assert not over, f"per-query sf0.1→sf1 scaling past 12x: {over}"
