@@ -565,3 +565,76 @@ def test_t16_native_equals_islands(spark, sf_dir):
         tuple(r) for r in session_window_stats_native(spark, sf_dir).collect()
     ]
     assert islands == native and len(islands) > 0
+
+
+def test_asof_boundary_parity(spark, tmp_path):
+    """The two as-of engine paths (t33 union-merge, t50 cogrouped
+    merge_asof — t50 is the scale-recommended form, so their tie-break
+    parity is load-bearing) must agree with a brute-force reference on
+    a corpus built entirely of boundary cases: an order EXACTLY at an
+    event timestamp (<= semantics keeps it), two orders on the same
+    date (max orderkey wins), events before any order (dropped),
+    customers with orders but no events, customers with events but no
+    orders, and two events sharing a timestamp."""
+    from datetime import datetime
+
+    from mapreduce_google_spark.operators.relational import (
+        asof_latest_order,
+        asof_latest_order_pandas,
+    )
+
+    T = datetime
+    events = [
+        # (event_id, ts, user_id) — user 1: order exactly at ts
+        (1, T(1995, 6, 1, 12, 0, 0), 1),
+        # user 1: event BEFORE every order → dropped
+        (2, T(1995, 1, 1, 0, 0, 0), 1),
+        # user 2: two orders share the qualifying date → key 23 wins
+        (3, T(1995, 7, 1, 0, 0, 0), 2),
+        # user 3: events but NO orders → dropped
+        (4, T(1995, 6, 1, 0, 0, 0), 3),
+        # user 2: duplicate timestamps — both rows keep the same order
+        (5, T(1995, 8, 1, 0, 0, 0), 2),
+        (6, T(1995, 8, 1, 0, 0, 0), 2),
+    ]
+    orders = [
+        # (o_orderkey, o_custkey, o_orderdate)
+        (11, 1, T(1995, 6, 1, 12, 0, 0)),  # exact match for event 1
+        (12, 1, T(1995, 5, 1, 0, 0, 0)),
+        (22, 2, T(1995, 6, 30, 0, 0, 0)),
+        (23, 2, T(1995, 6, 30, 0, 0, 0)),  # same date, higher key
+        (31, 4, T(1995, 1, 1, 0, 0, 0)),  # customer with no events
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(e, t, u, "view", 1.0, "{}") for e, t, u in events],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    spark.createDataFrame(
+        [(k, c, "O", 1.0, d, "1-URGENT") for k, c, d in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+
+    # brute-force reference: max (date, orderkey) among orders <= ts
+    want = {}
+    for e, t, u in events:
+        best = max(
+            ((d, k) for k, c, d in orders if c == u and d <= t),
+            default=None,
+        )
+        if best:
+            want[e] = (u, best[1], best[0].strftime("%Y-%m-%d %H:%M:%S"))
+
+    for impl in (asof_latest_order, asof_latest_order_pandas):
+        got = {
+            r[0]: (r[1], r[2], r[3]) for r in impl(spark, sf).collect()
+        }
+        assert got == want, impl.__name__
+    assert want == {
+        1: (1, 11, "1995-06-01 12:00:00"),
+        3: (2, 23, "1995-06-30 00:00:00"),
+        5: (2, 23, "1995-06-30 00:00:00"),
+        6: (2, 23, "1995-06-30 00:00:00"),
+    }
