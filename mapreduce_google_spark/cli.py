@@ -219,6 +219,47 @@ def _run_profile(spark: SparkSession, *, input: str) -> list[dict]:
     ]
 
 
+def _print_health_record(
+    spark: SparkSession, sf_dir: str, extra: dict | None = None
+) -> bool:
+    """Run a liveness job and print the one-line JSON health record the
+    ``status`` / ``restart`` verbs share. Returns healthy?"""
+    import os as _os
+
+    from mapreduce_google_spark.io import TABLES
+    from mapreduce_google_spark.queries import REGISTRY
+
+    sc = spark.sparkContext
+    tables_bytes = {}
+    for t in TABLES:
+        p = _os.path.join(sf_dir, f"{t}.parquet")
+        tables_bytes[t] = _os.path.getsize(p) if _os.path.exists(p) else None
+    missing = [t for t, v in tables_bytes.items() if v is None]
+    alive = spark.range(1000).count() == 1000
+    healthy = alive and not missing
+    print(
+        json.dumps(
+            {
+                "status": "up" if healthy else "degraded",
+                "liveness_job_ok": alive,
+                "spark_version": spark.version,
+                "master": sc.master,
+                "app_id": sc.applicationId,
+                "default_parallelism": sc.defaultParallelism,
+                "registered_queries": len(REGISTRY),
+                "oracle_bearing": sum(
+                    1 for s in REGISTRY.values() if s.oracle is not None
+                ),
+                "sf_dir": sf_dir,
+                "tables_bytes": tables_bytes,
+                "missing_tables": missing,
+                **(extra or {}),
+            }
+        )
+    )
+    return healthy
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="mapreduce_google_spark")
     sub = parser.add_subparsers(dest="mode", required=True)
@@ -293,6 +334,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_status.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_restart = sub.add_parser(
+        "restart",
+        help="recycle the engine session and prove a fresh one is healthy "
+        "(reference bin/mapreduce restart analog)",
+    )
+    p_restart.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     p_batch = sub.add_parser(
         "batch", help="run a JSONL job list FIFO through one session (F10 queue)"
     )
@@ -366,47 +414,27 @@ def main(argv: list[str] | None = None) -> int:
             kept.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
             print(json.dumps({"kept_docs": n, "output": args.output}))
-        elif args.mode == "status":
-            # The reference daemon script probes resident manager/worker
-            # processes (bin/mapreduce:1-107 start/stop/status/restart).
-            # Spark has no resident manager — the runtime IS the session —
-            # so the analog is: launch one, run a liveness job (the
-            # heartbeat), and report the engine's capacity + the query
-            # registry + data visibility as one JSON health record.
-            import os as _os
-
-            from mapreduce_google_spark.io import TABLES
-            from mapreduce_google_spark.queries import REGISTRY
-
-            sc = spark.sparkContext
-            tables_bytes = {}
-            for t in TABLES:
-                p = _os.path.join(args.sf_dir, f"{t}.parquet")
-                tables_bytes[t] = (
-                    _os.path.getsize(p) if _os.path.exists(p) else None
-                )
-            missing = [t for t, v in tables_bytes.items() if v is None]
-            alive = spark.range(1000).count() == 1000
-            healthy = alive and not missing
-            print(
-                json.dumps(
-                    {
-                        "status": "up" if healthy else "degraded",
-                        "liveness_job_ok": alive,
-                        "spark_version": spark.version,
-                        "master": sc.master,
-                        "app_id": sc.applicationId,
-                        "default_parallelism": sc.defaultParallelism,
-                        "registered_queries": len(REGISTRY),
-                        "oracle_bearing": sum(
-                            1 for s in REGISTRY.values() if s.oracle is not None
-                        ),
-                        "sf_dir": args.sf_dir,
-                        "tables_bytes": tables_bytes,
-                        "missing_tables": missing,
-                    }
-                )
-            )
+        elif args.mode in ("status", "restart"):
+            # The reference daemon script probes/recycles resident
+            # manager/worker processes (bin/mapreduce:1-107
+            # start/stop/status/restart). Spark has no resident manager —
+            # the runtime IS the session — so `status` launches one, runs
+            # a liveness job (the heartbeat), and reports capacity + the
+            # query registry + data visibility as one JSON health record;
+            # `restart` additionally tears the session down and proves a
+            # FRESH one comes up healthy (the recycle the reference verb
+            # performs on its daemons).
+            if args.mode == "restart":
+                old_app_id = spark.sparkContext.applicationId
+                spark.stop()
+                spark = get_spark(app_name="mgs-cli")
+                record_extra = {
+                    "restarted": True,
+                    "previous_app_id": old_app_id,
+                }
+            else:
+                record_extra = {}
+            healthy = _print_health_record(spark, args.sf_dir, record_extra)
             return 0 if healthy else 1
         elif args.mode == "query":
             try:

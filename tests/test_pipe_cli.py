@@ -289,3 +289,33 @@ def test_cli_exec_empty_input(tmp_path):
         if p.name.startswith("part-"):
             data_lines += [ln for ln in p.read_text().splitlines() if ln.strip()]
     assert data_lines == []
+
+
+def test_cli_restart_recycles_session(sf_dir):
+    """restart (reference bin/mapreduce restart analog) must tear down
+    the running session, bring up a FRESH one (different app id), and
+    report it healthy."""
+    import json as _json
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "mapreduce_google_spark.cli",
+            "restart",
+            "--sf-dir",
+            sf_dir,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["status"] == "up"
+    assert rec["restarted"] is True
+    assert rec["previous_app_id"] and rec["app_id"]
+    assert rec["previous_app_id"] != rec["app_id"]
