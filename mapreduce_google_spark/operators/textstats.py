@@ -1210,3 +1210,81 @@ def token_position_stats(
         )
         .orderBy("token")
     )
+
+
+def _word_ngrams(toks, n: int):
+    """All word n-grams of a token array WITH duplicates (unlike
+    dedup's distinct shingle sets — repetition analysis needs the
+    occurrence counts). Pure per-row HOFs, codegen-side."""
+    sz = F.size(toks)
+    zipped = F.arrays_zip(
+        *[(toks if i == 0 else F.slice(toks, i + 1, sz)).alias(f"t{i}") for i in range(n)]
+    )
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.slice(zipped, 1, sz - (n - 1)),
+            lambda st: F.concat_ws(" ", *[st[f"t{i}"] for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def intradoc_repetition(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """T222 — Gopher-style INTRA-document repetition screen (Rae et al.
+    2021, §A1.1): the canonical LLM-data quality family missing from
+    the length/punct gate (t27) and the corpus-level burstiness view
+    (t182). Per document: the fraction of word, 2-gram and 3-gram
+    OCCURRENCES that are repeats (1 − distinct/total); per source: the
+    micro-averaged repetition rates and how many docs a
+    Gopher-threshold filter (word>0.30, 2-gram>0.20, 3-gram>0.18)
+    would drop.
+
+    Scale shape: everything per-row inside codegen (``array_distinct``
+    sizes — no explode, no per-token shuffle), then ONE tiny hash-agg
+    to source grain. Determinism: the per-doc threshold tests are
+    integer cross-multiplications (``10·(t−d) > 3·t`` etc.), the
+    reported rates are single IEEE divisions of exact long sums,
+    rounded to 6 — the repo-wide engine/oracle parity recipe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda t: t != "")
+    base = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("tw"),
+        F.size(F.array_distinct(toks)).cast("long").alias("dw"),
+        F.size(_word_ngrams(toks, 2)).cast("long").alias("t2"),
+        F.size(F.array_distinct(_word_ngrams(toks, 2))).cast("long").alias("d2"),
+        F.size(_word_ngrams(toks, 3)).cast("long").alias("t3"),
+        F.size(F.array_distinct(_word_ngrams(toks, 3))).cast("long").alias("d3"),
+    )
+    flagged = (
+        ((F.col("tw") > 0) & (10 * (F.col("tw") - F.col("dw")) > 3 * F.col("tw")))
+        | ((F.col("t2") > 0) & (5 * (F.col("t2") - F.col("d2")) > F.col("t2")))
+        | (
+            (F.col("t3") > 0)
+            & (50 * (F.col("t3") - F.col("d3")) > 9 * F.col("t3"))
+        )
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(flagged.cast("int")).cast("long").alias("n_flagged"),
+            F.round(
+                (F.sum("tw") - F.sum("dw")).cast("double") / F.sum("tw").cast("double"),
+                6,
+            ).alias("dup_word_rate"),
+            F.round(
+                (F.sum("t2") - F.sum("d2")).cast("double") / F.sum("t2").cast("double"),
+                6,
+            ).alias("dup_2gram_rate"),
+            F.round(
+                (F.sum("t3") - F.sum("d3")).cast("double") / F.sum("t3").cast("double"),
+                6,
+            ).alias("dup_3gram_rate"),
+        )
+        .orderBy("source")
+    )

@@ -6425,6 +6425,53 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t222_intradoc_repetition",
+        builder=ts_ops.intradoc_repetition,
+        oracle=r"""
+            WITH tok AS (
+                SELECT source,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), grams AS (
+                SELECT source,
+                       len(toks) AS tw,
+                       len(list_distinct(toks)) AS dw,
+                       list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1]) AS g2,
+                       list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+                FROM tok
+            ), m AS (
+                SELECT source, tw, dw,
+                       len(g2) AS t2, len(list_distinct(g2)) AS d2,
+                       len(g3) AS t3, len(list_distinct(g3)) AS d3
+                FROM grams
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN (tw > 0 AND 10*(tw-dw) > 3*tw)
+                                   OR (t2 > 0 AND 5*(t2-d2) > t2)
+                                   OR (t3 > 0 AND 50*(t3-d3) > 9*t3)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                   round(CAST(sum(tw) - sum(dw) AS DOUBLE)
+                         / CAST(sum(tw) AS DOUBLE), 6) AS dup_word_rate,
+                   round(CAST(sum(t2) - sum(d2) AS DOUBLE)
+                         / CAST(sum(t2) AS DOUBLE), 6) AS dup_2gram_rate,
+                   round(CAST(sum(t3) - sum(d3) AS DOUBLE)
+                         / CAST(sum(t3) AS DOUBLE), 6) AS dup_3gram_rate
+            FROM m GROUP BY source ORDER BY source
+        """,
+        doc="Gopher-style intra-document repetition screen: per-source "
+        "micro-averaged duplicate word/2-gram/3-gram occurrence rates + how "
+        "many docs the Rae-et-al thresholds (0.30/0.20/0.18) would drop; "
+        "all per-row HOFs, integer-exact threshold tests, one tiny agg",
+        tags=("llm", "text", "quality", "dedup"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
@@ -6455,7 +6502,11 @@ register(
 #: the recorded correctness history (see test_staleness_budget).
 #: FIRST ACTION EACH ROUND: `python tools/window_planner.py` emits the
 #: policy's window for the new round (paste here), and `--verify` proves
-#: the committed window IS the policy output (it is, for r6).
+#: the committed window IS the policy output. (It was, for r6, at
+#: lock time; t222 was registered mid-r6 AFTER the window locked, so
+#: a mid-round --verify reports exactly that divergence — the planner
+#: slots t222 first in the r7 window, where it gets its first driver
+#: evidence.)
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- canaries (keep in every round's window) ---
     "t01_word_count",

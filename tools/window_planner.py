@@ -17,8 +17,10 @@ Usage: python tools/window_planner.py            # print the 50 names
                                                  # DRIVER_WINDOW differs
 
 Paste the output into DRIVER_WINDOW in queries.py at the start of each
-round, or run --verify in CI to prove the committed window IS the
-policy's output.
+round, or run --verify to prove the committed window IS the policy's
+output. Run --verify at ROUND START (right after recomposing): queries
+registered mid-round after the window locks legitimately diverge until
+the next recomposition picks them up (never-checked first).
 """
 
 from __future__ import annotations
