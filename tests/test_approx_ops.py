@@ -298,3 +298,30 @@ def test_kmeans_clusters_invariants(spark, sf_dir):
     seed = kmeans_cluster_stats(spark, sf_dir, n_cells=8, iters=0).collect()
     wm = lambda rows: sum(r.mean_cos * r.n_members for r in rows) / total
     assert wm(trained) > wm(seed), (wm(trained), wm(seed))
+
+
+def test_t222_repetition_flags_planted_docs(spark, tmp_path):
+    """The Gopher-threshold screen must flag a planted pathological doc
+    (one token repeated: dup rates ~1 across all three grams), must NOT
+    flag an all-distinct doc (rates exactly 0), and the reported rates
+    must be the exact micro-averages."""
+    from mapreduce_google_spark.operators.textstats import intradoc_repetition
+
+    diverse = " ".join(f"w{i}" for i in range(40))  # all words distinct
+    spammy = " ".join(["spam"] * 40)
+    rows = [(1, diverse, "en", "clean", len(diverse)),
+            (2, spammy, "en", "spam", len(spammy))]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.source: r for r in intradoc_repetition(spark, sf).collect()}
+    assert got["clean"].n_flagged == 0
+    assert got["clean"].dup_word_rate == 0.0
+    assert got["clean"].dup_2gram_rate == 0.0
+    assert got["spam"].n_flagged == 1
+    # 40 occurrences, 1 distinct → (40-1)/40; 39 bigrams, 1 distinct...
+    assert got["spam"].dup_word_rate == round(39 / 40, 6)
+    assert got["spam"].dup_2gram_rate == round(38 / 39, 6)
+    assert got["spam"].dup_3gram_rate == round(37 / 38, 6)
