@@ -128,6 +128,14 @@ def main() -> int:
                 "t01_text_mb_per_s": text_mb_per_s,
                 "baseline_floor_mb_per_s": 0.5,
                 "t25_ivf_recall_vs_exact_t18": ivf_recall,
+                # t25 joined the headline set in r6 (VERDICT r05 item 5:
+                # put the IVF number next to the exact one) — the
+                # r1-r5-comparable total excludes it so round-over-round
+                # totals compare like with like.
+                "added_in_r6": ["t25_ivf_topk"],
+                "value_r5_comparable": round(
+                    total - timings.get("t25_ivf_topk", 0.0), 3
+                ),
             }
         )
     )
