@@ -1923,10 +1923,14 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def wmedian(price, weight):
+    # Series -> scalar type hints make this a GROUPED_AGG UDF (the
+    # PandasUDFType enum form is deprecated, SPARK-28264). The module's
+    # `from __future__ import annotations` stringifies inline hints and
+    # pyspark can't resolve the locally-imported `pd` from them, so the
+    # annotation OBJECTS are attached explicitly before wrapping.
+    def _wmedian(price, weight):
         order = np.lexsort((price.to_numpy(),))
         p = price.to_numpy()[order]
         w = weight.to_numpy()[order].astype(np.int64)
@@ -1934,6 +1938,13 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = int(cum[-1])
         idx = int(np.searchsorted(2 * cum, total))
         return float(p[idx])
+
+    _wmedian.__annotations__ = {
+        "price": pd.Series,
+        "weight": pd.Series,
+        "return": float,
+    }
+    wmedian = pandas_udf(_wmedian, "double")
 
     part = load_table(spark, sf_dir, "part")
     # a GROUPED_AGG UDF cannot share an agg with native functions —
