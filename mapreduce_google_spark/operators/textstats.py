@@ -59,12 +59,16 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape generalizes to an n-gram-profile scorer as a broadcast join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(tokenize("text"), lambda t: t != "")
-    with_scores = docs.select(
+    # staged select: one tokenize per row, not one per language score
+    # (no CSE across projection expressions — the t222/t27 measurement)
+    arrays = docs.select(
+        "doc_id", "lang", F.filter(tokenize("text"), lambda t: t != "").alias("toks")
+    )
+    with_scores = arrays.select(
         "doc_id",
         "lang",
         *[
-            _marker_hits(toks, markers).alias(f"score_{lang}")
+            _marker_hits(F.col("toks"), markers).alias(f"score_{lang}")
             for lang, markers in sorted(LANG_MARKERS.items())
         ],
     )
