@@ -475,12 +475,16 @@ def stopword_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic band.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(tokenize("text"), lambda t: t != "")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    with_ratio = docs.select(
+    # staged select: tokenize once per row (no CSE across projection
+    # expressions — the t222/t27 measurement)
+    arrays = docs.select(
+        "source", F.filter(tokenize("text"), lambda t: t != "").alias("toks")
+    )
+    n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+    with_ratio = arrays.select(
         "source",
-        F.size(toks).alias("n_toks"),
-        (n_stop.cast("double") / F.size(toks)).alias("stop_ratio"),
+        F.size("toks").alias("n_toks"),
+        (n_stop.cast("double") / F.size("toks")).alias("stop_ratio"),
     )
     passed = (
         (F.col("n_toks") >= 10)
