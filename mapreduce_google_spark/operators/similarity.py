@@ -414,14 +414,20 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     xd = F.transform("embedding", lambda v: v.cast("double"))
     scale = F.array_max(F.transform(xd, F.abs)) / F.lit(127.0)
-    per_vec = emb.select(
+    # STAGE the scale as a named column before the error fold: inlining
+    # it into the per-element lambda re-evaluates the O(d) max fold per
+    # element — O(d²) per row (measured 1.46 s → 0.56 s at sf0.1; no
+    # CSE across/inside projection expressions).
+    pre = emb.select("label", "embedding", scale.alias("scale"))
+    sc = F.col("scale")
+    per_vec = pre.select(
         "label",
-        scale.alias("scale"),
+        "scale",
         (
             F.aggregate(
                 F.transform(
-                    xd,
-                    lambda v: F.abs(v - F.round(v / scale) * scale),
+                    F.transform("embedding", lambda v: v.cast("double")),
+                    lambda v: F.abs(v - F.round(v / sc) * sc),
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
