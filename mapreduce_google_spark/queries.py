@@ -6507,6 +6507,11 @@ register(
 #: a mid-round --verify reports exactly that divergence — the planner
 #: slots t222 first in the r7 window, where it gets its first driver
 #: evidence.)
+#:
+#: PROJECTED r7 window (simulating r6 evidence; the planner run at r7
+#: start is the authority): canaries + t222 (first driver evidence) +
+#: the 46 stalest re-proofs, which is the r02/r03-checked wave
+#: t51..t81 + t04/t05/t06/t10/t11/t13/t14/t19/t20 + t83..t90.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- canaries (keep in every round's window) ---
     "t01_word_count",
