@@ -325,3 +325,16 @@ def test_t222_repetition_flags_planted_docs(spark, tmp_path):
     assert got["spam"].dup_word_rate == round(39 / 40, 6)
     assert got["spam"].dup_2gram_rate == round(38 / 39, 6)
     assert got["spam"].dup_3gram_rate == round(37 / 38, 6)
+
+
+def test_incremental_dedup_from_store_equals_direct(spark, sf_dir):
+    """The bucketed-store ingest path must reproduce t65's exact
+    result (same survivors, same batch-dup counts)."""
+    from mapreduce_google_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_from_store,
+    )
+
+    direct = [tuple(r) for r in incremental_dedup(spark, sf_dir).collect()]
+    stored = [tuple(r) for r in incremental_dedup_from_store(spark, sf_dir).collect()]
+    assert stored == direct and len(direct) > 0

@@ -539,3 +539,24 @@ def test_from_bands_candidate_join_has_no_banded_exchange(spark, sf_dir):
     # is set (one-file-per-bucket verification was deemed too costly).
     # That sort is linear, local, and spill-safe — the shuffle the
     # bucketing removes was the scale-killer, so only Exchange is gated.
+
+
+def test_fingerprint_store_antijoin_has_no_store_exchange(spark, sf_dir):
+    """The materialized fingerprint store is bucketed on fingerprint, so
+    the nightly-ingest anti-join reads the store from co-located buckets:
+    exactly ONE shuffle exchange (the incoming batch side) and none on
+    the store scan. Result-identity with t65 is pinned in
+    tests/test_approx_ops.py."""
+    from mapreduce_google_spark.operators.dedup import (
+        fingerprint_store_table,
+        incremental_dedup_from_store,
+    )
+
+    fingerprint_store_table(spark, sf_dir)  # ensure built
+    plan = formatted_plan(incremental_dedup_from_store(spark, sf_dir))
+    assert "SortMergeJoin LeftAnti" in plan, plan
+    # exchanges (tree nodes, not detail-section repeats): batch-side
+    # hash repartition + the final orderBy range partitioning — the
+    # bucketed store side must not add a third
+    assert plan.count("Exchange (") <= 2, plan
+    assert "Bucketed: true" in plan, plan
