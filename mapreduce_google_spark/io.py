@@ -204,6 +204,55 @@ def write_parquet(
         writer.parquet(output_dir)
 
 
+def adopt_or_build_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    build,
+) -> str:
+    """Ensure a bucketed catalog table exists at ``path``; returns name.
+
+    Three cases, cheapest first:
+    1. table already in the catalog → done;
+    2. files exist (``_SUCCESS``) but the catalog is fresh (the
+       in-memory catalog dies with the session while the parquet
+       survives) → ADOPT them with ``CREATE TABLE … CLUSTERED BY …
+       LOCATION`` — re-registering costs a metadata op, not a rebuild,
+       and the bucketed-scan property is preserved (bucket ids live in
+       the file names);
+    3. nothing on disk → ``build()`` must return the DataFrame to
+       write; it is bucketed+sorted via :func:`write_parquet`.
+
+    This is what makes the materialized LSH band table and the
+    fingerprint store cost one signature pass per CORPUS VERSION, not
+    one per session (with a persistent metastore case 2 never fires).
+    """
+    import os
+
+    if spark.catalog.tableExists(name):
+        return name
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
+        bc = ", ".join(bucket_cols)
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bc}) SORTED BY ({bc}) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return name
+    write_parquet(
+        build().repartition(num_buckets, *bucket_cols),
+        path,
+        bucket_table=name,
+        bucket_cols=bucket_cols,
+        num_buckets=num_buckets,
+    )
+    return name
+
+
 #: formats the engine reads/writes out of the box (reference: text only)
 SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "text")
 

@@ -441,30 +441,20 @@ def minhash_band_table(
     ``repartition("band","bucket").cache()``, held durably on disk.
     At 100 TB, raise ``num_buckets`` to match cluster parallelism.
     """
-    import os
-
-    from mapreduce_google_spark.io import cache_tag, write_parquet
+    from mapreduce_google_spark.io import adopt_or_build_bucketed_table, cache_tag
 
     tag = cache_tag(sf_dir, "documents")
     name = f"mgs_lsh_bands_{tag}_n{n}_h{num_hashes}_b{bands}_df{max_df}"
-    out = f"/tmp/{name}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")) or not (
-        spark.catalog.tableExists(name)
-    ):
+
+    def build():
         docs = load_table(spark, sf_dir, "documents")
         sets = _doc_shingle_arrays(docs, n, max_df=max_df)
         sig = minhash_signatures(docs, n, num_hashes, shingle_arrays=sets)
-        write_parquet(
-            # 1 file per bucket so readers trust the sortBy order too
-            _band_buckets(sig, num_hashes, bands).repartition(
-                num_buckets, "band", "bucket"
-            ),
-            out,
-            bucket_table=name,
-            bucket_cols=["band", "bucket"],
-            num_buckets=num_buckets,
-        )
-    return name
+        return _band_buckets(sig, num_hashes, bands)
+
+    return adopt_or_build_bucketed_table(
+        spark, name, f"/tmp/{name}", ["band", "bucket"], num_buckets, build
+    )
 
 
 def minhash_lsh_pairs_from_bands(
@@ -600,30 +590,22 @@ def fingerprint_store_table(
     band table (:func:`minhash_band_table`) and t40. Returns the
     catalog table name; idempotent until the corpus changes.
     """
-    import os
-
-    from mapreduce_google_spark.io import cache_tag, write_parquet
+    from mapreduce_google_spark.io import adopt_or_build_bucketed_table, cache_tag
 
     tag = cache_tag(sf_dir, "documents")
     name = f"mgs_fp_store_{tag}_b{batch_start}"
-    out = f"/tmp/{name}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")) or not (
-        spark.catalog.tableExists(name)
-    ):
-        history = (
+
+    def build():
+        return (
             load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < batch_start)
             .select(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
             .distinct()
         )
-        write_parquet(
-            history.repartition(num_buckets, "fingerprint"),
-            out,
-            bucket_table=name,
-            bucket_cols=["fingerprint"],
-            num_buckets=num_buckets,
-        )
-    return name
+
+    return adopt_or_build_bucketed_table(
+        spark, name, f"/tmp/{name}", ["fingerprint"], num_buckets, build
+    )
 
 
 def incremental_dedup_from_store(

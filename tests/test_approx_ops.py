@@ -338,3 +338,43 @@ def test_incremental_dedup_from_store_equals_direct(spark, sf_dir):
     direct = [tuple(r) for r in incremental_dedup(spark, sf_dir).collect()]
     stored = [tuple(r) for r in incremental_dedup_from_store(spark, sf_dir).collect()]
     assert stored == direct and len(direct) > 0
+
+
+def test_bucketed_tables_adopted_not_rebuilt_across_sessions(spark, sf_dir):
+    """A fresh session's in-memory catalog loses the table entry while
+    the bucketed parquet survives; the builder must ADOPT the files via
+    DDL (metadata-only, file mtimes untouched) instead of re-running the
+    signature pass, and the adopted table must keep the bucketed-scan
+    property (exchange-free candidate join)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.operators.dedup import minhash_band_table
+    from mapreduce_google_spark.plans import formatted_plan
+
+    name = minhash_band_table(spark, sf_dir)
+    path = f"/tmp/{name}"
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/part-*")}
+    assert before, "band table has no files"
+    # simulate the fresh-session state: catalog entry gone, files kept
+    # (DROP on this external table removes metadata only)
+    spark.sql(f"DROP TABLE {name}")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    name2 = minhash_band_table(spark, sf_dir)
+    assert name2 == name
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/part-*")}
+    assert after == before, "adoption rewrote the table"
+    banded = spark.table(name)
+    a, b = banded.hint("merge").alias("a"), banded.alias("b")
+    plan = formatted_plan(
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+    )
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
