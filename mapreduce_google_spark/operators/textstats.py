@@ -1274,11 +1274,21 @@ def intradoc_repetition(
     rounded to 6 — the repo-wide engine/oracle parity recipe.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # STAGED selects: materializing toks/g2/g3 as named columns before
-    # taking sizes lets each array be computed once per row — inlining
-    # them re-evaluates the tokenize/n-gram subexpressions per consumer
-    # (no CSE across projection expressions; measured 2.5 s → 1.06 s at
-    # sf0.1).
+    return repetition_rollup(repetition_sums(docs))
+
+
+def repetition_sums(docs: DataFrame) -> DataFrame:
+    """Per-source ADDITIVE repetition state: (source, n_docs, n_flagged,
+    tw, dw, t2, d2, t3, d3) — pure sums, so any partition of the corpus
+    into batches merges to the same state (the property the streaming
+    twin exploits).
+
+    STAGED selects: materializing toks/g2/g3 as named columns before
+    taking sizes lets each array be computed once per row — inlining
+    them re-evaluates the tokenize/n-gram subexpressions per consumer
+    (no CSE across projection expressions; measured 2.5 s → 1.06 s at
+    sf0.1).
+    """
     arrays = docs.select(
         "source", F.filter(tokenize("text"), lambda t: t != "").alias("toks")
     ).select(
@@ -1304,23 +1314,35 @@ def intradoc_repetition(
             & (50 * (F.col("t3") - F.col("d3")) > 9 * F.col("t3"))
         )
     )
-    return (
-        base.groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum(flagged.cast("int")).cast("long").alias("n_flagged"),
-            F.round(
-                (F.sum("tw") - F.sum("dw")).cast("double") / F.sum("tw").cast("double"),
-                6,
-            ).alias("dup_word_rate"),
-            F.round(
-                (F.sum("t2") - F.sum("d2")).cast("double") / F.sum("t2").cast("double"),
-                6,
-            ).alias("dup_2gram_rate"),
-            F.round(
-                (F.sum("t3") - F.sum("d3")).cast("double") / F.sum("t3").cast("double"),
-                6,
-            ).alias("dup_3gram_rate"),
-        )
-        .orderBy("source")
+    return base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(flagged.cast("int")).cast("long").alias("n_flagged"),
+        F.sum("tw").cast("long").alias("tw"),
+        F.sum("dw").cast("long").alias("dw"),
+        F.sum("t2").cast("long").alias("t2"),
+        F.sum("d2").cast("long").alias("d2"),
+        F.sum("t3").cast("long").alias("t3"),
+        F.sum("d3").cast("long").alias("d3"),
     )
+
+
+def repetition_rollup(sums: DataFrame) -> DataFrame:
+    """Finish the repetition report from additive state: micro-averaged
+    rates as single IEEE divisions of exact long sums, rounded to 6."""
+    return sums.select(
+        "source",
+        "n_docs",
+        "n_flagged",
+        F.round(
+            (F.col("tw") - F.col("dw")).cast("double") / F.col("tw").cast("double"),
+            6,
+        ).alias("dup_word_rate"),
+        F.round(
+            (F.col("t2") - F.col("d2")).cast("double") / F.col("t2").cast("double"),
+            6,
+        ).alias("dup_2gram_rate"),
+        F.round(
+            (F.col("t3") - F.col("d3")).cast("double") / F.col("t3").cast("double"),
+            6,
+        ).alias("dup_3gram_rate"),
+    ).orderBy("source")

@@ -721,3 +721,69 @@ def stream_top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def stream_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the intra-doc repetition screen (t222):
+    documents arrive in micro-batches; each batch contributes its
+    per-source ADDITIVE state (doc/flag counts + word/2-gram/3-gram
+    occurrence and distinct sums — every column a sum, every doc whole
+    within one batch, so merge order cannot matter), maintained
+    crash-safe and replay-idempotent by the shared
+    ``_swap_store``/``_recover_store`` + batch-id-skip recipe; the
+    micro-averaged rates are computed from merged state at drain.
+    Must hash-equal batch t222.
+    """
+    import os
+    import shutil
+
+    from mapreduce_google_spark.operators.textstats import (
+        repetition_rollup,
+        repetition_sums,
+    )
+
+    tag = cache_tag(sf_dir, "documents")
+    staged = f"/tmp/mgs_docs_dir_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    store = f"/tmp/mgs_rep_store_{tag}"
+    ckpt = f"{store}_ckpt"
+    # sweep the whole swap family (see stream_hourly_anomalies)
+    for d in (store, store + "_old", store + "_tmp", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    sum_cols = ["n_docs", "n_flagged", "tw", "dw", "t2", "d2", "t3", "d3"]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_store(store)
+        if batch_id <= _store_last_batch_id(store):
+            return  # at-least-once replay of an applied batch: skip
+        delta = repetition_sums(batch_df)
+        if os.path.exists(store):
+            prev = batch_df.sparkSession.read.parquet(store)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("source")
+                .agg(
+                    *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+                )
+            )
+        else:
+            merged = delta
+        _swap_store(merged, store, batch_id)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return repetition_rollup(spark.read.parquet(store))

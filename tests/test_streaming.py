@@ -400,3 +400,12 @@ def test_merge_store_replay_skip_and_crash_recovery(spark, tmp_path):
     assert not os.path.exists(store + "_old")
     assert spark.read.parquet(store).collect()[0].n == 2
     assert _store_last_batch_id(store) == 1
+
+
+def test_stream_intradoc_repetition_matches_batch(spark, sf_dir):
+    from mapreduce_google_spark.operators.textstats import intradoc_repetition
+    from mapreduce_google_spark.streaming.jobs import stream_intradoc_repetition
+
+    batch = [tuple(r) for r in intradoc_repetition(spark, sf_dir).collect()]
+    stream = [tuple(r) for r in stream_intradoc_repetition(spark, sf_dir).collect()]
+    assert stream == batch and len(stream) > 0
