@@ -6427,6 +6427,19 @@ register(
 
 register(
     QuerySpec(
+        name="t223_incremental_dedup_from_store",
+        builder=dedup_ops.incremental_dedup_from_store,
+        oracle=REGISTRY["t65_incremental_dedup"].oracle,
+        doc="t65's production form: the incoming batch anti-joined against "
+        "the MATERIALIZED fingerprint-bucketed history store (zero exchange "
+        "of the store side, plan-gated) — result-identical to t65, same "
+        "oracle",
+        tags=("llm", "dedup", "incremental", "scale-recommended"),
+    )
+)
+
+register(
+    QuerySpec(
         name="t222_intradoc_repetition",
         builder=ts_ops.intradoc_repetition,
         oracle=r"""
@@ -6509,9 +6522,10 @@ register(
 #: evidence.)
 #:
 #: PROJECTED r7 window (simulating r6 evidence; the planner run at r7
-#: start is the authority): canaries + t222 (first driver evidence) +
-#: the 46 stalest re-proofs, which is the r02/r03-checked wave
-#: t51..t81 + t04/t05/t06/t10/t11/t13/t14/t19/t20 + t83..t90.
+#: start is the authority): canaries + t222 + t223 (first driver
+#: evidence for both mid-r6 additions) + the 45 stalest re-proofs,
+#: which is the r02/r03-checked wave t51..t81 +
+#: t04/t05/t06/t10/t11/t13/t14/t19/t20 + t83..t89.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- canaries (keep in every round's window) ---
     "t01_word_count",
