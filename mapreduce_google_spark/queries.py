@@ -6498,88 +6498,75 @@ register(
 # --------------------------------------------------------------------------
 
 #: first-50 window, in the order the driver will check them.
-#: Round-6 composition (the window pre-committed in r5, executed verbatim):
-#: 3 fixed canaries + the remaining 27 never-driver-checked backlog entries
-#: (t195_nation_share_of_region .. t221_order_size_distribution, in
-#: registration order — all oracle-bearing, so every slot buys a full
-#: rows+schema+hash check) + the 20 stalest oracle-bearing re-proofs
-#: computed from the union of CORRECTNESS_r01..r05 last-checked rounds
-#: (ties broken by registration order; rows-only specs excluded — their
-#: driver evidence is already banked and a slot buys them nothing new).
-#: This reaches 223/223 union driver-evidence coverage.
+#: Round-7 composition (steady-state rotation, emitted verbatim by
+#: `python tools/window_planner.py` at round start): 3 fixed canaries +
+#: t223/t222 (first driver evidence for the two mid-r6 registrations) +
+#: the 45 stalest oracle-bearing re-proofs from the union of
+#: CORRECTNESS_r01..r06 last-checked rounds (ties broken by registration
+#: order; rows-only specs excluded — their driver evidence is banked and
+#: a slot buys them nothing new). After r6 reached full union coverage,
+#: every window from here on is pure stalest-first rotation: with ~222
+#: oracle-bearing entries and 47 rotating slots, every entry is
+#: re-provable within 5 rounds; tests/test_registry_contract.py asserts
+#: that budget against the recorded correctness history
+#: (see test_staleness_budget).
 #:
-#: STEADY STATE from r7 on: the window becomes pure re-proof rotation —
-#: 3 canaries + the 47 stalest oracle-bearing entries each round. With
-#: 223 entries and 47 rotating slots, every entry is re-provable within
-#: 5 rounds; tests/test_registry_contract.py asserts that budget against
-#: the recorded correctness history (see test_staleness_budget).
 #: FIRST ACTION EACH ROUND: `python tools/window_planner.py` emits the
 #: policy's window for the new round (paste here), and `--verify` proves
-#: the committed window IS the policy output. (It was, for r6, at
-#: lock time; t222 was registered mid-r6 AFTER the window locked, so
-#: a mid-round --verify reports exactly that divergence — the planner
-#: slots t222 first in the r7 window, where it gets its first driver
-#: evidence.)
-#:
-#: PROJECTED r7 window (simulating r6 evidence; the planner run at r7
-#: start is the authority): canaries + t222 + t223 (first driver
-#: evidence for both mid-r6 additions) + the 45 stalest re-proofs,
-#: which is the r02/r03-checked wave t51..t81 +
-#: t04/t05/t06/t10/t11/t13/t14/t19/t20 + t83..t89.
+#: the committed window IS the policy output. Entries registered after
+#: the window locks surface as a --verify divergence and slot first in
+#: the NEXT round's window.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- canaries (keep in every round's window) ---
     "t01_word_count",
     "t09_revenue_per_region",
     "t17_exact_dedup",
-    # --- backlog: the t195+ wave, registration order (27 entries) ---
-    "t195_nation_share_of_region",
-    "t196_dim_standardization_stats",
-    "t197_price_quantity_grid",
-    "t198_rolling_week_revenue",
-    "t199_token_budget_allocation",
-    "t200_pipeline_dashboard",
-    "t201_quantile_transform",
-    "t202_split_label_drift",
-    "t203_sequence_anomaly_scores",
-    "t204_weekday_adjusted_anomalies",
-    "t205_source_dispersion",
-    "t206_session_type_pmi",
-    "t207_cardinality_sketch_audit",
-    "t208_shipping_sla_report",
-    "t209_supplier_concentration",
-    "t210_revenue_pareto",
-    "t211_reorder_cadence",
-    "t212_monthly_ship_lag_trend",
-    "t213_dedup_savings_by_source",
-    "t214_stream_top_tokens",
-    "t215_full_star_profit",
-    "t216_quality_drift_by_source",
-    "t217_order_value_ks",
-    "t218_user_behavior_entropy",
-    "t219_kvtext_roundtrip_word_count",
-    "t220_token_position_stats",
-    "t221_order_size_distribution",
-    # --- 20 stalest oracle-bearing re-proofs (last checked r02) ---
-    "t07_filter_agg_revenue",
-    "t08_pricing_summary",
-    "t12_revenue_rollup",
-    "t15_tumbling_window",
-    "t15b_sliding_window",
-    "t16_session_window",
-    "t23_simhash",
-    "t18_cosine_topk",
-    "t24_embedding_near_dup",
-    "t33_asof_latest_order",
-    "t37_json_props_stats",
-    "t40_bucketed_segment_revenue",
-    "t41_salted_brand_revenue",
-    "t42_partition_pruned_daily",
-    "t43_revenue_grouping_sets",
-    "t44_above_segment_avg",
-    "t45_event_pairs_within_minute",
-    "t46_embedding_norm_stats",
-    "t49_stream_dedup_counts",
-    "t50_asof_latest_order_pandas",
+    "t223_incremental_dedup_from_store",
+    "t222_intradoc_repetition",
+    "t51_hash_split_stats",
+    "t52_latest_order_per_customer",
+    "t53_local_supplier_revenue",
+    "t54_udtf_token_positions",
+    "t55_stream_event_pairs",
+    "t56_foreachbatch_ingest",
+    "t57_stratified_sample",
+    "t58_price_histogram",
+    "t59_customer_order_reconciliation",
+    "t60_segment_nation_grid",
+    "t61_customer_spend_ranks",
+    "t62_unshipped_orders_topk",
+    "t63_chunk_documents",
+    "t65_incremental_dedup",
+    "t66_jsonl_ingest",
+    "t67_bigram_lm_score",
+    "t68_trailing_active_users",
+    "t69_repetition_stats",
+    "t75_event_funnel",
+    "t74_monthly_revenue_trend",
+    "t73_embedding_quantization",
+    "t72_stream_dedup_store",
+    "t70_corpus_mix",
+    "t76_decontamination",
+    "t77_simhash_near_dup",
+    "t78_returned_items_topk",
+    "t79_pii_scrub",
+    "t80_vocab_coverage",
+    "t81_big_volume_orders",
+    "t04_md5_partition_histogram",
+    "t05_distinct_tokens",
+    "t06_top_k_tokens",
+    "t10_semi_anti_join",
+    "t11_top_orders_per_customer",
+    "t13_segment_set_ops",
+    "t14_scalar_functions",
+    "t19_text_stats",
+    "t20_pipe_word_count",
+    "t83_pack_invariants",
+    "t84_kmeans_invariants",
+    "t85_order_priority_check",
+    "t86_nation_pair_volume",
+    "t87_nation_market_share",
+    "t88_product_type_profit",
+    "t89_customer_order_distribution",
 )
 
 
