@@ -11,6 +11,7 @@ tables plus thin text-dir helpers that reproduce the reference surface.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -204,6 +205,40 @@ def write_parquet(
         writer.parquet(output_dir)
 
 
+#: bucket id a Spark bucketed writer stamps into each data file name
+#: (``part-00000-<uuid>_00042.c000.snappy.parquet`` → bucket 42). Plain
+#: (non-bucketed) writes have no ``_NNNNN`` segment, which is exactly
+#: what the adoption guard below keys on.
+_BUCKET_FILE_RE = re.compile(r"_(\d{5})\.c\d{3}(?:\.[a-z0-9]+)?\.parquet$")
+
+
+def _bucket_layout_ok(path: str, num_buckets: int) -> bool:
+    """True iff every data file under ``path`` carries a writer-stamped
+    bucket id consistent with ``num_buckets``. A directory written by a
+    plain (non-bucketed) writer, or by a bucketed writer with a LARGER
+    bucket count, fails; adopting either would make every scan error
+    ('Invalid bucket file') or — worse — silently mis-route co-located
+    joins. (Files written mod a SMALLER count are indistinguishable from
+    a sparse layout by name alone; encoding the count in the path is the
+    primary defense, this check the backstop.)"""
+    import os
+
+    data_files = [
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith((".crc", ".tmp"))
+    ]
+    if not data_files:
+        return False
+    ids = []
+    for f in data_files:
+        m = _BUCKET_FILE_RE.search(f)
+        if m is None:
+            return False
+        ids.append(int(m.group(1)))
+    return max(ids) < num_buckets
+
+
 def adopt_or_build_bucketed_table(
     spark: SparkSession,
     name: str,
@@ -212,16 +247,24 @@ def adopt_or_build_bucketed_table(
     num_buckets: int,
     build,
 ) -> str:
-    """Ensure a bucketed catalog table exists at ``path``; returns name.
+    """Ensure a bucketed catalog table exists; returns the EFFECTIVE
+    table name — ``{name}_k{num_buckets}`` (the bucket count is part of
+    the identity: files hashed mod M are unusable — or silently wrong —
+    under metadata declaring N, so a caller changing ``num_buckets`` must
+    land on a different table+path, never adopt the old files). The same
+    suffix is appended to ``path``, which also fences off any plain
+    parquet an older layout left at the unsuffixed location.
 
     Three cases, cheapest first:
     1. table already in the catalog → done;
     2. files exist (``_SUCCESS``) but the catalog is fresh (the
        in-memory catalog dies with the session while the parquet
-       survives) → ADOPT them with ``CREATE TABLE … CLUSTERED BY …
-       LOCATION`` — re-registering costs a metadata op, not a rebuild,
-       and the bucketed-scan property is preserved (bucket ids live in
-       the file names);
+       survives) → verify the data files actually carry writer-stamped
+       bucket ids consistent with ``num_buckets``
+       (:func:`_bucket_layout_ok`), then ADOPT them with ``CREATE TABLE
+       … CLUSTERED BY … LOCATION`` — a metadata op, not a rebuild. A
+       directory that fails the check (foreign/partial/non-bucketed
+       files) is cleared and rebuilt instead of adopted;
     3. nothing on disk → ``build()`` must return the DataFrame to
        write; it is bucketed+sorted via :func:`write_parquet`.
 
@@ -230,19 +273,26 @@ def adopt_or_build_bucketed_table(
     one per session (with a persistent metastore case 2 never fires).
     """
     import os
+    import shutil
 
+    name = f"{name}_k{num_buckets}"
+    path = f"{path.rstrip('/')}_k{num_buckets}"
     if spark.catalog.tableExists(name):
         return name
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        schema = spark.read.parquet(path).schema
-        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
-        bc = ", ".join(bucket_cols)
-        spark.sql(
-            f"CREATE TABLE {name} ({cols}) USING PARQUET "
-            f"CLUSTERED BY ({bc}) SORTED BY ({bc}) INTO {num_buckets} BUCKETS "
-            f"LOCATION '{path}'"
-        )
-        return name
+        if _bucket_layout_ok(path, num_buckets):
+            schema = spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in schema
+            )
+            bc = ", ".join(bucket_cols)
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({bc}) SORTED BY ({bc}) INTO {num_buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            return name
+        shutil.rmtree(path, ignore_errors=True)
     write_parquet(
         build().repartition(num_buckets, *bucket_cols),
         path,

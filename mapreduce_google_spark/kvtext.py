@@ -241,6 +241,12 @@ class _KVTextWriter(DataSourceWriter):
         self._sweep_own_tmp()
 
     def _sweep_own_tmp(self) -> None:
+        # best-effort: the output dir is only created executor-side in
+        # write(), so a job that dies before any task runs (upstream
+        # query error) reaches abort() with no directory — that abort
+        # must not raise and mask the original failure
+        if not os.path.isdir(self.path):
+            return
         suffix = f"-{self.job_token}.tmp"
         for f in os.listdir(self.path):
             if f.startswith(".part-") and f.endswith(suffix):

@@ -146,6 +146,51 @@ def _doc_shingles(
     )
 
 
+#: (corpus tag, n, max_df, warn_df) combos already skew-profiled this
+#: process — makes the t21 guard warn-once, so registry sweeps and plan
+#: audits construct the DataFrame without re-running the profile job
+_SKEW_PROFILED: set[tuple] = set()
+
+
+def _warn_on_shingle_skew(
+    sh: DataFrame, sf_dir: str, n: int, max_df: int | None, warn_df: int
+) -> None:
+    """Profile per-shingle document frequency once per (corpus, params)
+    per process and warn loudly if any shingle's fan-out makes the exact
+    self-join quadratic. Non-semantic: never alters results."""
+    from mapreduce_google_spark.io import cache_tag
+
+    key = (cache_tag(sf_dir, "documents"), n, max_df, warn_df)
+    if key in _SKEW_PROFILED:
+        return
+    _SKEW_PROFILED.add(key)
+    profile = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > warn_df)
+        .agg(
+            F.count("*").alias("n_hot"),
+            F.max("df").alias("max_df_seen"),
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("extra_pairs"),
+        )
+        .collect()[0]
+    )
+    if profile.n_hot:
+        import warnings
+
+        warnings.warn(
+            f"ngram_jaccard_pairs: {profile.n_hot} shingle(s) exceed "
+            f"df={warn_df} (max df {profile.max_df_seen}; "
+            f"~{int(profile.extra_pairs)} candidate pairs from hot "
+            f"shingles alone). The exact self-join is quadratic in "
+            f"per-shingle df — set max_df to drop boilerplate "
+            f"shingles, or use minhash_lsh_pairs (bucket-capped) at "
+            f"scale. Results are NOT capped by this warning.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -165,43 +210,27 @@ def ngram_jaccard_pairs(
     ``warn_df`` (ON by default at 1000, the t22 ``max_bucket`` analog
     for the exact detector): a NON-semantic skew guard. Dropping
     shingles changes results, so nothing is capped by default — instead
-    the per-shingle document frequency is profiled up front (one tiny
-    hash-agg over the cached inverted index the query needs anyway) and
-    a loud warning names the worst shingles and the candidate-pair
-    fan-out when any df exceeds the threshold. A shingle shared by k
-    docs emits k·(k−1)/2 join rows, so one boilerplate footer on an
-    unprofiled corpus is the difference between a bounded job and a
-    quadratic one; the warning tells the operator to set ``max_df`` (or
-    use the LSH path) BEFORE the join runs, not after it hangs.
+    the per-shingle document frequency is profiled (one tiny hash-agg
+    over the inverted index) and a loud warning names the worst
+    shingles and the candidate-pair fan-out when any df exceeds the
+    threshold. A shingle shared by k docs emits k·(k−1)/2 join rows, so
+    one boilerplate footer on an unprofiled corpus is the difference
+    between a bounded job and a quadratic one; the warning tells the
+    operator to set ``max_df`` (or use the LSH path) BEFORE the join
+    runs, not after it hangs.
+
+    CAVEAT (the one deliberate eagerness in the registry): the profile
+    is a driver-side job, so the FIRST builder call per (corpus, n,
+    max_df, warn_df) per process runs it eagerly — PySpark offers no
+    action-time hook a lazy builder could defer it to, and ``observe()``
+    can't compute a per-key aggregate. Repeat calls (registry sweeps,
+    plan audits) are memoized dict hits, i.e. fully lazy; pass
+    ``warn_df=None`` for a strictly lazy plan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, n, max_df=max_df).cache()
+    sh = _doc_shingles(docs, n, max_df=max_df)
     if warn_df is not None:
-        profile = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > warn_df)
-            .agg(
-                F.count("*").alias("n_hot"),
-                F.max("df").alias("max_df_seen"),
-                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("extra_pairs"),
-            )
-            .collect()[0]
-        )
-        if profile.n_hot:
-            import warnings
-
-            warnings.warn(
-                f"ngram_jaccard_pairs: {profile.n_hot} shingle(s) exceed "
-                f"df={warn_df} (max df {profile.max_df_seen}; "
-                f"~{int(profile.extra_pairs)} candidate pairs from hot "
-                f"shingles alone). The exact self-join is quadratic in "
-                f"per-shingle df — set max_df to drop boilerplate "
-                f"shingles, or use minhash_lsh_pairs (bucket-capped) at "
-                f"scale. Results are NOT capped by this warning.",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+        _warn_on_shingle_skew(sh, sf_dir, n, max_df, warn_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

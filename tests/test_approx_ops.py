@@ -378,3 +378,56 @@ def test_bucketed_tables_adopted_not_rebuilt_across_sessions(spark, sf_dir):
         )
     )
     assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+
+
+def test_adoption_refuses_non_bucketed_files(spark, tmp_path):
+    """A warm directory holding PLAIN parquet at the table's path (e.g.
+    left by an older layout or a foreign writer) must be rebuilt, never
+    adopted — adopting it would make every scan fail with
+    'Invalid bucket file' or silently mis-route co-located joins."""
+    import os
+
+    from mapreduce_google_spark.io import adopt_or_build_bucketed_table
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    base = str(tmp_path / "poisoned")
+    # plant non-bucketed files at the EXACT path the builder will use
+    df.write.mode("overwrite").parquet(f"{base}_k4")
+    assert os.path.exists(f"{base}_k4/_SUCCESS")
+
+    name = adopt_or_build_bucketed_table(
+        spark, "mgs_test_poisoned_adopt", base, ["k"], 4, lambda: df
+    )
+    try:
+        # scan + bucket metadata must both be healthy after the rebuild
+        assert spark.table(name).count() == 100
+        data_files = [
+            f for f in os.listdir(f"{base}_k4") if f.startswith("part-")
+        ]
+        assert all("_000" in f for f in data_files), data_files
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucket_count_is_part_of_table_identity(spark, tmp_path):
+    """Calling with a different num_buckets must land on a DIFFERENT
+    table+path — files hashed mod M adopted under metadata declaring N
+    silently break co-located anti-joins (the incremental-dedup wrong-
+    results scenario)."""
+    from mapreduce_google_spark.io import adopt_or_build_bucketed_table
+
+    df = spark.range(50).selectExpr("id", "id % 3 AS k")
+    base = str(tmp_path / "identity")
+    n4 = adopt_or_build_bucketed_table(
+        spark, "mgs_test_identity", base, ["k"], 4, lambda: df
+    )
+    n8 = adopt_or_build_bucketed_table(
+        spark, "mgs_test_identity", base, ["k"], 8, lambda: df
+    )
+    try:
+        assert n4 != n8
+        assert n4.endswith("_k4") and n8.endswith("_k8")
+        assert spark.table(n4).count() == spark.table(n8).count() == 50
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {n4}")
+        spark.sql(f"DROP TABLE IF EXISTS {n8}")

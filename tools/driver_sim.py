@@ -10,8 +10,9 @@ Usage:
 --window replays the EXACT driver gate: only the first 50 registry
 entries (DRIVER_WINDOW order) — run this before a round closes so
 window-composition mistakes (a vacuous slot, a mis-aliased column) are
-caught locally, not by the next verdict. Without it, all 224 queries
-run (the full local certification sweep). --json writes the results in
+caught locally, not by the next verdict. Without it, every registered
+query runs (the full local certification sweep — len(REGISTRY)
+entries). --json writes the results in
 CORRECTNESS_rNN.json format for diffing against driver output.
 """
 import datetime
