@@ -399,3 +399,53 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     the pre-scan entirely; this helper is the evolving-table path.
     """
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def partition_upsert(
+    spark: SparkSession,
+    base_path: str,
+    delta: DataFrame,
+    partition_col: str,
+    key_cols: list[str],
+) -> list:
+    """MERGE-style upsert into a hive-partitioned parquet table,
+    rewriting ONLY the partitions the delta touches. Returns the list of
+    touched partition values.
+
+    The OSS-parquet answer to ``MERGE INTO`` (which needs a table format
+    like Delta/Iceberg): rows whose ``key_cols`` match a delta row are
+    replaced, the rest of the touched partitions are carried over, new
+    keys are appended — and partitions the delta never mentions are NOT
+    read, NOT rewritten, and keep their files byte-identical (asserted
+    by mtime in ``tests/test_upsert.py``). At 100 TB that scoping is the
+    whole point: a daily-corrections delta costs one day's rewrite, not
+    a table rewrite.
+
+    Mechanics: collect the delta's distinct partition values (metadata-
+    sized — a delta touches few partitions by construction), read the
+    base FILTERED to those partitions (partition pruning keeps the scan
+    to the touched directories), anti-join on the key, union the delta,
+    and write with ``partitionOverwriteMode=dynamic`` so only the
+    partitions present in the result are replaced. The merged slice is
+    ``localCheckpoint``-ed before the write because Spark (correctly)
+    refuses to overwrite files an active plan still reads from; the
+    checkpoint materializes the touched partitions — delta-scoped, never
+    table-scoped. A production variant on object storage would stage to
+    a sibling prefix and swap; the partition-scoped cost is identical.
+    """
+    touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
+    base = spark.read.parquet(base_path).where(
+        F.col(partition_col).isin(touched)
+    )
+    merged = (
+        base.join(delta.select(*key_cols), key_cols, "left_anti")
+        .unionByName(delta)
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(base_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched

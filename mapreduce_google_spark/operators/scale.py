@@ -825,3 +825,253 @@ def cardinality_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.column", "r.exact_distinct", "r.bound_violations")
         .orderBy("column")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering — multi-dimensional data skipping
+# --------------------------------------------------------------------------
+
+def zorder_key(normalized: list, bits: int):
+    """Morton (Z-order) code from pre-normalized integer columns.
+
+    ``normalized`` are LONG columns already scaled to ``[0, 2**bits)``;
+    the result interleaves their bits (column j contributes bit i to
+    output position ``i*len(cols)+j``), so rows close in EVERY dimension
+    get close z-values. Pure JVM bitwise expressions (``shiftright`` /
+    ``bitwiseAND`` / ``shiftleft``) — whole-stage-codegen'd, zero Python.
+
+    Capacity: ``bits * len(normalized)`` must fit a signed LONG (≤63).
+    """
+    ncols = len(normalized)
+    if bits * ncols > 63:
+        raise ValueError(f"z-value would need {bits * ncols} bits; max 63")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, n in enumerate(normalized):
+            bit = F.shiftright(n, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    return z
+
+
+def normalize_to_grid(col: str, lo: float, hi: float, bits: int):
+    """Linear min/max scaling of a numeric column onto the ``2**bits``
+    z-order grid (clamped; constant columns map to cell 0). Linear
+    scaling is the right default for roughly uniform keys; for heavy
+    skew substitute ``approx_percentile`` boundaries — the z-code
+    (:func:`zorder_key`) is agnostic to how cells were assigned."""
+    cells = (1 << bits) - 1
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    frac = (F.col(col).cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+    clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    return F.floor(clamped * cells).cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    num_files: int = 8,
+    block_bytes: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve of
+    ``cols`` — the multi-dimensional generalization of a sorted layout.
+
+    Why it matters at 100 TB: parquet readers prune ROW GROUPS from
+    column min/max statistics before reading a byte. A layout sorted on
+    one column skips scans filtered on THAT column only; hive
+    partitioning buys one more (coarse) dimension at the cost of
+    directory explosion. Z-ordering sorts by interleaved bits of ALL
+    the named columns, so every row group covers a compact hyper-cube
+    of the key space and min/max pruning works for filters on ANY
+    subset of the z-columns — the standard lakehouse recipe (Delta/
+    Iceberg ``OPTIMIZE ZORDER BY``), built here from three Spark
+    primitives with zero new machinery:
+
+    1. one metadata-sized agg for per-column bounds (driver-held, like
+       the k-means centroids — never a data-sized collect);
+    2. a JVM-side Morton code (:func:`zorder_key`);
+    3. ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` — the
+       range exchange is sampled (no global sort barrier) and each
+       output file covers a contiguous z-range.
+
+    ``block_bytes`` caps the parquet row-group size so a file holds
+    multiple independently-prunable groups (at scale the default
+    128 MB group is right; tests shrink it to get a measurable
+    group count from small data).
+    """
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    normalized = [
+        normalize_to_grid(c, float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"]), bits)
+        for c in cols
+    ]
+    out = (
+        df.withColumn("_z", zorder_key(normalized, bits))
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    writer = out.write.mode("overwrite")
+    if block_bytes is not None:
+        writer = writer.option("parquet.block.size", str(block_bytes))
+    writer.parquet(path)
+
+
+def rowgroup_skipping_audit(path: str, predicates: dict) -> dict:
+    """Count parquet row groups a min/max-pruning reader must touch for
+    a conjunction of range predicates ``{col: (lo, hi)}``.
+
+    Driver-side and METADATA-only (pyarrow footer stats — the same
+    information Spark's parquet reader uses to skip groups), so the
+    audit itself never reads data pages; this is exactly the planning
+    cost a 100 TB scan pays. Groups missing stats count as touched
+    (pruning must be conservative).
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = touched = 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            total += 1
+            hit = True
+            for col, (lo, hi) in predicates.items():
+                st = md.row_group(g).column(col_idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats → cannot prune this predicate
+                if st.min > hi or st.max < lo:
+                    hit = False
+                    break
+            touched += int(hit)
+    return {"row_groups": total, "touched": touched}
+
+
+#: fixed t224 box bounds — keys start at 1 at every sf, so the box is
+#: non-vacuous from sf0.001 up while staying selective at sf0.1+
+ZORDER_BOX = {"l_partkey": (1, 50), "l_suppkey": (1, 25)}
+
+
+def zordered_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T224 — scan of a Z-ordered lineitem layout under a 2-D box
+    filter: revenue and volume per returnflag for
+    ``l_partkey ≤ 50 AND l_suppkey ≤ 25``.
+
+    The layout write (once per corpus version, ``cache_tag``-keyed like
+    t40's buckets) clusters lineitem on the (l_partkey, l_suppkey)
+    z-curve; the query then reads it back with both range predicates
+    pushed to the parquet scan, where row-group min/max pruning skips
+    everything outside the box's z-range — data skipping on TWO
+    dimensions from ONE layout, which neither a single-column sort nor
+    one partition column can provide (measured in
+    ``tests/test_zorder.py``: the z-layout touches a fraction of the
+    row groups a one-column sort must read). Results are layout-
+    independent — the oracle runs the same box on the unclustered
+    source.
+    """
+    tag = _tag(sf_dir, "lineitem")
+    path = f"/tmp/mgs_zorder_lineitem_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_zordered(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_returnflag",
+            ),
+            path,
+            ["l_partkey", "l_suppkey"],
+        )
+    (pk_lo, pk_hi), (sk_lo, sk_hi) = ZORDER_BOX["l_partkey"], ZORDER_BOX["l_suppkey"]
+    return (
+        spark.read.parquet(path)
+        .where(F.col("l_partkey").between(pk_lo, pk_hi))
+        .where(F.col("l_suppkey").between(sk_lo, sk_hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            dsum(money("l_quantity"), 4).alias("sum_qty"),
+            _revenue("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+#: the day t225's corrections delta targets (present at every sf —
+#: events span 2024-01) and the id offset marking late-arriving inserts
+UPSERT_DAY = "2024-01-02"
+UPSERT_INSERT_OFFSET = 10_000_000
+
+#: corpora already upserted this process — the upsert is idempotent
+#: (same delta, same keys, same result), so re-running it on every
+#: builder call (registry sweeps, plan audits) would only burn a write
+#: job; one application per corpus per process is enough.
+_UPSERTED: set[str] = set()
+
+
+def event_corrections_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T225 — MERGE-style daily corrections into a partitioned events
+    table: daily event counts and value totals AFTER upserting one day's
+    corrections + late arrivals.
+
+    The nightly-pipeline op every lakehouse needs and plain parquet
+    lacks: a corrections feed replaces matching rows and appends new
+    ones WITHOUT rewriting the table (``io.partition_upsert`` — dynamic
+    partition overwrite scoped to the touched day; untouched partitions
+    keep their files byte-identical, asserted by mtime in
+    ``tests/test_upsert.py``).
+
+    Deterministic delta, derived from the SOURCE (so the op is
+    idempotent and oracle-checkable): on 2024-01-02, every event with
+    ``event_id % 10 = 0`` gets its value corrected (+1000), and every
+    event with ``event_id % 17 = 0`` spawns a late-arriving insert
+    (id + 10M, value 1.0). The oracle applies the same merge logic
+    relationally over the unpartitioned source — layout-independent
+    results, layout-dependent cost.
+    """
+    tag = _tag(sf_dir, "events")
+    path = f"/tmp/mgs_events_daily_{tag}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day"), "value"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(
+            path
+        )
+        _UPSERTED.discard(tag)
+    if tag not in _UPSERTED:
+        from mapreduce_google_spark.io import partition_upsert
+
+        src_day = ev.where(F.col("day") == F.lit(UPSERT_DAY).cast("date"))
+        corrections = src_day.where(F.pmod("event_id", F.lit(10)) == 0).withColumn(
+            "value", F.col("value") + 1000
+        )
+        inserts = src_day.where(F.pmod("event_id", F.lit(17)) == 0).select(
+            (F.col("event_id") + UPSERT_INSERT_OFFSET).alias("event_id"),
+            "day",
+            F.lit(1.0).alias("value"),
+        )
+        partition_upsert(
+            spark, path, corrections.unionByName(inserts), "day", ["event_id"]
+        )
+        _UPSERTED.add(tag)
+    return (
+        spark.read.parquet(path)
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .orderBy("day")
+    )

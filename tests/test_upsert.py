@@ -1,0 +1,95 @@
+"""partition_upsert (t225): MERGE-style upsert on plain parquet must
+replace matched keys, append new ones, and rewrite ONLY the partitions
+the delta touches."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.io import partition_upsert
+from mapreduce_google_spark.operators.scale import (
+    UPSERT_DAY,
+    UPSERT_INSERT_OFFSET,
+    event_corrections_upsert,
+)
+
+
+def _mtimes(path: str, pattern: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, pattern, "*.parquet"))
+    }
+
+
+def test_partition_upsert_semantics_and_scoping(spark, tmp_path):
+    """3 partitions; the delta corrects one key and inserts one key into
+    partition 'b' only. Partitions 'a'/'c' must keep their files
+    byte-identical (mtime-asserted); 'b' must hold the merged rows with
+    unique keys."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k long, p string, v double",
+    )
+    path = str(tmp_path / "tbl")
+    base.repartition("p").write.partitionBy("p").parquet(path)
+
+    before_a = _mtimes(path, "p=a")
+    before_c = _mtimes(path, "p=c")
+    assert before_a and before_c
+
+    delta = spark.createDataFrame(
+        [(2, "b", 999.0), (9, "b", 9.0)], "k long, p string, v double"
+    )
+    touched = partition_upsert(spark, path, delta, "p", ["k"])
+    assert touched == ["b"]
+
+    rows = {
+        (r.k, r.p): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {
+        (1, "a"): 10.0,
+        (2, "b"): 999.0,  # corrected
+        (3, "b"): 30.0,  # carried over
+        (9, "b"): 9.0,  # inserted
+        (4, "c"): 40.0,
+    }
+    # untouched partitions: same files, same mtimes — never rewritten
+    assert _mtimes(path, "p=a") == before_a
+    assert _mtimes(path, "p=c") == before_c
+
+
+def test_t225_is_idempotent_and_keeps_other_days_untouched(spark, sf_dir):
+    """Re-running the registered upsert must not change results (the
+    delta is derived from the immutable source) and must never rewrite a
+    day it doesn't touch."""
+    from mapreduce_google_spark.operators import scale
+
+    first = event_corrections_upsert(spark, sf_dir).collect()
+
+    tag = scale._tag(sf_dir, "events")
+    path = f"/tmp/mgs_events_daily_{tag}"
+    other_days = {
+        d: _mtimes(path, os.path.basename(d))
+        for d in glob.glob(os.path.join(path, "day=*"))
+        if not d.endswith(f"day={UPSERT_DAY}")
+    }
+    assert other_days
+
+    scale._UPSERTED.discard(tag)  # force a real re-application
+    second = event_corrections_upsert(spark, sf_dir).collect()
+    assert second == first
+    for d, before in other_days.items():
+        assert _mtimes(path, os.path.basename(d)) == before, d
+
+    # upserted day: corrected keys unique, inserts present exactly once
+    day = (
+        spark.read.parquet(path)
+        .where(F.col("day") == F.lit(UPSERT_DAY).cast("date"))
+    )
+    dup = day.groupBy("event_id").count().where("count > 1").count()
+    assert dup == 0
+    n_inserts = day.where(F.col("event_id") >= UPSERT_INSERT_OFFSET).count()
+    assert n_inserts > 0
