@@ -34,6 +34,17 @@ def sf_of(path: str) -> float:
         return -1.0
 
 
+def _mem_available_gb() -> float | None:
+    try:
+        with open("/proc/meminfo", encoding="ascii") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return round(int(line.split()[1]) / 1048576, 1)
+    except OSError:
+        pass
+    return None
+
+
 def main() -> int:
     spark = get_spark(app_name="mgs-bench")
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
@@ -128,6 +139,14 @@ def main() -> int:
                 "t01_text_mb_per_s": text_mb_per_s,
                 "baseline_floor_mb_per_s": 0.5,
                 "t25_ivf_recall_vs_exact_t18": ivf_recall,
+                # host-state provenance: the driver heap is host-aware
+                # (session._default_driver_mem = min(24g, 70% of
+                # MemAvailable)), so a busy host silently shrinks the
+                # JVM and every query drifts together (r6 drifted
+                # +13..+40% uniformly). Recording the resolved heap +
+                # MemAvailable makes that diagnosis a field lookup.
+                "driver_mem": os.environ.get("PYSPARK_SUBMIT_ARGS", ""),
+                "host_mem_available_gb": _mem_available_gb(),
                 # t25 joined the headline set in r6 (VERDICT r05 item 5:
                 # put the IVF number next to the exact one) — the
                 # r1-r5-comparable total excludes it so round-over-round

@@ -449,3 +449,114 @@ def partition_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return touched
+
+
+# --------------------------------------------------------------------------
+# Versioned snapshot store — time travel on plain parquet
+# --------------------------------------------------------------------------
+#
+# Delta/Iceberg time travel reduced to its two load-bearing properties:
+# immutable versioned data directories (``v=N/``) + a tiny commit manifest
+# (``_versions.json``) published by an atomic same-filesystem rename. A
+# version is visible iff it is listed in the manifest, so readers never see
+# a half-written snapshot; writers never mutate a published directory, so a
+# reader pinned to version N is immune to concurrent writes — the property
+# that makes backfill-while-serving safe at 100 TB. On object storage the
+# rename becomes a conditional PUT of the manifest object; the layout is
+# unchanged.
+
+def _versions_manifest(root: str) -> str:
+    return os.path.join(root, "_versions.json")
+
+
+def list_versions(root: str) -> list[int]:
+    """Committed snapshot versions at ``root``, ascending (empty if the
+    store does not exist yet). Reads only the manifest — O(1), no
+    directory listing."""
+    import json
+
+    mf = _versions_manifest(root)
+    if not os.path.exists(mf):
+        return []
+    with open(mf) as fh:
+        return sorted(json.load(fh)["versions"])
+
+
+def versioned_write(df: DataFrame, root: str) -> int:
+    """Publish ``df`` as the next immutable snapshot version of the
+    table at ``root`` and return its version number.
+
+    The data lands in ``root/v=N/`` (a plain parquet write — Spark's
+    job commit makes the directory complete before ``_SUCCESS``
+    appears); the version becomes VISIBLE only when the rewritten
+    manifest is swapped into place with ``os.replace`` (atomic on a
+    POSIX filesystem). Crash between data write and manifest swap
+    leaves an unlisted orphan directory — invisible to every reader,
+    reclaimable by a vacuum sweep — never a torn table.
+    """
+    import json
+
+    versions = list_versions(root)
+    n = (versions[-1] + 1) if versions else 1
+    df.write.mode("error").parquet(os.path.join(root, f"v={n}"))
+    mf = _versions_manifest(root)
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"versions": versions + [n]}, fh)
+    os.replace(tmp, mf)
+    return n
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read one committed snapshot of the versioned table at ``root`` —
+    the latest by default, or a pinned ``version`` (time travel). Raises
+    ``ValueError`` for a version the manifest has never published (an
+    orphan ``v=N`` directory from a crashed write is not readable)."""
+    versions = list_versions(root)
+    if not versions:
+        raise ValueError(f"no committed versions at {root}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not committed at {root}; have {versions}")
+    return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+
+def vacuum_snapshots(root: str, keep_last: int = 2) -> dict:
+    """Reclaim snapshot-store space: drop all but the newest
+    ``keep_last`` committed versions and delete orphan ``v=N``
+    directories left by crashed writers. Returns
+    ``{"dropped": [...], "orphans": [...]}``.
+
+    Order matters for crash safety — the inverse of commit: first
+    publish the SHRUNK manifest (atomic ``os.replace``, so no reader
+    can begin a scan of a doomed version after this point), then delete
+    the now-unreferenced directories. A crash mid-vacuum leaves only
+    unreferenced directories — the next vacuum sweeps them as orphans.
+    Readers holding an already-opened DataFrame on a dropped version
+    race with the delete exactly as in Delta/Iceberg VACUUM; production
+    deployments add a time-based retention floor for that reason.
+    """
+    import json
+    import re
+    import shutil
+
+    versions = list_versions(root)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    dropped = [v for v in versions if v not in keep]
+    if dropped:
+        mf = _versions_manifest(root)
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"versions": keep}, fh)
+        os.replace(tmp, mf)
+    orphans = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m and int(m.group(1)) not in keep:
+            which = orphans if int(m.group(1)) not in dropped else dropped
+            if which is orphans:
+                orphans.append(int(m.group(1)))
+            shutil.rmtree(os.path.join(root, name))
+    return {"dropped": dropped, "orphans": orphans}

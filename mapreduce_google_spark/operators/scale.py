@@ -958,22 +958,11 @@ def rowgroup_skipping_audit(path: str, predicates: dict) -> dict:
 ZORDER_BOX = {"l_partkey": (1, 50), "l_suppkey": (1, 25)}
 
 
-def zordered_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T224 — scan of a Z-ordered lineitem layout under a 2-D box
-    filter: revenue and volume per returnflag for
-    ``l_partkey ≤ 50 AND l_suppkey ≤ 25``.
-
-    The layout write (once per corpus version, ``cache_tag``-keyed like
-    t40's buckets) clusters lineitem on the (l_partkey, l_suppkey)
-    z-curve; the query then reads it back with both range predicates
-    pushed to the parquet scan, where row-group min/max pruning skips
-    everything outside the box's z-range — data skipping on TWO
-    dimensions from ONE layout, which neither a single-column sort nor
-    one partition column can provide (measured in
-    ``tests/test_zorder.py``: the z-layout touches a fraction of the
-    row groups a one-column sort must read). Results are layout-
-    independent — the oracle runs the same box on the unclustered
-    source.
+def _zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the once-per-corpus Z-ordered lineitem layout exists
+    (cache_tag-keyed like t40's buckets) and return its path — shared by
+    the row-group-pruned scan (t224) and the manifest-pruned scan
+    (t227), which exercise the same layout at two pruning granularities.
     """
     tag = _tag(sf_dir, "lineitem")
     path = f"/tmp/mgs_zorder_lineitem_{tag}"
@@ -991,6 +980,27 @@ def zordered_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
             ["l_partkey", "l_suppkey"],
         )
+    return path
+
+
+def zordered_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T224 — scan of a Z-ordered lineitem layout under a 2-D box
+    filter: revenue and volume per returnflag for
+    ``l_partkey ≤ 50 AND l_suppkey ≤ 25``.
+
+    The layout write (once per corpus version, ``cache_tag``-keyed like
+    t40's buckets) clusters lineitem on the (l_partkey, l_suppkey)
+    z-curve; the query then reads it back with both range predicates
+    pushed to the parquet scan, where row-group min/max pruning skips
+    everything outside the box's z-range — data skipping on TWO
+    dimensions from ONE layout, which neither a single-column sort nor
+    one partition column can provide (measured in
+    ``tests/test_zorder.py``: the z-layout touches a fraction of the
+    row groups a one-column sort must read). Results are layout-
+    independent — the oracle runs the same box on the unclustered
+    source.
+    """
+    path = _zordered_lineitem_path(spark, sf_dir)
     (pk_lo, pk_hi), (sk_lo, sk_hi) = ZORDER_BOX["l_partkey"], ZORDER_BOX["l_suppkey"]
     return (
         spark.read.parquet(path)
@@ -1018,6 +1028,54 @@ UPSERT_INSERT_OFFSET = 10_000_000
 _UPSERTED: set[str] = set()
 
 
+def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical (event_id, day, value) projection of the events
+    table — the pre-correction snapshot every t225-family op starts
+    from."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day"), "value"
+    )
+
+
+def _corrections_delta(ev: DataFrame) -> DataFrame:
+    """The deterministic t225 corrections feed, derived from the source
+    so every consumer (upsert, CDC diff, snapshot store) sees the exact
+    same delta: on UPSERT_DAY, ``event_id % 10 = 0`` gets +1000 on
+    value; ``event_id % 17 = 0`` spawns a late insert at id + 10M."""
+    src_day = ev.where(F.col("day") == F.lit(UPSERT_DAY).cast("date"))
+    corrections = src_day.where(F.pmod("event_id", F.lit(10)) == 0).withColumn(
+        "value", F.col("value") + 1000
+    )
+    inserts = src_day.where(F.pmod("event_id", F.lit(17)) == 0).select(
+        (F.col("event_id") + UPSERT_INSERT_OFFSET).alias("event_id"),
+        "day",
+        F.lit(1.0).alias("value"),
+    )
+    return corrections.unionByName(inserts)
+
+
+def _events_daily_upserted_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the day-partitioned events table exists with the t225
+    corrections delta applied (once per corpus per process — the upsert
+    is idempotent) and return its path. Shared by the upsert query
+    (t225) and the snapshot-diff CDC query (t226), which audits what
+    the upsert changed."""
+    tag = _tag(sf_dir, "events")
+    path = f"/tmp/mgs_events_daily_{tag}"
+    ev = _events_source(spark, sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(
+            path
+        )
+        _UPSERTED.discard(tag)
+    if tag not in _UPSERTED:
+        from mapreduce_google_spark.io import partition_upsert
+
+        partition_upsert(spark, path, _corrections_delta(ev), "day", ["event_id"])
+        _UPSERTED.add(tag)
+    return path
+
+
 def event_corrections_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T225 — MERGE-style daily corrections into a partitioned events
     table: daily event counts and value totals AFTER upserting one day's
@@ -1038,32 +1096,7 @@ def event_corrections_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally over the unpartitioned source — layout-independent
     results, layout-dependent cost.
     """
-    tag = _tag(sf_dir, "events")
-    path = f"/tmp/mgs_events_daily_{tag}"
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.to_date("ts").alias("day"), "value"
-    )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(
-            path
-        )
-        _UPSERTED.discard(tag)
-    if tag not in _UPSERTED:
-        from mapreduce_google_spark.io import partition_upsert
-
-        src_day = ev.where(F.col("day") == F.lit(UPSERT_DAY).cast("date"))
-        corrections = src_day.where(F.pmod("event_id", F.lit(10)) == 0).withColumn(
-            "value", F.col("value") + 1000
-        )
-        inserts = src_day.where(F.pmod("event_id", F.lit(17)) == 0).select(
-            (F.col("event_id") + UPSERT_INSERT_OFFSET).alias("event_id"),
-            "day",
-            F.lit(1.0).alias("value"),
-        )
-        partition_upsert(
-            spark, path, corrections.unionByName(inserts), "day", ["event_id"]
-        )
-        _UPSERTED.add(tag)
+    path = _events_daily_upserted_path(spark, sf_dir)
     return (
         spark.read.parquet(path)
         .groupBy("day")
@@ -1075,3 +1108,227 @@ def event_corrections_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC), manifest file pruning, versioned time travel
+# --------------------------------------------------------------------------
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    carry_old: tuple = (),
+    carry_new: tuple = (),
+) -> DataFrame:
+    """Row-level change-data-capture between two snapshots of a keyed
+    table: one row per key with ``change_type`` ∈ insert / delete /
+    update / unchanged.
+
+    Scale shape: each side is first reduced to (key, 64-bit ``xxhash64``
+    fingerprint of ``compare_cols``, requested carry columns) — so the
+    single full-outer shuffle join on the key moves key + 8 bytes + the
+    carries, never the full row width; a 100-column table diffs at the
+    cost of a 2-column one. Classification is pure null-ness + 
+    fingerprint equality (JVM, codegen'd). If both snapshots are stored
+    bucketed on the key (``io.adopt_or_build_bucketed_table``) the join
+    is exchange-free on top.
+
+    Caveats, by construction of the fingerprint: a 1/2^64 hash collision
+    reports a changed row as unchanged, and ``xxhash64`` skips NULL
+    inputs, so rows differing only in WHICH of two columns is NULL can
+    collide — exact enough for table auditing, not for cryptographic
+    integrity.
+    """
+    o = old.select(
+        *key_cols,
+        F.xxhash64(*compare_cols).alias("_fp_old"),
+        *[F.col(c).alias(f"old_{c}") for c in carry_old],
+    )
+    n = new.select(
+        *key_cols,
+        F.xxhash64(*compare_cols).alias("_fp_new"),
+        *[F.col(c).alias(f"new_{c}") for c in carry_new],
+    )
+    change = (
+        F.when(F.col("_fp_old").isNull(), F.lit("insert"))
+        .when(F.col("_fp_new").isNull(), F.lit("delete"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, list(key_cols), "full_outer")
+        .withColumn("change_type", change)
+        .drop("_fp_old", "_fp_new")
+    )
+
+
+def event_change_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T226 — CDC audit of what the t225 upsert changed: per
+    change_type, row count and net value delta between the source
+    events snapshot and the corrected daily table.
+
+    Runs :func:`snapshot_diff` (fingerprint-reduced full-outer join on
+    event_id) with the pre-correction source as *old* and the upserted
+    parquet table as *new* — the nightly "what did the merge actually
+    do" report. Expected shape on this delta: inserts = the late
+    arrivals (net +1.0 each), updates = the +1000 corrections,
+    everything else unchanged (net 0), zero deletes. The oracle derives
+    the same delta relationally and full-outer-joins base vs merged —
+    layout- and fingerprint-independent.
+    """
+    path = _events_daily_upserted_path(spark, sf_dir)
+    old = _events_source(spark, sf_dir)
+    new = spark.read.parquet(path).select("event_id", "day", "value")
+    diff = snapshot_diff(
+        old,
+        new,
+        ["event_id"],
+        ["day", "value"],
+        carry_old=("value",),
+        carry_new=("value",),
+    )
+    delta = F.coalesce(F.col("new_value"), F.lit(0.0)) - F.coalesce(
+        F.col("old_value"), F.lit(0.0)
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(
+                F.sum(delta.cast("decimal(14,2)")).cast("double"), 6
+            ).alias("value_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
+#: t227 box — different from ZORDER_BOX so the two pruning grains are
+#: probed on different regions; suppkey range is inside [1,10] so the
+#: box is non-vacuous even at sf0.001 (10 suppliers)
+MANIFEST_BOX = {"l_partkey": (20, 120), "l_suppkey": (3, 9)}
+
+
+def pruned_file_list(path: str, predicates: dict) -> tuple[list[str], int]:
+    """File-level zone-map pruning: return (files a conjunction of range
+    predicates ``{col: (lo, hi)}`` could match, total file count).
+
+    The manifest is read from parquet FOOTERS (pyarrow, metadata-only —
+    no data pages), taking each file's per-column min/max as the
+    envelope of its row groups; files lacking stats are kept
+    (conservative). This is the Iceberg/Delta manifest trick scaled
+    down: Spark's own reader prunes row groups but still has to open
+    every footer at plan time — at 100 TB / millions of files a
+    persisted manifest turns scan planning from O(files) footer reads
+    into one metadata-table lookup, and pairs with the Z-order layout
+    (:func:`write_zordered`) whose compact per-file envelopes are what
+    make file-grain skipping effective.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    keep = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        hit = True
+        for col, (lo, hi) in predicates.items():
+            fmin = fmax = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(col_idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    break  # a stats-less group makes the file unprunable
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            if fmin is None:
+                continue  # no stats → keep (conservative)
+            if fmin > hi or fmax < lo:
+                hit = False
+                break
+        if hit:
+            keep.append(f)
+    return keep, len(files)
+
+
+def manifest_pruned_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T227 — the t224 box scan at FILE granularity: revenue per
+    returnflag for a 2-D box, reading ONLY the parquet files whose
+    footer min/max envelope overlaps the box
+    (:func:`pruned_file_list` over the shared Z-ordered layout).
+
+    Pruning is conservative (a skipped file provably contains no
+    matching row; kept files are re-filtered by the pushed-down
+    predicates), so the result is layout- and pruning-independent — the
+    oracle runs the same box on the unclustered source. The file-count
+    reduction itself is asserted in ``tests/test_zorder.py``.
+    """
+    path = _zordered_lineitem_path(spark, sf_dir)
+    (pk_lo, pk_hi) = MANIFEST_BOX["l_partkey"]
+    (sk_lo, sk_hi) = MANIFEST_BOX["l_suppkey"]
+    files, _total = pruned_file_list(
+        path, {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
+    )
+    src = spark.read.parquet(*files) if files else spark.read.parquet(path)
+    return (
+        src.where(F.col("l_partkey").between(pk_lo, pk_hi))
+        .where(F.col("l_suppkey").between(sk_lo, sk_hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            dsum(money("l_quantity"), 4).alias("sum_qty"),
+            _revenue("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def snapshot_version_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T228 — time travel over a versioned table: totals per retained
+    snapshot version of the daily events table (v1 = as ingested, v2 =
+    after the t225 corrections merge).
+
+    The snapshot store (``io.versioned_write`` / ``io.read_snapshot``)
+    keeps each version as an immutable ``v=N`` directory published by an
+    atomic manifest swap — Delta/Iceberg time travel reduced to its two
+    load-bearing properties (immutable data files + tiny commit
+    metadata), so "query yesterday's table" is a manifest lookup, never
+    a restore. Readers pin a version; writers never mutate published
+    files — at 100 TB that's what makes concurrent backfill + serving
+    safe. Oracle: v1 totals from the raw source, v2 totals from the
+    relationally-derived merge.
+    """
+    from mapreduce_google_spark.io import list_versions, read_snapshot, versioned_write
+
+    tag = _tag(sf_dir, "events")
+    root = f"/tmp/mgs_events_snapshots_{tag}"
+    if len(list_versions(root)) < 2:
+        ev = _events_source(spark, sf_dir)
+        delta = _corrections_delta(ev)
+        merged = (
+            ev.join(delta.select("event_id"), ["event_id"], "left_anti")
+            .unionByName(delta)
+        )
+        versioned_write(ev, root)          # v1: as ingested
+        versioned_write(merged, root)      # v2: after corrections
+    frames = []
+    for v in list_versions(root)[:2]:
+        frames.append(
+            read_snapshot(spark, root, version=v)
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 6
+                ).alias("sum_value"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("version"), "n_events", "sum_value"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")

@@ -560,3 +560,23 @@ def test_fingerprint_store_antijoin_has_no_store_exchange(spark, sf_dir):
     # bucketed store side must not add a third
     assert plan.count("Exchange (") <= 2, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_t226_diff_join_inputs_are_fingerprint_narrow(spark, sf_dir):
+    """snapshot_diff's scale claim, pinned in the plan: the full-outer
+    join's inputs carry (event_id, xxhash64 fingerprint, carried value)
+    — the compared columns are hashed BELOW the join, so the shuffle
+    never moves full rows. The fingerprint expression must appear in
+    the plan and the compared-only column (day) must not survive past
+    the join into the aggregate."""
+    from mapreduce_google_spark.operators.scale import event_change_summary
+
+    df = event_change_summary(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "xxhash64" in plan, plan
+    # join type is the full-outer CDC shape
+    assert re.search(r"FullOuter", plan), plan
+    # the day column is consumed by the fingerprint, not projected through
+    # the join output (only event_id / fingerprints / carried values are)
+    out_cols = {c.lower() for c in df.columns}
+    assert "day" not in out_cols and "old_day" not in out_cols, df.columns

@@ -1,0 +1,133 @@
+"""Snapshot machinery (t226/t227/t228): CDC diff classification,
+file-level zone-map pruning, and the versioned time-travel store —
+including the crash-safety property (an orphan data directory is
+invisible until the manifest commits it)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.io import list_versions, read_snapshot, versioned_write
+from mapreduce_google_spark.operators.scale import (
+    pruned_file_list,
+    snapshot_diff,
+    write_zordered,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k int, a string, v double")
+
+
+def test_snapshot_diff_classifies_all_four_types(spark):
+    old = _frame(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)])
+    new = _frame(spark, [(1, "x", 1.0), (2, "y", 9.0), (4, "w", 4.0)])
+    d = snapshot_diff(old, new, ["k"], ["a", "v"], carry_old=("v",), carry_new=("v",))
+    got = {r["k"]: r["change_type"] for r in d.collect()}
+    assert got == {1: "unchanged", 2: "update", 3: "delete", 4: "insert"}
+
+
+def test_snapshot_diff_carries_both_sides(spark):
+    old = _frame(spark, [(2, "y", 2.0)])
+    new = _frame(spark, [(2, "y", 9.0)])
+    row = snapshot_diff(
+        old, new, ["k"], ["v"], carry_old=("v",), carry_new=("v",)
+    ).first()
+    assert (row["old_v"], row["new_v"], row["change_type"]) == (2.0, 9.0, "update")
+
+
+def test_snapshot_diff_shuffles_fingerprints_not_rows(spark):
+    """The scale claim: the join input carries key + fingerprint + the
+    requested carries — a wide column set that is compared but not
+    carried must not appear in the join's plan output."""
+    old = _frame(spark, [(1, "payload-a", 1.0)])
+    new = _frame(spark, [(1, "payload-a", 1.0)])
+    d = snapshot_diff(old, new, ["k"], ["a", "v"])
+    # compared-only columns are hashed away, not projected through
+    assert set(d.columns) == {"k", "change_type"}
+
+
+def test_versioned_store_time_travel_and_latest(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    v1 = versioned_write(spark.range(5).select(F.col("id").alias("n")), root)
+    v2 = versioned_write(spark.range(8).select(F.col("id").alias("n")), root)
+    assert (v1, v2) == (1, 2)
+    assert list_versions(root) == [1, 2]
+    assert read_snapshot(spark, root).count() == 8  # latest
+    assert read_snapshot(spark, root, version=1).count() == 5  # pinned
+
+
+def test_versioned_store_orphan_directory_is_invisible(spark, tmp_path):
+    """Crash between data write and manifest swap leaves an unlisted
+    v=N directory: readers must not see it, and the next commit must
+    not resurrect it."""
+    root = str(tmp_path / "snap")
+    versioned_write(spark.range(3).select(F.col("id").alias("n")), root)
+    # simulate a crashed writer: data directory exists, manifest untouched
+    spark.range(99).select(F.col("id").alias("n")).write.parquet(
+        os.path.join(root, "v=2")
+    )
+    assert list_versions(root) == [1]
+    assert read_snapshot(spark, root).count() == 3
+    try:
+        read_snapshot(spark, root, version=2)
+        raise AssertionError("orphan version was readable")
+    except ValueError:
+        pass
+
+
+def test_versioned_store_manifest_swap_is_atomic_artifact(spark, tmp_path):
+    """The commit artifact is a tiny JSON swapped with os.replace — no
+    .tmp residue after a successful publish."""
+    root = str(tmp_path / "snap")
+    versioned_write(spark.range(2).select(F.col("id").alias("n")), root)
+    names = os.listdir(root)
+    assert "_versions.json" in names
+    assert not [n for n in names if n.endswith(".tmp")]
+    with open(os.path.join(root, "_versions.json")) as fh:
+        assert json.load(fh) == {"versions": [1]}
+
+
+def test_pruned_file_list_is_conservative_and_effective(spark, tmp_path):
+    """File pruning must (a) never lose a matching row — reading the
+    kept files + filter equals the full scan + filter — and (b) actually
+    drop files on a clustered layout."""
+    df = spark.range(100_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(512)).cast("long").alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 12345), F.lit(512)).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["x", "y"], bits=9, num_files=8)
+    box = {"x": (0, 63), "y": (0, 63)}
+    files, total = pruned_file_list(path, box)
+    assert 0 < len(files) < total, (len(files), total)
+    cond = F.col("x").between(0, 63) & F.col("y").between(0, 63)
+    full = spark.read.parquet(path).where(cond).count()
+    pruned = spark.read.parquet(*files).where(cond).count()
+    assert pruned == full > 0
+
+
+def test_vacuum_drops_old_versions_and_orphans(spark, tmp_path):
+    from mapreduce_google_spark.io import vacuum_snapshots
+
+    root = str(tmp_path / "snap")
+    for n in (3, 5, 8):
+        versioned_write(spark.range(n).select(F.col("id").alias("n")), root)
+    # crashed writer leaves an uncommitted directory
+    spark.range(42).select(F.col("id").alias("n")).write.parquet(
+        os.path.join(root, "v=9")
+    )
+    out = vacuum_snapshots(root, keep_last=2)
+    assert out == {"dropped": [1], "orphans": [9]}
+    assert list_versions(root) == [2, 3]
+    assert sorted(
+        n for n in os.listdir(root) if n.startswith("v=")
+    ) == ["v=2", "v=3"]
+    # survivors still readable; next version number keeps ascending
+    assert read_snapshot(spark, root, version=2).count() == 5
+    assert versioned_write(
+        spark.range(1).select(F.col("id").alias("n")), root
+    ) == 4
