@@ -1264,13 +1264,17 @@ def manifest_pruned_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching row; kept files are re-filtered by the pushed-down
     predicates), so the result is layout- and pruning-independent — the
     oracle runs the same box on the unclustered source. The file-count
-    reduction itself is asserted in ``tests/test_zorder.py``.
+    reduction itself is asserted in ``tests/test_zorder.py``, and the
+    plan goes through the PERSISTED incrementally-refreshed manifest
+    (:func:`pruned_files_from_manifest`) — footer walk only for files
+    the manifest has never seen (equality with the raw walk is tested
+    in ``tests/test_snapshots.py``).
     """
     path = _zordered_lineitem_path(spark, sf_dir)
     (pk_lo, pk_hi) = MANIFEST_BOX["l_partkey"]
     (sk_lo, sk_hi) = MANIFEST_BOX["l_suppkey"]
-    files, _total = pruned_file_list(
-        path, {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
+    files, _total = pruned_files_from_manifest(
+        spark, path, {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
     )
     src = spark.read.parquet(*files) if files else spark.read.parquet(path)
     return (
@@ -1332,3 +1336,93 @@ def snapshot_version_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("version")
+
+
+def refresh_file_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Build or INCREMENTALLY refresh the persisted zone-map manifest of
+    the parquet table at ``path``: one row per data file with per-column
+    min/max envelopes, stored as parquet under ``<path>/_manifest``.
+    Returns the refreshed manifest DataFrame.
+
+    This is the piece that turns :func:`pruned_file_list`'s O(files)
+    footer walk into a metadata-table lookup — the Iceberg/Delta
+    manifest made from Spark primitives. Refresh cost is proportional to
+    NEW files only: already-manifested files are never re-opened (their
+    footer stats are immutable — parquet files don't change, they get
+    replaced under new names). A vanished file's row is dropped
+    relationally. At 100 TB the manifest itself is a small parquet table
+    (one row per file), scanned in milliseconds where a raw listing +
+    footer fetch of 10^6 objects costs minutes of store round-trips.
+
+    Stats-less columns are stored as NULL envelopes; the pruning
+    consumer (:func:`pruned_files_from_manifest`) keeps NULL-envelope
+    files — same conservative contract as the footer walk.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(path, "_manifest")
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    known: set[str] = set()
+    have_manifest = os.path.exists(os.path.join(mdir, "_SUCCESS"))
+    if have_manifest:
+        known = {
+            r["file"]
+            for r in spark.read.parquet(mdir).select("file").collect()
+        }
+    rows = []
+    for f in files:
+        if f in known:
+            continue
+        md = pq.ParquetFile(f).metadata
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        row: dict = {"file": f}
+        for col in cols:
+            fmin = fmax = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(col_idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            row[f"min_{col}"] = fmin
+            row[f"max_{col}"] = fmax
+        rows.append(row)
+    schema = "file string, " + ", ".join(
+        f"min_{c} long, max_{c} long" for c in cols
+    )
+    fresh = spark.createDataFrame(rows, schema) if rows else None
+    if have_manifest:
+        prev = spark.read.parquet(mdir).where(
+            F.col("file").isin(files) if files else F.lit(False)
+        )
+        manifest = prev.unionByName(fresh) if fresh is not None else prev
+    else:
+        manifest = fresh if fresh is not None else spark.createDataFrame([], schema)
+    # rewrite via a localCheckpoint so the new manifest doesn't read
+    # from the files it is about to overwrite
+    manifest.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(mdir)
+    return spark.read.parquet(mdir)
+
+
+def pruned_files_from_manifest(
+    spark: SparkSession, path: str, predicates: dict
+) -> tuple[list[str], int]:
+    """The manifest-table form of :func:`pruned_file_list`: answer
+    "which files could a conjunction of range predicates touch" from
+    the persisted ``_manifest`` parquet (refreshing it incrementally
+    first), never opening a data-file footer at plan time. NULL
+    envelopes (stats-less files) are conservatively kept."""
+    manifest = refresh_file_manifest(spark, path, list(predicates))
+    cond = F.lit(True)
+    for col, (lo, hi) in predicates.items():
+        keep = (
+            F.col(f"min_{col}").isNull()
+            | ~((F.col(f"min_{col}") > hi) | (F.col(f"max_{col}") < lo))
+        )
+        cond = cond & keep
+    total = manifest.count()
+    files = [r["file"] for r in manifest.where(cond).select("file").collect()]
+    return sorted(files), total

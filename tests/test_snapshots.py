@@ -131,3 +131,47 @@ def test_vacuum_drops_old_versions_and_orphans(spark, tmp_path):
     assert versioned_write(
         spark.range(1).select(F.col("id").alias("n")), root
     ) == 4
+
+
+def test_file_manifest_incremental_refresh_and_pruning(spark, tmp_path):
+    """The persisted manifest must (a) prune identically to the footer
+    walk, (b) refresh incrementally — a new file adds exactly one row,
+    existing rows survive untouched — and (c) drop rows for vanished
+    files."""
+    from mapreduce_google_spark.operators.scale import (
+        pruned_files_from_manifest,
+        refresh_file_manifest,
+    )
+
+    df = spark.range(50_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(256)).cast("long").alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 999), F.lit(256)).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["x", "y"], bits=8, num_files=6)
+    box = {"x": (0, 31), "y": (0, 31)}
+
+    walk_files, walk_total = pruned_file_list(path, box)
+    man_files, man_total = pruned_files_from_manifest(spark, path, box)
+    assert (man_files, man_total) == (walk_files, walk_total)
+
+    # incremental: add one file covering a disjoint region
+    extra = os.path.join(path, "part-extra.parquet")
+    spark.range(1000).select(
+        (F.lit(1000) + F.pmod(F.xxhash64("id"), F.lit(10))).alias("x"),
+        (F.lit(1000) + F.pmod(F.xxhash64(F.col("id") + 1), F.lit(10))).alias("y"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil
+
+    shutil.copy(glob.glob(str(tmp_path / "stage" / "*.parquet"))[0], extra)
+    man2 = refresh_file_manifest(spark, path, ["x", "y"])
+    assert man2.count() == man_total + 1
+    # the new file sits outside the box → pruned set unchanged
+    man_files2, man_total2 = pruned_files_from_manifest(spark, path, box)
+    assert man_total2 == man_total + 1 and man_files2 == walk_files
+
+    # vanished file → its manifest row is dropped on refresh
+    os.remove(extra)
+    man3 = refresh_file_manifest(spark, path, ["x", "y"])
+    assert man3.count() == man_total
