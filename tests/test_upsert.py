@@ -93,3 +93,22 @@ def test_t225_is_idempotent_and_keeps_other_days_untouched(spark, sf_dir):
     assert dup == 0
     n_inserts = day.where(F.col("event_id") >= UPSERT_INSERT_OFFSET).count()
     assert n_inserts > 0
+
+
+def test_partition_upsert_empty_delta_is_a_safe_noop(spark, tmp_path):
+    """A corrections feed with zero rows (the common nightly case) must
+    not rewrite, truncate, or touch ANY partition."""
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k int, p string, v double"
+    ).write.partitionBy("p").parquet(base)
+    before = _mtimes(base, "p=*")
+    assert before
+    empty = spark.createDataFrame([], "k int, p string, v double")
+    touched = partition_upsert(spark, base, empty, "p", ["k"])
+    assert touched == []
+    assert _mtimes(base, "p=*") == before
+    got = sorted(
+        (r["k"], r["p"], r["v"]) for r in spark.read.parquet(base).collect()
+    )
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
