@@ -2,7 +2,9 @@
 ``mapreduce-submit`` client (``mapreduce/submit.py:21-60``) and of the
 manager's job queue (``mapreduce/manager/__main__.py:180-196,313-319``).
 
-Modes (exec / query / explain / sql / compact / batch):
+Modes (exec / query / explain / sql / compact / batch / status / restart,
+plus the table-maintenance verbs zorder / upsert / vacuum / manifest that
+operate the lakehouse layer from the shell):
 
 1. Reference-style streaming-exec job (the reference's whole surface):
 
@@ -352,6 +354,48 @@ def main(argv: list[str] | None = None) -> int:
         help="concurrent jobs (FAIR scheduler pools); 1 = strict FIFO",
     )
 
+    # table-maintenance verbs — the lakehouse layer (operators.scale /
+    # io snapshot store) operated from the shell, same UX tier as
+    # `compact`:
+    p_zorder = sub.add_parser(
+        "zorder", help="rewrite a parquet dir clustered on a Z-order curve"
+    )
+    p_zorder.add_argument("--input", required=True, help="parquet directory")
+    p_zorder.add_argument("--output", required=True, help="destination directory")
+    p_zorder.add_argument(
+        "--cols", required=True, help="comma-separated numeric cluster columns"
+    )
+    p_zorder.add_argument("--bits", type=int, default=12)
+    p_zorder.add_argument("--files", type=int, default=8)
+
+    p_upsert = sub.add_parser(
+        "upsert",
+        help="MERGE a delta parquet dir into a hive-partitioned table "
+        "(rewrites only the touched partitions)",
+    )
+    p_upsert.add_argument("--base", required=True, help="partitioned table dir")
+    p_upsert.add_argument("--delta", required=True, help="delta parquet dir")
+    p_upsert.add_argument("--partition-col", required=True)
+    p_upsert.add_argument(
+        "--keys", required=True, help="comma-separated merge key columns"
+    )
+
+    p_vacuum = sub.add_parser(
+        "vacuum",
+        help="drop old snapshot versions + orphan dirs from a versioned table",
+    )
+    p_vacuum.add_argument("--root", required=True, help="snapshot store root")
+    p_vacuum.add_argument("--keep-last", type=int, default=2)
+
+    p_manifest = sub.add_parser(
+        "manifest",
+        help="incrementally refresh the zone-map _manifest of a parquet dir",
+    )
+    p_manifest.add_argument("--input", required=True, help="parquet directory")
+    p_manifest.add_argument(
+        "--cols", required=True, help="comma-separated numeric stat columns"
+    )
+
     args = parser.parse_args(argv)
 
     from mapreduce_google_spark.session import get_spark
@@ -436,6 +480,45 @@ def main(argv: list[str] | None = None) -> int:
                 record_extra = {}
             healthy = _print_health_record(spark, args.sf_dir, record_extra)
             return 0 if healthy else 1
+        elif args.mode == "zorder":
+            from mapreduce_google_spark.operators.scale import write_zordered
+
+            cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            write_zordered(
+                spark.read.parquet(args.input),
+                args.output,
+                cols,
+                bits=args.bits,
+                num_files=args.files,
+            )
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"output": args.output, "rows": n, "cols": cols}))
+        elif args.mode == "upsert":
+            from mapreduce_google_spark.io import partition_upsert
+
+            keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+            touched = partition_upsert(
+                spark,
+                args.base,
+                spark.read.parquet(args.delta),
+                args.partition_col,
+                keys,
+            )
+            print(
+                json.dumps(
+                    {"base": args.base, "touched_partitions": sorted(map(str, touched))}
+                )
+            )
+        elif args.mode == "vacuum":
+            from mapreduce_google_spark.io import vacuum_snapshots
+
+            print(json.dumps(vacuum_snapshots(args.root, keep_last=args.keep_last)))
+        elif args.mode == "manifest":
+            from mapreduce_google_spark.operators.scale import refresh_file_manifest
+
+            cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            manifest = refresh_file_manifest(spark, args.input, cols)
+            print(json.dumps({"input": args.input, "files": manifest.count()}))
         elif args.mode == "query":
             try:
                 _run_query(

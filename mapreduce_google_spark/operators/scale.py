@@ -1395,9 +1395,11 @@ def refresh_file_manifest(spark: SparkSession, path: str, cols: list[str]) -> Da
     )
     fresh = spark.createDataFrame(rows, schema) if rows else None
     if have_manifest:
-        prev = spark.read.parquet(mdir).where(
-            F.col("file").isin(files) if files else F.lit(False)
-        )
+        # drop vanished files via a semi-join against the live listing —
+        # an isin() literal list would compile a million-branch
+        # expression at real file counts
+        live = spark.createDataFrame([(f,) for f in files], "file string")
+        prev = spark.read.parquet(mdir).join(live, "file", "left_semi")
         manifest = prev.unionByName(fresh) if fresh is not None else prev
     else:
         manifest = fresh if fresh is not None else spark.createDataFrame([], schema)

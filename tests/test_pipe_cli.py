@@ -3,6 +3,7 @@ CLI's reference-style job end-to-end on a text directory."""
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -319,3 +320,69 @@ def test_cli_restart_recycles_session(sf_dir):
     assert rec["restarted"] is True
     assert rec["previous_app_id"] and rec["app_id"]
     assert rec["previous_app_id"] != rec["app_id"]
+
+
+def test_cli_zorder_and_manifest(tmp_path, sf_dir):
+    """The zorder verb rewrites a parquet dir clustered on the curve;
+    the manifest verb then builds its zone-map table incrementally."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = str(tmp_path / "z")
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "zorder", "--input", os.path.join(sf_dir, "lineitem.parquet"),
+         "--output", out, "--cols", "l_partkey,l_suppkey",
+         "--bits", "8", "--files", "4"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["rows"] > 0 and rec["cols"] == ["l_partkey", "l_suppkey"]
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "manifest", "--input", out, "--cols", "l_partkey,l_suppkey"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["files"] == 4
+    assert os.path.exists(os.path.join(out, "_manifest", "_SUCCESS"))
+
+
+def test_cli_upsert_and_vacuum(tmp_path, spark, sf_dir):
+    """The upsert verb merges a delta dir into a partitioned table and
+    reports the touched partitions; the vacuum verb prunes a snapshot
+    store."""
+    from mapreduce_google_spark.io import versioned_write
+
+    base = str(tmp_path / "t")
+    delta = str(tmp_path / "d")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k int, p string, v double"
+    ).write.partitionBy("p").parquet(base)
+    spark.createDataFrame(
+        [(2, "b", 9.0), (3, "b", 3.0)], "k int, p string, v double"
+    ).write.parquet(delta)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "upsert", "--base", base, "--delta", delta,
+         "--partition-col", "p", "--keys", "k"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["touched_partitions"] == ["b"]
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(base).collect())
+    assert got == [(1, 1.0), (2, 9.0), (3, 3.0)]
+
+    root = str(tmp_path / "snap")
+    for n in (2, 4, 6):
+        versioned_write(spark.range(n).selectExpr("id AS n"), root)
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "vacuum", "--root", root, "--keep-last", "1"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec == {"dropped": [1, 2], "orphans": []}
