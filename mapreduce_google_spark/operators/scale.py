@@ -1316,8 +1316,12 @@ def snapshot_version_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.join(delta.select("event_id"), ["event_id"], "left_anti")
             .unionByName(delta)
         )
-        versioned_write(ev, root)          # v1: as ingested
-        versioned_write(merged, root)      # v2: after corrections
+        # write only the MISSING versions — a crash after v1 must not
+        # re-publish the raw source as v2 on the next run
+        if not list_versions(root):
+            versioned_write(ev, root)      # v1: as ingested
+        if len(list_versions(root)) == 1:
+            versioned_write(merged, root)  # v2: after corrections
     frames = []
     for v in list_versions(root)[:2]:
         frames.append(
@@ -1394,6 +1398,11 @@ def refresh_file_manifest(spark: SparkSession, path: str, cols: list[str]) -> Da
         f"min_{c} long, max_{c} long" for c in cols
     )
     fresh = spark.createDataFrame(rows, schema) if rows else None
+    if have_manifest and not rows and known == set(files):
+        # nothing new, nothing vanished — the common steady-state call;
+        # do NOT rewrite (a no-change rewrite churns the store and races
+        # concurrent readers for no reason)
+        return spark.read.parquet(mdir)
     if have_manifest:
         # drop vanished files via a semi-join against the live listing —
         # an isin() literal list would compile a million-branch

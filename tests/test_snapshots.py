@@ -175,3 +175,43 @@ def test_file_manifest_incremental_refresh_and_pruning(spark, tmp_path):
     os.remove(extra)
     man3 = refresh_file_manifest(spark, path, ["x", "y"])
     assert man3.count() == man_total
+
+
+def test_snapshot_totals_recovers_from_crash_after_v1(spark, sf_dir):
+    """If a previous run died between the v1 and v2 writes, the next
+    call must publish the MERGED table as v2 — not re-publish the raw
+    source."""
+    import shutil
+
+    from mapreduce_google_spark.io import cache_tag
+    from mapreduce_google_spark.operators.scale import (
+        _events_source,
+        snapshot_version_totals,
+    )
+
+    root = f"/tmp/mgs_events_snapshots_{cache_tag(sf_dir, 'events')}"
+    shutil.rmtree(root, ignore_errors=True)
+    versioned_write(_events_source(spark, sf_dir), root)  # simulated crash point
+    rows = snapshot_version_totals(spark, sf_dir).collect()
+    assert [r["version"] for r in rows] == [1, 2]
+    assert rows[1]["n_events"] > rows[0]["n_events"]  # v2 has the late inserts
+
+
+def test_manifest_steady_state_call_does_not_rewrite(spark, tmp_path):
+    from mapreduce_google_spark.operators.scale import refresh_file_manifest
+
+    df = spark.range(10_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(64)).cast("long").alias("x")
+    )
+    path = str(tmp_path / "t")
+    df.write.parquet(path)
+    refresh_file_manifest(spark, path, ["x"])
+    mdir = os.path.join(path, "_manifest")
+    before = {
+        f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)
+    }
+    refresh_file_manifest(spark, path, ["x"])  # no change → no rewrite
+    after = {
+        f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)
+    }
+    assert after == before
