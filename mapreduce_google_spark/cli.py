@@ -396,6 +396,22 @@ def main(argv: list[str] | None = None) -> int:
         "--cols", required=True, help="comma-separated numeric stat columns"
     )
 
+    p_delete = sub.add_parser(
+        "delete",
+        help="merge-on-read DELETE: mark rows matching a SQL predicate via "
+        "deletion vectors (no data file rewritten)",
+    )
+    p_delete.add_argument("--input", required=True, help="parquet directory")
+    p_delete.add_argument(
+        "--where", required=True, help="SQL boolean expression over the columns"
+    )
+    p_delete.add_argument(
+        "--apply",
+        action="store_true",
+        help="compact afterwards: rewrite only the files carrying deletes "
+        "and clear the sidecar",
+    )
+
     args = parser.parse_args(argv)
 
     from mapreduce_google_spark.session import get_spark
@@ -519,6 +535,15 @@ def main(argv: list[str] | None = None) -> int:
             cols = [c.strip() for c in args.cols.split(",") if c.strip()]
             manifest = refresh_file_manifest(spark, args.input, cols)
             print(json.dumps({"input": args.input, "files": manifest.count()}))
+        elif args.mode == "delete":
+            from pyspark.sql import functions as F
+
+            from mapreduce_google_spark.io import apply_deletes, delete_where
+
+            rec = {"deleted": delete_where(spark, args.input, F.expr(args.where))}
+            if args.apply:
+                rec["compaction"] = apply_deletes(spark, args.input)
+            print(json.dumps(rec))
         elif args.mode == "query":
             try:
                 _run_query(

@@ -560,3 +560,112 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> dict:
                 orphans.append(int(m.group(1)))
             shutil.rmtree(os.path.join(root, name))
     return {"dropped": dropped, "orphans": orphans}
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read DELETE — deletion vectors on plain parquet
+# --------------------------------------------------------------------------
+#
+# The third lakehouse DML verb (insert/update = partition_upsert above):
+# DELETE without rewriting a single data file. Matching rows are recorded
+# as (file_path, row_index) coordinates — Spark's parquet scan exposes
+# both via the `_metadata` struct — in a `_deletes/` sidecar inside the
+# table directory (underscore prefix → invisible to plain data reads).
+# Readers anti-join the sidecar at scan time (merge-on-read); a periodic
+# compaction (`apply_deletes`) rewrites ONLY the files that carry
+# deletes and clears the sidecar. This is Delta/Iceberg deletion vectors
+# reduced to Spark primitives: the delete itself is O(matches), reads pay
+# one anti-join against a coordinates table that is tiny by construction,
+# and at 100 TB a delete of one user's rows touches zero data bytes.
+
+def _deletes_dir(path: str) -> str:
+    return os.path.join(path, "_deletes")
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> int:
+    """Mark every row of the parquet table at ``path`` matching
+    ``condition`` as deleted, touching no data file. Returns the number
+    of rows newly marked (rows already deleted are not re-marked, so
+    the call is idempotent). Commits are append-only — concurrent
+    deletes of different predicates compose."""
+    marks = (
+        read_with_deletes(spark, path, _keep_coords=True)
+        .where(condition)
+        .select("_file", "_row_index")
+        .localCheckpoint()  # pin the coordinate set before the sidecar grows
+    )
+    n = marks.count()
+    if n:
+        marks.write.mode("append").parquet(_deletes_dir(path))
+    return n
+
+
+def read_with_deletes(
+    spark: SparkSession, path: str, _keep_coords: bool = False
+) -> DataFrame:
+    """Read the parquet table at ``path`` with its deletion vectors
+    applied: rows whose (file, row_index) coordinates appear in the
+    ``_deletes`` sidecar are filtered out by an anti-join (merge-on-read
+    — the coordinates table is metadata-sized and broadcast-joins)."""
+    df = spark.read.parquet(path).select(
+        "*",
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.row_index").alias("_row_index"),
+    )
+    dv_dir = _deletes_dir(path)
+    if os.path.exists(dv_dir):
+        dv = spark.read.parquet(dv_dir).select("_file", "_row_index")
+        df = df.join(F.broadcast(dv), ["_file", "_row_index"], "left_anti")
+    return df if _keep_coords else df.drop("_file", "_row_index")
+
+
+def apply_deletes(spark: SparkSession, path: str) -> dict:
+    """Compaction: physically drop deleted rows by rewriting ONLY the
+    files the sidecar references, then clear the sidecar. Files with no
+    deletes are not read, not rewritten, and keep their bytes. Returns
+    ``{"rewritten_files": n, "dropped_rows": n}``.
+
+    Caveat, stated honestly: the rewrite appends the compacted rows as
+    new files before unlinking the old ones, so a crash in between
+    leaves surviving rows duplicated (the sidecar still masks the
+    DELETED rows). Single-maintainer semantics, like VACUUM everywhere;
+    composing with the snapshot store (``versioned_write``) gives the
+    atomic variant — write the compacted table as version N+1.
+    """
+    import shutil
+
+    dv_dir = _deletes_dir(path)
+    if not os.path.exists(dv_dir):
+        return {"rewritten_files": 0, "dropped_rows": 0}
+    dv = spark.read.parquet(dv_dir).select("_file", "_row_index").distinct()
+    doomed_files = [r["_file"] for r in dv.select("_file").distinct().collect()]
+    if not doomed_files:
+        shutil.rmtree(dv_dir)
+        return {"rewritten_files": 0, "dropped_rows": 0}
+    live_df = spark.createDataFrame([(f,) for f in doomed_files], "_file string")
+    affected = (
+        spark.read.parquet(path)
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_row_index"),
+        )
+        .join(F.broadcast(live_df), ["_file"], "left_semi")
+    )
+    survivors = (
+        affected.join(F.broadcast(dv), ["_file", "_row_index"], "left_anti")
+        .drop("_file", "_row_index")
+        .localCheckpoint()  # materialize BEFORE writing into the dir we read
+    )
+    n_before = affected.count()
+    n_after = survivors.count()
+    survivors.write.mode("append").parquet(path)
+    for f in doomed_files:
+        local = f.removeprefix("file:")
+        if os.path.exists(local):
+            os.remove(local)
+    shutil.rmtree(dv_dir)
+    return {
+        "rewritten_files": len(doomed_files),
+        "dropped_rows": n_before - n_after,
+    }

@@ -1437,3 +1437,59 @@ def pruned_files_from_manifest(
     total = manifest.count()
     files = [r["file"] for r in manifest.where(cond).select("file").collect()]
     return sorted(files), total
+
+
+#: the day t231's GDPR-style delete targets (distinct from UPSERT_DAY so
+#: the DML verbs are probed on different partitions)
+DV_DELETE_DAY = "2024-01-03"
+
+#: corpora whose DV delete already ran this process — delete_where is
+#: idempotent (already-masked rows are never re-marked), the memo just
+#: skips the no-op scan on registry sweeps
+_DV_DELETED: set[str] = set()
+
+
+def events_after_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T231 — merge-on-read DELETE via deletion vectors: daily event
+    totals AFTER deleting ``event_id % 13 = 0`` on one day — without
+    rewriting any data file.
+
+    The GDPR/takedown verb that completes the DML triad (insert/update =
+    t225's MERGE): ``io.delete_where`` records matching (file,
+    row_index) coordinates in a ``_deletes`` sidecar — Spark's
+    ``_metadata`` struct supplies both — and ``io.read_with_deletes``
+    anti-joins the broadcast-sized sidecar at scan time. At 100 TB the
+    delete touches zero data bytes; the cost moves to a periodic
+    ``io.apply_deletes`` compaction that rewrites only the files the
+    sidecar references (tested in ``tests/test_deletes.py``). Oracle:
+    the same predicate as a plain ``WHERE NOT`` over the source —
+    sidecar-independent results.
+    """
+    from mapreduce_google_spark.io import delete_where, read_with_deletes
+
+    tag = _tag(sf_dir, "events")
+    path = f"/tmp/mgs_events_dv_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _events_source(spark, sf_dir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _DV_DELETED.discard(tag)
+    if tag not in _DV_DELETED:
+        delete_where(
+            spark,
+            path,
+            (F.col("day") == F.lit(DV_DELETE_DAY).cast("date"))
+            & (F.pmod("event_id", F.lit(13)) == 0),
+        )
+        _DV_DELETED.add(tag)
+    return (
+        read_with_deletes(spark, path)
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .orderBy("day")
+    )

@@ -386,3 +386,24 @@ def test_cli_upsert_and_vacuum(tmp_path, spark, sf_dir):
     assert res.returncode == 0, res.stderr[-2000:]
     rec = json.loads(res.stdout.strip().splitlines()[-1])
     assert rec == {"dropped": [1, 2], "orphans": []}
+
+
+def test_cli_delete_and_apply(tmp_path, spark):
+    """The delete verb marks rows via deletion vectors and --apply
+    compacts them away physically."""
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k", "id % 5 AS g").repartition(
+        2
+    ).write.parquet(path)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "delete", "--input", path, "--where", "g = 2", "--apply"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["deleted"] == 20
+    assert rec["compaction"]["dropped_rows"] == 20
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    assert spark.read.parquet(path).count() == 80
