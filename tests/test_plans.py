@@ -580,3 +580,30 @@ def test_t226_diff_join_inputs_are_fingerprint_narrow(spark, sf_dir):
     # the join output (only event_id / fingerprints / carried values are)
     out_cols = {c.lower() for c in df.columns}
     assert "day" not in out_cols and "old_day" not in out_cols, df.columns
+
+
+def test_t224_t227_box_predicates_reach_the_clustered_scan(spark, sf_dir):
+    """Both range predicates must be pushed into the parquet scan of the
+    Z-ordered layout — row-group pruning only fires on pushed filters."""
+    from mapreduce_google_spark.operators.scale import (
+        manifest_pruned_box_revenue,
+        zordered_box_revenue,
+    )
+
+    for builder in (zordered_box_revenue, manifest_pruned_box_revenue):
+        df = builder(spark, sf_dir)
+        assert has_pushed_filters(df, "l_partkey", "l_suppkey"), (
+            builder.__name__,
+            formatted_plan(df),
+        )
+
+
+def test_t231_dv_antijoin_broadcasts_the_sidecar(spark, sf_dir):
+    """The deletion-vector anti-join must broadcast the coordinates
+    table — a shuffled anti-join would re-partition the full fact scan
+    just to subtract a metadata-sized delete set."""
+    from mapreduce_google_spark.operators.scale import events_after_dv_delete
+
+    df = events_after_dv_delete(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
