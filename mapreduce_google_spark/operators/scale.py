@@ -1493,3 +1493,77 @@ def events_after_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def rolling_distinct_users_hll(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """T232 — mergeable-sketch table: per-day HLL sketches of user_id,
+    persisted once and UNIONED across a rolling window — with the
+    estimate verified against the exact count in the same output.
+
+    The pattern that makes "distinct users over any date range" an O(1)
+    metadata query at 100 TB: a daily job appends ONE row (day, binary
+    HLL sketch — a few KB) to the sketch table; any window's distinct
+    count is then ``hll_union_agg`` over the relevant rows, never a
+    re-scan of the events. (Exact rolling distincts can't be maintained
+    incrementally at all — distinct is not additive across days; the
+    sketch IS the additive form.) Spark 4's Apache DataSketches
+    functions (``hll_sketch_agg`` / ``hll_union_agg`` /
+    ``hll_sketch_estimate``) do the heavy lifting.
+
+    Output per day: the EXACT windowed distinct (computed here by brute
+    force — affordable at test scale, the thing you can't do at 100 TB)
+    and ``hll_within_5pct`` comparing the sketch estimate against it
+    (default lgConfigK=12 → ~0.8% rse, so 5% is a hard invariant, not a
+    hope). The oracle re-derives the exact side and pins the invariant
+    TRUE — the t83/t84-style invariant-oracle pattern for approximate
+    ops, here folded into the op itself.
+    """
+    tag = _tag(sf_dir, "events")
+    path = f"/tmp/mgs_hll_daily_{tag}"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            ev.groupBy("day")
+            .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    sketches = spark.read.parquet(path)
+    days = sketches.select("day").distinct()
+    lo = F.date_sub(days.day, window_days - 1)
+    windowed = days.join(
+        F.broadcast(sketches.select(F.col("day").alias("sday"), "sketch")),
+        (F.col("sday") >= lo) & (F.col("sday") <= days.day),
+    )
+    est = (
+        windowed.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_est")
+        )
+    )
+    du = ev.distinct()
+    exact = (
+        days.join(
+            du.select(F.col("day").alias("uday"), "user_id"),
+            (F.col("uday") >= lo) & (F.col("uday") <= days.day),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        exact.join(est, "day")
+        .select(
+            "day",
+            "n_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_exact"))
+                <= F.col("n_exact") * 0.05
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("day")
+    )
