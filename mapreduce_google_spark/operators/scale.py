@@ -1567,3 +1567,152 @@ def rolling_distinct_users_hll(
         )
         .orderBy("day")
     )
+
+
+#: t233's two comparison weeks (events span 2024-01 at every sf)
+THETA_WEEK1 = ("2024-01-01", "2024-01-07")
+THETA_WEEK2 = ("2024-01-08", "2024-01-14")
+
+
+def weekly_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T233 — set algebra on sketches: week-over-week retained / churned
+    / new users via Theta sketch intersection and difference, verified
+    against the exact sets in the same output.
+
+    Theta sketches are the mergeable form that supports INTERSECTION and
+    DIFFERENCE — the operations HLL (t232) structurally cannot do — so
+    "users active in both weeks" over 100 TB is sketch-algebra over two
+    KB-sized summaries instead of a distinct-join of two full scans.
+    Below ~4096 distinct keys (the default k) a theta sketch stores the
+    actual hash set, so the estimates here are EXACT at test scale and
+    ~1.6% rse beyond it; the output pins them within
+    max(5%, ±2) of the exact segment counts computed alongside (one
+    conditional aggregation per user — the thing that stops being
+    affordable at 100 TB). Oracle re-derives the exact segments and the
+    invariant.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    in1 = F.col("day").between(*THETA_WEEK1)
+    in2 = F.col("day").between(*THETA_WEEK2)
+    sk = ev.agg(
+        F.theta_sketch_agg(F.when(in1, F.col("user_id"))).alias("s1"),
+        F.theta_sketch_agg(F.when(in2, F.col("user_id"))).alias("s2"),
+    )
+    est = sk.select(
+        F.theta_sketch_estimate(F.theta_intersection("s1", "s2")).alias(
+            "est_retained"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("s1", "s2")).alias(
+            "est_churned"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("s2", "s1")).alias("est_new"),
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.max(in1.cast("int")).alias("in1"), F.max(in2.cast("int")).alias("in2")
+    )
+    exact = flags.agg(
+        F.sum(((F.col("in1") == 1) & (F.col("in2") == 1)).cast("long")).alias(
+            "x_retained"
+        ),
+        F.sum(((F.col("in1") == 1) & (F.col("in2") == 0)).cast("long")).alias(
+            "x_churned"
+        ),
+        F.sum(((F.col("in1") == 0) & (F.col("in2") == 1)).cast("long")).alias(
+            "x_new"
+        ),
+    )
+
+    def ok(seg: str):
+        slack = F.greatest(F.col(f"x_{seg}") * 0.05, F.lit(2.0))
+        return (F.abs(F.col(f"est_{seg}") - F.col(f"x_{seg}")) <= slack).alias(
+            f"ok_{seg}"
+        )
+
+    joined = exact.crossJoin(F.broadcast(est)).select(
+        "x_retained", "x_churned", "x_new",
+        ok("retained"), ok("churned"), ok("new"),
+    )
+    return (
+        joined.selectExpr(
+            "stack(3, 'churned', x_churned, ok_churned, "
+            "'new', x_new, ok_new, "
+            "'retained', x_retained, ok_retained) "
+            "AS (segment, n_exact, theta_within_bounds)"
+        )
+        .orderBy("segment")
+    )
+
+
+#: t234 quantiles probed against the merged KLL sketch
+KLL_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def order_price_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T234 — mergeable quantile sketches: global p50/p90/p99 of order
+    totals from per-month KLL sketches merged together, rank-verified
+    against the full dataset.
+
+    Quantiles, like distincts, are not additive — a global median can't
+    be combined from per-partition medians. The KLL sketch is the
+    mergeable form (DataSketches ``kll_sketch_agg_double`` /
+    ``kll_sketch_merge_double``): each month keeps a KB-sized sketch,
+    and any period's quantiles come from merging sketch rows, never
+    re-scanning orders. KLL guarantees bounded RANK error (~1.65% at
+    the default k=200), not value error, so the invariant here is the
+    right one: the exact rank of each sketch-estimated value must lie
+    within ±2.5% of the target quantile. The exact interpolated
+    percentile (the non-mergeable computation) is produced alongside
+    for the oracle; per-query determinism follows the t35 recipe
+    (cast to double, round 6).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").alias("m"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    monthly = o.groupBy("m").agg(
+        F.kll_sketch_agg_double("price").alias("sk")
+    )
+    # kll_sketch_merge_double is a BINARY scalar (no aggregate form in
+    # Spark 4.1) — fold the dozen monthly sketches with an array reduce;
+    # the collect_list row is months-sized, i.e. metadata
+    merged = monthly.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0], "
+            "(acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("sk")
+    )
+    est = merged.select(
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(f"v_{i}")
+            for i, q in enumerate(KLL_QUANTILES)
+        ]
+    )
+    stats = o.crossJoin(F.broadcast(est)).agg(
+        F.count("*").cast("double").alias("n"),
+        *[
+            F.sum((F.col("price") <= F.col(f"v_{i}")).cast("long"))
+            .cast("double")
+            .alias(f"le_{i}")
+            for i in range(len(KLL_QUANTILES))
+        ],
+        *[
+            F.round(
+                F.expr(f"percentile(price, {q})").cast("double"), 6
+            ).alias(f"x_{i}")
+            for i, q in enumerate(KLL_QUANTILES)
+        ],
+    )
+    parts = []
+    for i, q in enumerate(KLL_QUANTILES):
+        parts.append(
+            f"{q}D, x_{i}, abs(le_{i} / n - {q}D) <= 0.025D"
+        )
+    return (
+        stats.selectExpr(
+            "stack(3, " + ", ".join(parts) + ") "
+            "AS (q, exact_value, kll_rank_within_bounds)"
+        )
+        .orderBy("q")
+    )
