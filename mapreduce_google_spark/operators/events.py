@@ -1333,3 +1333,37 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T235 — T37's semi-structured extraction through Spark 4's
+    VARIANT type: ``parse_json`` once into a binary variant column,
+    typed ``try_variant_get`` extraction, same per-event_type stats.
+
+    Why a second registration of the same semantics: at 100 TB the two
+    forms differ where it matters. ``get_json_object`` (t37) re-parses
+    the JSON TEXT on every query and every field; a variant column is
+    parsed ONCE at ingest into a binary encoding that parquet stores
+    natively (Spark 4 shreds it columnar), so each later query pays a
+    typed path lookup, not a parse — the difference between CPU-bound
+    and IO-bound scans on a props-heavy event table. The write side is
+    one ``parse_json`` in the ingest job; here both steps run inline so
+    the op stays self-contained and oracle-identical to t37
+    (``try_variant_get`` returns NULL on a missing path, matching
+    ``json_extract`` semantics).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count("k").cast("long").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
