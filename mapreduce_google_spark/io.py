@@ -432,6 +432,14 @@ def partition_upsert(
     checkpoint materializes the touched partitions — delta-scoped, never
     table-scoped. A production variant on object storage would stage to
     a sibling prefix and swap; the partition-scoped cost is identical.
+
+    Caveat (inherent to partition-scoped MERGE, same as Hive dynamic
+    overwrite): matching is per-partition. A delta row whose key exists
+    under a DIFFERENT partition value updates nothing there — the old
+    row survives untouched. If keys can move between partitions (e.g. a
+    corrected event date), delete-then-insert across both partitions or
+    use the deletion-vector path (:func:`delete_where`) for the old
+    coordinates.
     """
     touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
     base = spark.read.parquet(base_path).where(
