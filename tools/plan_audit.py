@@ -25,17 +25,13 @@ from mapreduce_google_spark.session import get_spark  # noqa: E402
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
 
-def main() -> int:
-    spark = get_spark(app_name="plan-audit", master="local[8]")
-    print(f"# Plan audit — headline queries at {SF}\n")
-    print(
-        "| query | exchanges | broadcasts | TakeOrderedAndProject | "
-        "pushed filters | sorts |"
-    )
-    print("|---|---|---|---|---|---|")
-    for name, spec in sorted(REGISTRY.items()):
-        if not spec.headline:
-            continue
+#: the r7 layout/sketch wave — audited as a second section so the
+#: artifact shows the table-maintenance plans, not just the headliners
+WAVE = tuple(f"t2{n}" for n in range(24, 36))
+
+
+def _audit_rows(spark, names_specs):
+    for name, spec in names_specs:
         df = spec.builder(spark, SF)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -56,6 +52,32 @@ def main() -> int:
         print(
             f"| {name} | {n_ex} | {n_bc} | {topk} | {pushed} | {n_sort} |"
         )
+
+
+HEADER = (
+    "| query | exchanges | broadcasts | TakeOrderedAndProject | "
+    "pushed filters | sorts |\n|---|---|---|---|---|---|"
+)
+
+
+def main() -> int:
+    spark = get_spark(app_name="plan-audit", master="local[8]")
+    print(f"# Plan audit — headline queries at {SF}\n")
+    print(HEADER)
+    _audit_rows(
+        spark,
+        [(n, s) for n, s in sorted(REGISTRY.items()) if s.headline],
+    )
+    print("\n## Layout & sketch wave (t224–t235)\n")
+    print(HEADER)
+    _audit_rows(
+        spark,
+        [
+            (n, s)
+            for n, s in sorted(REGISTRY.items())
+            if n.split("_")[0] in WAVE
+        ],
+    )
     print(
         "\nNotes: 'exchanges' = shuffle exchanges (broadcast exchanges"
         " listed separately); plans are pre-AQE compile shapes — AQE"
