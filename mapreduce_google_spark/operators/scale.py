@@ -1716,3 +1716,63 @@ def order_price_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+def quantile_grid_cells(
+    df: DataFrame, col: str, bits: int, rel_err: float = 0.001
+):
+    """Skew-proof alternative to :func:`normalize_to_grid`: map a
+    numeric column onto the ``2**bits`` z-order grid by QUANTILE rank
+    instead of linear min/max scaling.
+
+    Linear scaling collapses under skew — with a heavy-tailed key,
+    most rows land in a handful of low cells and the z-curve degrades
+    to a single-column sort on the other dimensions. Quantile
+    boundaries (one ``approx_percentile`` pass, driver-held — ~2^bits
+    doubles, metadata-sized like the k-means centroids) give every
+    cell an equal share of ROWS, so row groups stay balanced and
+    min/max pruning keeps its selectivity whatever the distribution.
+    Returns (cell_column, boundaries); feed the cell column to
+    :func:`zorder_key` — the z-code is agnostic to how cells were
+    assigned. Ties across a boundary share a cell (coarser, never
+    wrong — pruning stays conservative).
+    """
+    cells = 1 << bits
+    qs = [i / cells for i in range(1, cells)]
+    bounds = df.agg(
+        F.expr(
+            f"approx_percentile({col}, array({', '.join(map(str, qs))}), "
+            f"{int(1 / rel_err)})"
+        ).alias("b")
+    ).first()["b"]
+    expr = F.lit(0).cast("long")
+    for b in bounds:
+        expr = expr + (F.col(col) > F.lit(float(b))).cast("long")
+    return expr, bounds
+
+
+def write_zordered_by_quantiles(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+    block_bytes: int | None = None,
+) -> None:
+    """:func:`write_zordered` with quantile-grid cell assignment per
+    column — the variant to reach for when any clustered key is skewed
+    (the docstring recipe of :func:`normalize_to_grid`, as code).
+    ``bits`` defaults lower (8 → 256 cells/dim) because each boundary
+    list is computed by one ``approx_percentile`` pass and held on the
+    driver."""
+    assigned = [quantile_grid_cells(df, c, bits)[0] for c in cols]
+    out = (
+        df.withColumn("_z", zorder_key(assigned, bits))
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    writer = out.write.mode("overwrite")
+    if block_bytes is not None:
+        writer = writer.option("parquet.block.size", str(block_bytes))
+    writer.parquet(path)

@@ -117,3 +117,41 @@ def test_t224_box_prunes_rowgroups_at_sf01(spark):
     # layout skips at least half the groups (conservative: group count
     # at sf0.1 is modest, so boundary groups weigh a lot)
     assert audit["touched"] <= 0.5 * audit["row_groups"], audit
+
+
+def test_quantile_grid_beats_linear_on_skewed_keys(spark, tmp_path):
+    """The skew claim: with a heavy-tailed key, linear min/max scaling
+    dumps most rows into a few low cells, so a selective range on the
+    DENSE region cannot prune (every row group contains it). Quantile
+    cells give each cell an equal share of rows, so the same filter
+    touches roughly its selectivity's worth of groups."""
+    from mapreduce_google_spark.operators.scale import (
+        write_zordered_by_quantiles,
+    )
+
+    df = spark.range(200_000).select(
+        # cubed uniform → dense near 0, max ~10^9: heavy value skew
+        F.pow(F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double"), F.lit(3.0))
+        .cast("long")
+        .alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 42), F.lit(1024)).cast("long").alias("y"),
+    )
+    block = 64 * 1024
+    linear, quant = str(tmp_path / "lin"), str(tmp_path / "qnt")
+    write_zordered(df, linear, ["x", "y"], bits=10, num_files=8,
+                   block_bytes=block)
+    write_zordered_by_quantiles(df, quant, ["x", "y"], bits=8, num_files=8,
+                                block_bytes=block)
+    # ~10% of ROWS: x < (0.1*1000)^3
+    box = {"x": (0, 100**3 - 1)}
+    lin = rowgroup_skipping_audit(linear, box)
+    qnt = rowgroup_skipping_audit(quant, box)
+    # content identical regardless of layout
+    n_lin = spark.read.parquet(linear).where(F.col("x") < 100**3).count()
+    n_qnt = spark.read.parquet(quant).where(F.col("x") < 100**3).count()
+    assert n_lin == n_qnt > 0
+    # linear: the dense region floods the low cells — most groups hit;
+    # quantile: ~selectivity's worth of groups
+    lin_frac = lin["touched"] / lin["row_groups"]
+    qnt_frac = qnt["touched"] / qnt["row_groups"]
+    assert qnt_frac <= lin_frac / 2, (lin, qnt)
