@@ -28,7 +28,7 @@ from mapreduce_google_spark.functions.numeric import (
     one_plus,
     rate,
 )
-from mapreduce_google_spark.io import load_table
+from mapreduce_google_spark.io import load_table, register_views
 
 
 def filter_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2805,3 +2805,45 @@ def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     ).orderBy("lines_per_order")
+
+
+#: shared by the Spark builder AND the DuckDB oracle of T236 — both
+#: engines run the SAME recursive algorithm (Spark 4 WITH RECURSIVE
+#: supports UNION ALL recursion; the walk is acyclic so that is exact)
+ORG_SUBTREE_SQL = """
+    WITH RECURSIVE anc AS (
+        SELECT c_custkey AS node, c_custkey AS descendant, c_acctbal AS bal
+        FROM customer
+        UNION ALL
+        SELECT CAST((node - node % 2) / 2 AS BIGINT), descendant, bal
+        FROM anc WHERE node > 1
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS subtree_n,
+           round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS subtree_bal
+    FROM anc WHERE node BETWEEN 1 AND 7
+    GROUP BY node ORDER BY node
+"""
+
+
+def org_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T236 — hierarchical subtree aggregation via a RECURSIVE CTE
+    (Spark 4's ``WITH RECURSIVE``): subtree size and balance rollup for
+    the top three levels of a synthetic org tree over customers
+    (parent(n) = n//2 — a binary hierarchy derived from the key, so the
+    walk is deterministic and acyclic).
+
+    The capability this demonstrates is iteration INSIDE the engine:
+    the reference could only express an ancestor walk as K chained
+    MapReduce jobs with the driver deciding K; a recursive CTE lets the
+    engine iterate to fixpoint in one query — the same gap the
+    driver-looped connected components (t48) fills imperatively, now in
+    pure SQL. Cost shape: each iteration is one hash join of the
+    frontier against nothing (the parent is computed, not joined) —
+    rows ≈ N·depth ≈ N·log₂N — and every iteration is a narrow
+    map, so the plan scales like a bounded loop of projections, not a
+    self-join explosion. Both the Spark side and the DuckDB oracle run
+    the IDENTICAL recursive SQL (``ORG_SUBTREE_SQL``).
+    """
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(ORG_SUBTREE_SQL)
