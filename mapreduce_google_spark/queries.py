@@ -6930,20 +6930,18 @@ register(
 # --------------------------------------------------------------------------
 
 #: first-50 window, in the order the driver will check them.
-#: Round-7 composition (planner policy output, regenerated after this
-#: round's six registrations): 3 fixed canaries + the never-checked
-#: t223/t222 (mid-r6) and t224–t229 (new this round — z-order layout
-#: scan, partition upsert, CDC snapshot diff, manifest file pruning,
-#: versioned time travel, streaming corrections merge) + the 39 stalest
-#: oracle-bearing re-proofs
-#: from the union of CORRECTNESS_r01..r06 last-checked rounds (ties
-#: broken by registration order; rows-only specs excluded — their
-#: driver evidence is banked and a slot buys them nothing new). After
-#: r6 reached full union coverage, every window is pure stalest-first
-#: rotation: with ~47 rotating slots over the oracle-bearing registry,
-#: every entry is re-provable within 5 rounds;
-#: tests/test_registry_contract.py asserts that budget against the
-#: recorded correctness history (see test_staleness_budget).
+#: Round-8 composition (verbatim `tools/window_planner.py` output): 3
+#: fixed canaries + the 47 stalest oracle-bearing re-proofs from the
+#: union of CORRECTNESS_r01..r07 last-checked rounds -- the r3 cohort
+#: that hit the staleness-5 edge when r7 landed (t10/t11/t13/t14/t19/
+#: t20, t83-t119, t02/t03/t21/t26/t27). No never-checked entries this
+#: round (r8 registered none into the oracle-bearing set). Ties broken
+#: by registration order; rows-only specs excluded -- their driver
+#: evidence is banked and a slot buys them nothing new. With ~47
+#: rotating slots over the oracle-bearing registry, every entry is
+#: re-provable within 5 rounds; tests/test_registry_contract.py asserts
+#: that budget against the recorded correctness history (see
+#: test_staleness_budget).
 #:
 #: FIRST ACTION EACH ROUND: `python tools/window_planner.py` emits the
 #: policy's window for the new round (paste here), and `--verify` proves
@@ -6954,53 +6952,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t01_word_count",
     "t09_revenue_per_region",
     "t17_exact_dedup",
-    "t223_incremental_dedup_from_store",
-    "t222_intradoc_repetition",
-    "t224_zordered_box_revenue",
-    "t225_event_corrections_upsert",
-    "t226_event_change_summary",
-    "t227_manifest_pruned_box_revenue",
-    "t228_snapshot_version_totals",
-    "t229_stream_event_corrections",
-    "t230_bm25_retrieval",
-    "t231_events_after_dv_delete",
-    "t232_rolling_distinct_users_hll",
-    "t233_weekly_retention_theta",
-    "t234_order_price_quantiles_kll",
-    "t235_variant_props_stats",
-    "t236_org_subtree_rollup",
-    "t51_hash_split_stats",
-    "t52_latest_order_per_customer",
-    "t53_local_supplier_revenue",
-    "t54_udtf_token_positions",
-    "t55_stream_event_pairs",
-    "t56_foreachbatch_ingest",
-    "t57_stratified_sample",
-    "t58_price_histogram",
-    "t59_customer_order_reconciliation",
-    "t60_segment_nation_grid",
-    "t61_customer_spend_ranks",
-    "t62_unshipped_orders_topk",
-    "t63_chunk_documents",
-    "t65_incremental_dedup",
-    "t66_jsonl_ingest",
-    "t67_bigram_lm_score",
-    "t68_trailing_active_users",
-    "t69_repetition_stats",
-    "t75_event_funnel",
-    "t74_monthly_revenue_trend",
-    "t73_embedding_quantization",
-    "t72_stream_dedup_store",
-    "t70_corpus_mix",
-    "t76_decontamination",
-    "t77_simhash_near_dup",
-    "t78_returned_items_topk",
-    "t79_pii_scrub",
-    "t80_vocab_coverage",
-    "t81_big_volume_orders",
-    "t04_md5_partition_histogram",
-    "t05_distinct_tokens",
-    "t06_top_k_tokens",
+    "t10_semi_anti_join",
+    "t11_top_orders_per_customer",
+    "t13_segment_set_ops",
+    "t14_scalar_functions",
+    "t19_text_stats",
+    "t20_pipe_word_count",
+    "t83_pack_invariants",
+    "t84_kmeans_invariants",
+    "t85_order_priority_check",
+    "t86_nation_pair_volume",
+    "t87_nation_market_share",
+    "t88_product_type_profit",
+    "t89_customer_order_distribution",
+    "t90_promo_revenue_share",
+    "t91_top_supplier",
+    "t92_parts_supplier_counts",
+    "t93_small_quantity_revenue",
+    "t94_branded_discount_revenue",
+    "t95_suppliers_who_failed_alone",
+    "t96_global_sales_opportunity",
+    "t97_important_part_values",
+    "t98_eligible_bulk_suppliers",
+    "t99_weekly_cohort_retention",
+    "t100_event_type_transitions",
+    "t101_user_rfm_segments",
+    "t102_hourly_conversion",
+    "t103_error_bursts",
+    "t104_cumulative_monthly_revenue",
+    "t105_doc_length_deciles",
+    "t106_lexical_diversity",
+    "t107_source_quality_matrix",
+    "t108_stopword_quality_gate",
+    "t109_stream_enriched_segments",
+    "t110_schema_evolution",
+    "t111_gap_filled_daily_revenue",
+    "t112_feature_hashing",
+    "t113_brand_price_stats",
+    "t115_segment_priority_ranks",
+    "t116_dead_letter_ingest",
+    "t117_bucketed_distinct_suppliers",
+    "t118_unpivoted_pricing_metrics",
+    "t119_pysource_word_count",
+    "t02_grep",
+    "t03_identity",
+    "t21_ngram_jaccard_pairs",
+    "t26_language_id",
+    "t27_quality_score",
 )
 
 
