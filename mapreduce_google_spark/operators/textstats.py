@@ -1385,18 +1385,23 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     doc_id tiebreak — the t138 determinism recipe.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(tokenize("text"), lambda t: t != "")
+    # staged select: one tokenize per row, not one per (dl + |Q| tf)
+    # projection expression — no CSE across projection expressions (the
+    # t222/t27 measurement; same fix as language_id/quality_score above)
+    arrays = docs.select(
+        "doc_id", F.filter(tokenize("text"), lambda t: t != "").alias("toks")
+    )
 
     def tf(term: str) -> Column:
         # NB: the lambda must stay single-arg — F.filter dispatches on
         # arity, and a two-arg lambda receives the ARRAY INDEX as its
         # second argument (a default-arg `term=term` binding silently
         # becomes "token == position")
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+        return F.size(F.filter(F.col("toks"), lambda t: t == F.lit(term)))
 
-    per_doc = docs.select(
+    per_doc = arrays.select(
         "doc_id",
-        F.size(toks).alias("dl"),
+        F.size("toks").alias("dl"),
         *[tf(term).alias(f"tf{i}") for i, term in enumerate(BM25_QUERY_TERMS)],
     )
     nq = len(BM25_QUERY_TERMS)

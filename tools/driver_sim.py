@@ -37,6 +37,11 @@ if "--json" in args:
     i = args.index("--json")
     OUT = args[i + 1]
     del args[i : i + 2]
+ONLY = None
+if "--only" in args:
+    i = args.index("--only")
+    ONLY = args[i + 1].split(",")
+    del args[i : i + 2]
 SF = args[0] if args else "/root/testdata/sf0.01"
 
 spark = get_spark(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
@@ -77,7 +82,7 @@ def valhash(cols, rows):
 
 
 qs, oracles = e.queries(), e.oracle_sql()
-names = list(qs)[:50] if WINDOW else sorted(qs)
+names = ONLY if ONLY else (list(qs)[:50] if WINDOW else sorted(qs))
 fails = 0
 results = {}
 for name in names:
