@@ -1019,7 +1019,12 @@ def zordered_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the day t225's corrections delta targets (present at every sf —
 #: events span 2024-01) and the id offset marking late-arriving inserts
 UPSERT_DAY = "2024-01-02"
-UPSERT_INSERT_OFFSET = 10_000_000
+#: NB: must sit ABOVE any scaled corpus's id space — make_scaled_sf.py
+#: replicates events at event_id + i*10_000_000, so a 10M offset would
+#: collide late-arriving inserts with replica-1's genuine rows on the
+#: scaled benchmark dirs (silent replaces + intra-delta duplicate keys).
+#: 1e9 clears any replica count this repo will ever build (<100).
+UPSERT_INSERT_OFFSET = 1_000_000_000
 
 #: corpora already upserted this process — the upsert is idempotent
 #: (same delta, same keys, same result), so re-running it on every
@@ -1041,7 +1046,7 @@ def _corrections_delta(ev: DataFrame) -> DataFrame:
     """The deterministic t225 corrections feed, derived from the source
     so every consumer (upsert, CDC diff, snapshot store) sees the exact
     same delta: on UPSERT_DAY, ``event_id % 10 = 0`` gets +1000 on
-    value; ``event_id % 17 = 0`` spawns a late insert at id + 10M."""
+    value; ``event_id % 17 = 0`` spawns a late insert at id + 1e9."""
     src_day = ev.where(F.col("day") == F.lit(UPSERT_DAY).cast("date"))
     corrections = src_day.where(F.pmod("event_id", F.lit(10)) == 0).withColumn(
         "value", F.col("value") + 1000
@@ -1061,7 +1066,9 @@ def _events_daily_upserted_path(spark: SparkSession, sf_dir: str) -> str:
     (t225) and the snapshot-diff CDC query (t226), which audits what
     the upsert changed."""
     tag = _tag(sf_dir, "events")
-    path = f"/tmp/mgs_events_daily_{tag}"
+    # offset in the path: changing UPSERT_INSERT_OFFSET must invalidate
+    # any previous process's cached table (its inserts carry old ids)
+    path = f"/tmp/mgs_events_daily_{tag}_o{UPSERT_INSERT_OFFSET}"
     ev = _events_source(spark, sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(
@@ -1092,7 +1099,7 @@ def event_corrections_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent and oracle-checkable): on 2024-01-02, every event with
     ``event_id % 10 = 0`` gets its value corrected (+1000), and every
     event with ``event_id % 17 = 0`` spawns a late-arriving insert
-    (id + 10M, value 1.0). The oracle applies the same merge logic
+    (id + 1e9, value 1.0). The oracle applies the same merge logic
     relationally over the unpartitioned source — layout-independent
     results, layout-dependent cost.
     """
@@ -1308,7 +1315,7 @@ def snapshot_version_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_google_spark.io import list_versions, read_snapshot, versioned_write
 
     tag = _tag(sf_dir, "events")
-    root = f"/tmp/mgs_events_snapshots_{tag}"
+    root = f"/tmp/mgs_events_snapshots_{tag}_o{UPSERT_INSERT_OFFSET}"
     if len(list_versions(root)) < 2:
         ev = _events_source(spark, sf_dir)
         delta = _corrections_delta(ev)

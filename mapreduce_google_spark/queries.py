@@ -6522,7 +6522,7 @@ register(
                 SELECT event_id, day, value + 1000 AS value
                 FROM base WHERE day = DATE '2024-01-02' AND event_id % 10 = 0
                 UNION ALL
-                SELECT event_id + 10000000, day, 1.0
+                SELECT event_id + 1000000000, day, 1.0
                 FROM base WHERE day = DATE '2024-01-02' AND event_id % 17 = 0
             ), merged AS (
                 SELECT * FROM base
@@ -6555,7 +6555,7 @@ register(
                 SELECT event_id, day, value + 1000 AS value
                 FROM base WHERE day = DATE '2024-01-02' AND event_id % 10 = 0
                 UNION ALL
-                SELECT event_id + 10000000, day, 1.0
+                SELECT event_id + 1000000000, day, 1.0
                 FROM base WHERE day = DATE '2024-01-02' AND event_id % 17 = 0
             ), merged AS (
                 SELECT * FROM base
@@ -6624,7 +6624,7 @@ register(
                 SELECT event_id, day, value + 1000 AS value
                 FROM base WHERE day = DATE '2024-01-02' AND event_id % 10 = 0
                 UNION ALL
-                SELECT event_id + 10000000, day, 1.0
+                SELECT event_id + 1000000000, day, 1.0
                 FROM base WHERE day = DATE '2024-01-02' AND event_id % 17 = 0
             ), merged AS (
                 SELECT * FROM base
@@ -6666,7 +6666,7 @@ register(
                 SELECT event_id, day, value + 1000 AS value
                 FROM base WHERE day = DATE '2024-01-02' AND event_id % 10 = 0
                 UNION ALL
-                SELECT event_id + 10000000, day, 1.0
+                SELECT event_id + 1000000000, day, 1.0
                 FROM base WHERE day = DATE '2024-01-02' AND event_id % 17 = 0
             ), merged AS (
                 SELECT * FROM base

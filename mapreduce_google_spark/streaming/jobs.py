@@ -810,13 +810,16 @@ def stream_event_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_google_spark.io import partition_upsert
     from mapreduce_google_spark.operators.scale import (
+        UPSERT_INSERT_OFFSET,
         _corrections_delta,
         _events_source,
     )
 
     tag = cache_tag(sf_dir, "events")
     table = f"/tmp/mgs_events_daily_stream_{tag}"
-    staged = f"/tmp/mgs_corrections_dir_{tag}"
+    # offset in the staged-delta path: a cached delta from a previous
+    # process with a different UPSERT_INSERT_OFFSET must not be reused
+    staged = f"/tmp/mgs_corrections_dir_{tag}_o{UPSERT_INSERT_OFFSET}"
     ckpt = f"{table}_ckpt"
     ev = _events_source(spark, sf_dir)
     # fresh base table + staged delta every run — the stream mutates the

@@ -70,7 +70,7 @@ def test_t225_is_idempotent_and_keeps_other_days_untouched(spark, sf_dir):
     first = event_corrections_upsert(spark, sf_dir).collect()
 
     tag = scale._tag(sf_dir, "events")
-    path = f"/tmp/mgs_events_daily_{tag}"
+    path = f"/tmp/mgs_events_daily_{tag}_o{UPSERT_INSERT_OFFSET}"
     other_days = {
         d: _mtimes(path, os.path.basename(d))
         for d in glob.glob(os.path.join(path, "day=*"))
