@@ -407,6 +407,7 @@ def partition_upsert(
     delta: DataFrame,
     partition_col: str,
     key_cols: list[str],
+    check_moved_keys: bool = False,
 ) -> list:
     """MERGE-style upsert into a hive-partitioned parquet table,
     rewriting ONLY the partitions the delta touches. Returns the list of
@@ -439,9 +440,31 @@ def partition_upsert(
     row survives untouched. If keys can move between partitions (e.g. a
     corrected event date), delete-then-insert across both partitions or
     use the deletion-vector path (:func:`delete_where`) for the old
-    coordinates.
+    coordinates. Pass ``check_moved_keys=True`` to turn that silent
+    footgun into an error: the delta's keys are semi-joined against the
+    base OUTSIDE the touched partitions (one extra pruned-complement
+    scan of key columns only — opt-in because at 100 TB that scan is
+    table-sized even though the join state is delta-sized), and any hit
+    raises ``ValueError`` naming up to 10 offending keys.
     """
     touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
+    if check_moved_keys:
+        moved = (
+            spark.read.parquet(base_path)
+            .where(~F.col(partition_col).isin(touched))
+            .select(*key_cols, F.col(partition_col).alias("__old_part"))
+            .join(F.broadcast(delta.select(*key_cols).distinct()), key_cols)
+            .limit(10)
+            .collect()
+        )
+        if moved:
+            raise ValueError(
+                "partition_upsert: delta keys already exist under other "
+                f"partition values of {base_path} (old rows would survive "
+                f"the merge): {[tuple(r) for r in moved]} — delete the old "
+                "coordinates first (delete_where) or fix the delta's "
+                f"{partition_col}."
+            )
     base = spark.read.parquet(base_path).where(
         F.col(partition_col).isin(touched)
     )
@@ -608,13 +631,34 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
     return n
 
 
+#: sidecar bytes on disk above which read_with_deletes stops forcing a
+#: broadcast and lets the anti-join shuffle instead. Coordinates rows
+#: are (path string, long); dictionary-encoded parquet understates the
+#: hash-table blowup badly, so the cutoff is conservative — a sidecar
+#: this big means a delete-heavy table that wants apply_deletes anyway.
+DV_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
 def read_with_deletes(
     spark: SparkSession, path: str, _keep_coords: bool = False
 ) -> DataFrame:
     """Read the parquet table at ``path`` with its deletion vectors
     applied: rows whose (file, row_index) coordinates appear in the
-    ``_deletes`` sidecar are filtered out by an anti-join (merge-on-read
-    — the coordinates table is metadata-sized and broadcast-joins)."""
+    ``_deletes`` sidecar are filtered out by an anti-join
+    (merge-on-read). While the sidecar is metadata-sized (the design
+    point) the anti-join is forced broadcast; past
+    ``DV_BROADCAST_MAX_BYTES`` on disk the hint is dropped so Spark
+    shuffles instead of OOMing the driver building a giant hash table —
+    a delete-heavy table at that size should be compacted
+    (:func:`apply_deletes`), and the reader warns so."""
     df = spark.read.parquet(path).select(
         "*",
         F.col("_metadata.file_path").alias("_file"),
@@ -623,7 +667,18 @@ def read_with_deletes(
     dv_dir = _deletes_dir(path)
     if os.path.exists(dv_dir):
         dv = spark.read.parquet(dv_dir).select("_file", "_row_index")
-        df = df.join(F.broadcast(dv), ["_file", "_row_index"], "left_anti")
+        if _dir_bytes(dv_dir) <= DV_BROADCAST_MAX_BYTES:
+            dv = F.broadcast(dv)
+        else:
+            import warnings
+
+            warnings.warn(
+                f"deletion sidecar at {dv_dir} exceeds "
+                f"{DV_BROADCAST_MAX_BYTES >> 20} MiB — using a shuffled "
+                "anti-join; run apply_deletes() to compact",
+                stacklevel=2,
+            )
+        df = df.join(dv, ["_file", "_row_index"], "left_anti")
     return df if _keep_coords else df.drop("_file", "_row_index")
 
 

@@ -74,3 +74,38 @@ def test_apply_deletes_rewrites_only_affected_files(spark, tmp_path):
     assert len(got) == 990 and not set(keys) & set(got)
     # further masked reads still work (no sidecar → passthrough)
     assert read_with_deletes(spark, path).count() == 990
+
+
+def test_oversized_sidecar_skips_broadcast(spark, tmp_path, monkeypatch):
+    """Past DV_BROADCAST_MAX_BYTES the reader must drop the broadcast
+    hint (shuffled anti-join, no driver-side hash table) and warn toward
+    apply_deletes — same rows either way."""
+    import warnings
+
+    from mapreduce_google_spark import io as mio
+
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "tbl")
+    df.write.parquet(path)
+    assert delete_where(spark, path, F.col("id") % 10 == 0) == 10
+
+    small = read_with_deletes(spark, path)
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+    assert small.count() == 90
+
+    monkeypatch.setattr(mio, "DV_BROADCAST_MAX_BYTES", 0)
+    # with auto-broadcast off, ONLY the (now dropped) hint could force a
+    # broadcast — a shuffled plan here proves the hint is gone, while
+    # Spark stays free to auto-pick broadcast for genuinely small sidecars
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            big = read_with_deletes(spark, path)
+            assert any("apply_deletes" in str(x.message) for x in w)
+        plan = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert big.count() == 90
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -112,3 +112,31 @@ def test_partition_upsert_empty_delta_is_a_safe_noop(spark, tmp_path):
         (r["k"], r["p"], r["v"]) for r in spark.read.parquet(base).collect()
     )
     assert got == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_moved_key_guard(spark, tmp_path):
+    """check_moved_keys=True must refuse a delta whose key already lives
+    under a DIFFERENT partition value (the silent-duplicate footgun);
+    without the flag the old row survives — the documented caveat."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, p string, v double"
+    )
+    path = str(tmp_path / "tbl")
+    base.repartition("p").write.partitionBy("p").parquet(path)
+
+    # key 1 exists under p=a; the delta claims it under p=b
+    delta = spark.createDataFrame([(1, "b", 99.0)], "k long, p string, v double")
+    with pytest.raises(ValueError, match="other.*partition|delete the old"):
+        partition_upsert(spark, path, delta, "p", ["k"], check_moved_keys=True)
+    # guard fired BEFORE any write: table unchanged
+    rows = {(r.k, r.p): r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "a"): 10.0, (2, "b"): 20.0}
+
+    # a clean delta (no cross-partition move) passes with the guard on
+    clean = spark.createDataFrame([(2, "b", 99.0)], "k long, p string, v double")
+    assert partition_upsert(spark, path, clean, "p", ["k"],
+                            check_moved_keys=True) == ["b"]
+    rows = {(r.k, r.p): r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "a"): 10.0, (2, "b"): 99.0}
