@@ -40,6 +40,16 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     headline: bool = False  # included in bench.py
+    #: True → superseded by a sibling spec (named in ``doc``): still in
+    #: REGISTRY (so the full local pytest/oracle certification keeps
+    #: covering it) but EXCLUDED from the driver contract
+    #: (queries()/oracle_sql()) and from the rotation/staleness budget —
+    #: retiring a twin is how the registry frees driver-window headroom
+    #: once the oracle-bearing count nears the rotation capacity
+    #: (3 canaries + 47 slots x 5-round budget = 238). Policy: README
+    #: "Registry capacity"; headroom is asserted in
+    #: tests/test_registry_contract.py::test_rotation_headroom.
+    retired: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -51,12 +61,18 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 
 def queries() -> dict[str, Builder]:
-    return {name: spec.builder for name, spec in REGISTRY.items()}
+    return {
+        name: spec.builder
+        for name, spec in REGISTRY.items()
+        if not spec.retired
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None and not spec.retired
     }
 
 
@@ -1051,6 +1067,10 @@ register(
         """,
         doc="JSON field extraction from props, stats per event_type",
         tags=("relational", "json"),
+        retired=True,
+        # retired in r8 (registry headroom): superseded by
+        # t235_variant_props_stats (parse-once VARIANT extraction over the
+        # same props JSON); stays locally certified via test_queries_oracle
     )
 )
 
@@ -1298,6 +1318,12 @@ register(
         "scale-recommended form: beats t33's union-merge 5.42s vs 8.82s at "
         "sf1; t33 wins below the sf0.1-sf1 crossover)",
         tags=("relational", "join", "asof", "pandas", "scale-recommended"),
+        retired=True,
+        # retired in r8 (registry headroom): driver slot ceded to its twin
+        # t33_asof_latest_order — same semantics/oracle; t50 stays the
+        # SCALE-RECOMMENDED builder (sf1 shootout winner) and remains
+        # locally certified via tests (test_queries_oracle, test_scale_smoke
+        # kernel bound)
     )
 )
 
@@ -4350,6 +4376,10 @@ register(
         """,
         doc="Spark's native session_window operator vs a first-principles islands oracle: window end = last event + gap, INCLUSIVE boundary (an event exactly at the previous end extends the session; pinned by the boundary fuzzer)",
         tags=("events", "window", "streaming-semantics"),
+        retired=True,
+        # retired in r8 (registry headroom): driver slot ceded to its twin
+        # t16_session_window — identical output, measured dead heat at sf1
+        # (r6 shootout); stays locally certified via test_queries_oracle
     )
 )
 

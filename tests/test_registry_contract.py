@@ -114,12 +114,16 @@ def test_staleness_budget():
     # rotation math auditable: 47 rotating slots serve every
     # oracle-bearing non-canary entry stalest-first, so worst-case
     # staleness is ceil(rotating / 47) rounds (5 at 225 entries)
-    n_rotating = sum(1 for s in REGISTRY.values() if s.oracle is not None) - 3
+    n_rotating = (
+        sum(1 for s in REGISTRY.values() if s.oracle is not None and not s.retired)
+        - 3
+    )
     budget = -(-n_rotating // 47)
     over = [
         f"{name} (last r{last[name]}, staleness {current - last[name]})"
         for name, spec in REGISTRY.items()
         if spec.oracle is not None
+        and not spec.retired  # retired twins left the rotation
         and name in last  # new entries have no history yet: the planner
         # policy (never-checked first) schedules them into the NEXT
         # window, asserted below
@@ -133,7 +137,10 @@ def test_staleness_budget():
     never = [
         name
         for name, spec in REGISTRY.items()
-        if spec.oracle is not None and name not in last and name not in DRIVER_WINDOW
+        if spec.oracle is not None
+        and not spec.retired
+        and name not in last
+        and name not in DRIVER_WINDOW
     ]
     assert len(never) <= 47, f"never-checked backlog outgrew one window: {never}"
 
@@ -165,3 +172,28 @@ def test_oracles_are_nonvacuous_at_driver_scale():
     ]
     duck.close()
     assert set(empty) <= allowed_empty, f"vacuous oracles: {empty}"
+
+
+def test_rotation_headroom():
+    """Registry end-game policy (VERDICT r07 item 3), as an assertion:
+    the driver window rotates 47 non-canary slots with a 5-round
+    staleness budget, so the hard capacity is 3 + 47*5 = 238
+    oracle-bearing ACTIVE entries. Require >=5 slots of headroom so the
+    ceiling can't be hit silently — when this fires, either stop
+    registering or retire superseded twins (QuerySpec.retired=True, see
+    README "Registry capacity"); r8 retired t37/t50/t155 in favor of
+    t235/t33/t16."""
+    capacity = 3 + 47 * 5
+    active = sum(
+        1 for s in REGISTRY.values() if s.oracle is not None and not s.retired
+    )
+    assert capacity - active >= 5, (
+        f"only {capacity - active} driver-window slots of headroom left "
+        f"({active}/{capacity} oracle-bearing active entries) — retire a "
+        "superseded twin or stop registering (README: Registry capacity)"
+    )
+    # retirement must name a successor and keep local certification: a
+    # retired spec still carries its oracle so test_queries_oracle covers it
+    for name, spec in REGISTRY.items():
+        if spec.retired:
+            assert spec.oracle is not None, f"{name}: retired AND uncheckable"

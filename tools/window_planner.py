@@ -63,7 +63,11 @@ def plan_window() -> list[str]:
     last = last_checked()
     reg = registration_order()
     oracle_bearing = [
-        n for n in reg if REGISTRY[n].oracle is not None and n not in CANARIES
+        n
+        for n in reg
+        if REGISTRY[n].oracle is not None
+        and not REGISTRY[n].retired  # retired twins ceded their slots
+        and n not in CANARIES
     ]
     never = [n for n in oracle_bearing if n not in last]
     stale = sorted(
