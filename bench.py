@@ -145,7 +145,12 @@ def main() -> int:
                 # JVM and every query drifts together (r6 drifted
                 # +13..+40% uniformly). Recording the resolved heap +
                 # MemAvailable makes that diagnosis a field lookup.
-                "driver_mem": os.environ.get("PYSPARK_SUBMIT_ARGS", ""),
+                # the RESOLVED heap (spark.driver.memory of the live
+                # session — authoritative whether it came from
+                # PYSPARK_SUBMIT_ARGS, SPARK_GRAFT_DRIVER_MEM, or the
+                # host-aware default); raw submit args kept separately
+                "driver_mem": spark.conf.get("spark.driver.memory", ""),
+                "pyspark_submit_args": os.environ.get("PYSPARK_SUBMIT_ARGS", ""),
                 "host_mem_available_gb": _mem_available_gb(),
                 # t25 joined the headline set in r6 (VERDICT r05 item 5:
                 # put the IVF number next to the exact one) — the

@@ -905,6 +905,12 @@ def write_zordered(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).first()
+    if any(bounds[f"lo_{c}"] is None for c in cols):
+        # empty input (or an all-NULL z-column): no curve to cluster on —
+        # write the plain (empty) parquet instead of TypeError-ing on
+        # float(None); the CLI zorder verb reaches here on arbitrary dirs
+        df.write.mode("overwrite").parquet(path)
+        return
     normalized = [
         normalize_to_grid(c, float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"]), bits)
         for c in cols
@@ -1371,10 +1377,42 @@ def refresh_file_manifest(spark: SparkSession, path: str, cols: list[str]) -> Da
     """
     import glob
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     mdir = os.path.join(path, "_manifest")
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+    def _stat_sql_type(col: str) -> str:
+        """Spark SQL type of the min/max envelope for ``col``, derived
+        from the parquet schema (not hardcoded long — ADVICE r7): the
+        envelope must round-trip the footer-stat values exactly, or
+        pruning could silently drop files."""
+        if not files:
+            return "long"  # empty table: schema unknowable, never read
+        field = pq.ParquetFile(files[0]).schema_arrow.field(col)
+        t = field.type
+        if pa.types.is_integer(t):
+            return "long"
+        if pa.types.is_floating(t):
+            return "double"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        raise ValueError(
+            f"manifest stats column {col!r} has unsupported type {t} — "
+            "supported: integer, float, decimal, string, date, timestamp"
+        )
+
+    # validate/resolve envelope types up front — fail with the clear
+    # unsupported-type error before any per-file stats walk (a nested
+    # column would otherwise KeyError on parquet's flattened leaf names)
+    stat_types = {c: _stat_sql_type(c) for c in cols}
     known: set[str] = set()
     have_manifest = os.path.exists(os.path.join(mdir, "_SUCCESS"))
     if have_manifest:
@@ -1402,7 +1440,7 @@ def refresh_file_manifest(spark: SparkSession, path: str, cols: list[str]) -> Da
             row[f"max_{col}"] = fmax
         rows.append(row)
     schema = "file string, " + ", ".join(
-        f"min_{c} long, max_{c} long" for c in cols
+        f"min_{c} {stat_types[c]}, max_{c} {stat_types[c]}" for c in cols
     )
     fresh = spark.createDataFrame(rows, schema) if rows else None
     if have_manifest and not rows and known == set(files):

@@ -215,3 +215,39 @@ def test_manifest_steady_state_call_does_not_rewrite(spark, tmp_path):
         f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)
     }
     assert after == before
+
+
+def test_manifest_derives_stat_types_from_schema(spark, tmp_path):
+    """Envelope columns must carry the data column's type (ADVICE r7:
+    the schema was hardcoded long, so double/string stat columns broke
+    the CLI manifest verb) — and range pruning must work on them."""
+    from mapreduce_google_spark.operators.scale import (
+        pruned_files_from_manifest,
+        refresh_file_manifest,
+    )
+
+    path = str(tmp_path / "typed")
+    (
+        spark.range(0, 100)
+        .select(
+            "id",
+            (F.col("id") / 2.0).alias("x"),
+            F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 3, "0")).alias("s"),
+        )
+        .repartition(2, "id")
+        .sortWithinPartitions("id")
+        .write.parquet(path)
+    )
+    man = refresh_file_manifest(spark, path, ["id", "x", "s"])
+    types = dict(man.dtypes)
+    assert types["min_id"] == "bigint" and types["min_x"] == "double"
+    assert types["min_s"] == "string"
+    files, total = pruned_files_from_manifest(spark, path, {"x": (0.0, 1.0)})
+    assert total == 2 and len(files) >= 1
+    # unsupported stat type (array) → clear error, not a createDataFrame blowup
+    bad = str(tmp_path / "arr")
+    spark.range(3).select(F.array("id").alias("a")).write.parquet(bad)
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        refresh_file_manifest(spark, bad, ["a"])
