@@ -6978,6 +6978,73 @@ register(
 #: the committed window IS the policy output. Entries registered after
 #: the window locks surface as a --verify divergence and slot first in
 #: the NEXT round's window.
+#: Specs whose BUILDER may run Spark jobs (beyond parquet file-listing)
+#: before the returned DataFrame is ever executed — the registry's
+#: honest ledger of construction-time eagerness (VERDICT r07 item 7).
+#: Three legitimate reasons, named per entry below:
+#:   (profile)   a driver-held statistic is computed up front (memoized
+#:               per process) — e.g. t21's skew profile, k-means
+#:               centroids, PCA moments, iterative label propagation;
+#:   (ensure)    the query reads a cached table layout that is
+#:               materialized on first touch per corpus (z-order /
+#:               upsert / snapshot / DV / sketch / bucketed / staged
+#:               dirs) — whichever sibling builds first pays, so ALL
+#:               specs sharing an artifact are flagged;
+#:   (stream)    the builder runs a bounded Structured Streaming job to
+#:               completion and returns the sink's contents.
+#: Everything NOT listed here must be strictly lazy at build time —
+#: asserted by tests/test_plans_global.py::test_plan_has_no_scale_antipatterns
+#: (job-group tracking around every registered builder), so tools that
+#: construct all DataFrames (plan sweeps, COVERAGE generation) know
+#: exactly which builders cost cluster time.
+EAGER_BUILD: frozenset[str] = frozenset(
+    {
+        # (profile) driver-held statistics / iterative convergence loops
+        "t21_ngram_jaccard_pairs",
+        "t48_dedup_clusters",
+        "t82_kmeans_clusters",
+        "t84_kmeans_invariants",
+        "t122_ann_topk_invariants",
+        "t123_cluster_invariants",
+        "t126_token_pmi",
+        "t145_semantic_dedup_invariants",
+        "t161_event_pagerank",
+        "t165_ivf_topk_invariants",
+        "t189_top_principal_component",
+        "t190_principal_score_stats",
+        "t206_session_type_pmi",
+        # (ensure) first-touch materialization of a cached layout/store
+        "t40_bucketed_segment_revenue",
+        "t42_partition_pruned_daily",
+        "t65_incremental_dedup",
+        "t66_jsonl_ingest",
+        "t116_dead_letter_ingest",
+        "t119_pysource_word_count",
+        "t120_lsh_precision_invariants",  # persisted band table (shared with t22)
+        "t22_minhash_lsh_pairs",
+        "t130_compaction_invariants",
+        "t219_kvtext_roundtrip_word_count",
+        "t223_incremental_dedup_from_store",
+        "t224_zordered_box_revenue",
+        "t225_event_corrections_upsert",
+        "t226_event_change_summary",
+        "t227_manifest_pruned_box_revenue",
+        "t228_snapshot_version_totals",
+        "t231_events_after_dv_delete",
+        "t232_rolling_distinct_users_hll",
+        # (stream) bounded streaming run inside the builder
+        "t49_stream_dedup_counts",
+        "t55_stream_event_pairs",
+        "t56_foreachbatch_ingest",
+        "t72_stream_dedup_store",
+        "t109_stream_enriched_segments",
+        "t157_stream_hourly_anomalies",
+        "t169_stream_pricing_summary",
+        "t214_stream_top_tokens",
+        "t229_stream_event_corrections",
+    }
+)
+
 DRIVER_WINDOW: tuple[str, ...] = (
     "t01_word_count",
     "t09_revenue_per_region",

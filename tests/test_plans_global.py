@@ -20,7 +20,7 @@ import re
 import pytest
 
 from mapreduce_google_spark.plans import formatted_plan
-from mapreduce_google_spark.queries import REGISTRY
+from mapreduce_google_spark.queries import EAGER_BUILD, REGISTRY
 
 #: nodes that pickle rows one at a time across the Python boundary
 ROW_PYTHON = re.compile(r"\bBatchEvalPython\w*\b")
@@ -28,9 +28,41 @@ ROW_PYTHON = re.compile(r"\bBatchEvalPython\w*\b")
 CARTESIAN = re.compile(r"\bCartesianProduct\b")
 
 
+def _ran_nonlisting_jobs(spark, group: str) -> bool:
+    """Did any Spark job in ``group`` do more than parquet file listing?
+    Evicted job/stage info (spark.ui.retained* pressure) counts as NO —
+    the check must not flake on status-store retention."""
+    tracker = spark.sparkContext.statusTracker()
+    for j in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(j)
+        if info is None:
+            continue
+        for s in info.stageIds:
+            si = tracker.getStageInfo(s)
+            if si is not None and not si.name.startswith("parquet at "):
+                return True
+    return False
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_has_no_scale_antipatterns(name, spark, sf_dir):
-    df = REGISTRY[name].builder(spark, sf_dir)
+    sc = spark.sparkContext
+    sc.setJobGroup(f"build-{name}", name)
+    try:
+        df = REGISTRY[name].builder(spark, sf_dir)
+    finally:
+        sc.setJobGroup(None, None)
+    # construction-time eagerness contract (VERDICT r07 item 7): only
+    # EAGER_BUILD members may run real Spark jobs before the DataFrame
+    # executes — everything else must be lazy, so sweeps/tools that
+    # build all 200+ DataFrames don't silently pay cluster time
+    assert name in EAGER_BUILD or not _ran_nonlisting_jobs(
+        spark, f"build-{name}"
+    ), (
+        f"{name}: builder ran Spark jobs during construction but is not "
+        "in queries.EAGER_BUILD — make it lazy or add it to the ledger "
+        "with a (profile)/(ensure)/(stream) reason"
+    )
     plan = formatted_plan(df)
     row_py = ROW_PYTHON.findall(plan)
     assert not row_py, (
