@@ -1,4 +1,4 @@
-"""Scaling spot-check for the r7 layout wave (t224–t230): wall-clock at
+"""Scaling spot-check for the r7 layout+sketch wave (t224-t234): wall-clock at
 sf0.1 vs the 10× corpus (/tmp/mgs_sf1, built by make_scaled_sf.py), with
 the one-time layout/ensure cost separated from the steady-state query.
 
@@ -33,7 +33,12 @@ WAVE = [
     "t225_event_corrections_upsert",
     "t226_event_change_summary",
     "t227_manifest_pruned_box_revenue",
+    "t228_snapshot_version_totals",
     "t230_bm25_retrieval",
+    "t231_events_after_dv_delete",
+    "t232_rolling_distinct_users_hll",
+    "t233_weekly_retention_theta",
+    "t234_order_price_quantiles_kll",
 ]
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
@@ -45,13 +50,16 @@ def clear_wave_tmp() -> None:
         "/tmp/mgs_zorder_lineitem_*",
         "/tmp/mgs_events_daily_*",
         "/tmp/mgs_events_snapshots_*",
+        "/tmp/mgs_events_dv_*",
+        "/tmp/mgs_hll_daily_*",
     ):
         for d in glob.glob(pat):
             shutil.rmtree(d, ignore_errors=True)
-    # reset the per-process upsert memo so the cold path re-runs
+    # reset the per-process memos so the cold paths re-run
     from mapreduce_google_spark.operators import scale
 
     scale._UPSERTED.clear()
+    scale._DV_DELETED.clear()
 
 
 def time_one(spark, name: str, sf_dir: str) -> dict:
@@ -64,7 +72,11 @@ def time_one(spark, name: str, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).toPandas()
         warm.append(time.perf_counter() - t0)
-    return {"ensure": round(ensure, 3), "warm": round(statistics.median(warm), 3)}
+    return {
+        "ensure": round(ensure, 3),
+        "warm": round(statistics.median(warm), 3),
+        "warm_spread": [round(min(warm), 3), round(max(warm), 3)],
+    }
 
 
 def main() -> int:
