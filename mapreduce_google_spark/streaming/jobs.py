@@ -275,6 +275,24 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return tag, staged
 
 
+def _staged_docs_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the documents table (ALL columns) into a multi-file /tmp
+    directory shared by every documents-driven stream. Single writer for
+    the shared path: a consumer-specific projection here once poisoned
+    the cache for full-column consumers (whoever staged first won), so
+    staging always writes the full schema and consumers project in
+    their own pipelines. Returns (tag, path); idempotent per sf."""
+    import os
+
+    tag = cache_tag(sf_dir, "documents")
+    staged = f"/tmp/mgs_docs_dir_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    return tag, staged
+
+
 def foreachbatch_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T56 — streaming ingest through an idempotent ``foreachBatch`` sink.
 
@@ -350,12 +368,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    tag = cache_tag(sf_dir, "documents")
-    staged = f"/tmp/mgs_docs_dir_{tag}"
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        ).repartition(4).write.mode("overwrite").parquet(staged)
+    tag, staged = _staged_docs_dir(spark, sf_dir)
 
     work = f"/tmp/mgs_dedup_store_{tag}"
     if os.path.exists(work):
@@ -664,12 +677,7 @@ def stream_top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
 
     from mapreduce_google_spark.functions.text import tokenize
 
-    tag = cache_tag(sf_dir, "documents")
-    staged = f"/tmp/mgs_docs_dir_{tag}"
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+    tag, staged = _staged_docs_dir(spark, sf_dir)
     schema = spark.read.parquet(staged).schema
     store = f"/tmp/mgs_toptok_store_{tag}"
     ckpt = f"{store}_ckpt"
@@ -742,12 +750,7 @@ def stream_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_sums,
     )
 
-    tag = cache_tag(sf_dir, "documents")
-    staged = f"/tmp/mgs_docs_dir_{tag}"
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+    tag, staged = _staged_docs_dir(spark, sf_dir)
     schema = spark.read.parquet(staged).schema
     store = f"/tmp/mgs_rep_store_{tag}"
     ckpt = f"{store}_ckpt"
