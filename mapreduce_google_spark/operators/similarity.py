@@ -208,6 +208,13 @@ def ivf_topk(
     is precomputed once into a partitioned index (the band-table
     pattern) and every query-time probe pays only the bucketed scan —
     that is the regime the IVF path exists for.
+
+    Measured crossover (tools/ann_crossover.py at sf1, recorded in
+    BENCH_ann_crossover.json): 10 probes — brute 4.9 s vs IVF 5.6 s
+    (the losing point above); 100 probes — brute 34.9 s vs IVF 15.9 s;
+    1000 probes — brute 322 s vs IVF 124 s, recall 1.0 throughout. The
+    1000-probe speedup (2.6x) sits at the n_cells/n_probe_cells = 8/3
+    arithmetic cap, confirming the scan-fraction model.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     centroids, assigned = ivf_assignments(emb, n_cells)
