@@ -450,7 +450,7 @@ def partition_upsert(
     touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
     if check_moved_keys:
         moved = (
-            spark.read.parquet(base_path)
+            read_with_deletes(spark, base_path)
             .where(~F.col(partition_col).isin(touched))
             .select(*key_cols, F.col(partition_col).alias("__old_part"))
             .join(F.broadcast(delta.select(*key_cols).distinct()), key_cols)
@@ -465,7 +465,12 @@ def partition_upsert(
                 "coordinates first (delete_where) or fix the delta's "
                 f"{partition_col}."
             )
-    base = spark.read.parquet(base_path).where(
+    # read the carried-over base THROUGH the deletion vectors: a raw read
+    # here resurrected DV-deleted rows into the rewritten partition (the
+    # merge copied them into new files the sidecar's coordinates don't
+    # cover). Dangling sidecar entries for the files this overwrite
+    # replaces are harmless — they reference paths no future scan lists.
+    base = read_with_deletes(spark, base_path).where(
         F.col(partition_col).isin(touched)
     )
     merged = (
@@ -722,7 +727,20 @@ def apply_deletes(spark: SparkSession, path: str) -> dict:
     )
     n_before = affected.count()
     n_after = survivors.count()
-    survivors.write.mode("append").parquet(path)
+    # preserve the hive layout: on a partitioned table a flat append
+    # would land root-level files carrying the partition column as data,
+    # corrupting partition discovery for every later read. The partition
+    # columns are inferred from the doomed files' own directory chain
+    # (…/p=a/part-….parquet → ["p"]).
+    part_cols = [
+        seg.split("=", 1)[0]
+        for seg in doomed_files[0].split("/")[:-1]
+        if "=" in seg
+    ]
+    writer = survivors.write.mode("append")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(path)
     for f in doomed_files:
         local = f.removeprefix("file:")
         if os.path.exists(local):

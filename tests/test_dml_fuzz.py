@@ -1,0 +1,116 @@
+"""Property-based DML-sequence fuzzing: a random interleaving of the
+three lakehouse verbs — partition-scoped MERGE upsert, deletion-vector
+DELETE, and compaction — applied to a partitioned parquet table must
+leave exactly the state a plain Python model of the same sequence
+predicts.
+
+The deterministic tests (test_upsert/test_deletes) prove each verb in
+isolation; this fuzz proves their INTERACTIONS — the class of bug found
+in r8 where an upsert read the base without applying deletion vectors
+and resurrected DV-deleted rows into the rewritten partition.
+
+Keys live in a fixed home partition (PARTS[k % 3]) so the reference
+model is a plain dict; cross-partition key moves are a separate,
+guarded code path (test_upsert.test_moved_key_guard).
+
+Determinism: derandomize=True replays the same sequence corpus every
+run (the test_property_fuzz settings).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.io import (
+    apply_deletes,
+    delete_where,
+    partition_upsert,
+    read_with_deletes,
+)
+
+PARTS = ["a", "b", "c"]
+KEYS = list(range(1, 13))  # 12 keys spread over 3 home partitions
+
+
+def _home(k: int) -> str:
+    return PARTS[k % 3]
+
+
+#: one DML op: ("upsert", [(k, v), ...]) — k goes to its home partition;
+#: ("delete", k_mod, residue) — DV-mark every live row with k % mod ==
+#: residue; ("compact",) — apply_deletes, a visible-state no-op.
+_upsert_rows = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(100, 999)),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda r: r[0],  # one row per key inside a delta
+)
+_op = st.one_of(
+    st.tuples(st.just("upsert"), _upsert_rows),
+    st.tuples(st.just("delete"), st.sampled_from([2, 3, 5]), st.integers(0, 2)),
+    st.tuples(st.just("compact")),
+)
+
+
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_dml_sequence_matches_model(spark, tmp_path_factory, ops):
+    path = str(tmp_path_factory.mktemp("dml") / "tbl")
+    base = [(k, _home(k), float(k)) for k in KEYS]
+    spark.createDataFrame(base, "k long, p string, v double").repartition(
+        "p"
+    ).write.partitionBy("p").parquet(path)
+    #: reference model: {k: v} for live rows (partition is implied by k)
+    state = {k: v for k, _, v in base}
+
+    for op in ops:
+        if op[0] == "upsert":
+            rows = [(k, _home(k), float(v)) for k, v in op[1]]
+            delta = spark.createDataFrame(rows, "k long, p string, v double")
+            partition_upsert(
+                spark, path, delta, "p", ["k"], check_moved_keys=True
+            )
+            for k, _, v in rows:
+                state[k] = v  # replaced if live, re-inserted if deleted
+        elif op[0] == "delete":
+            _, mod, residue = op
+            delete_where(spark, path, F.col("k") % mod == residue)
+            for k in [k for k in state if k % mod == residue]:
+                del state[k]
+        else:
+            apply_deletes(spark, path)
+
+    got = {
+        r["k"]: (r["p"], r["v"])
+        for r in read_with_deletes(spark, path).collect()
+    }
+    assert got == {k: (_home(k), v) for k, v in state.items()}, f"ops={ops}"
+
+
+def test_upsert_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
+    """The r8 regression pinned directly: DV-delete a row, then upsert a
+    DIFFERENT key in the same partition — the deleted row must stay
+    deleted (the merge must read the carried-over base through the
+    sidecar, io.py partition_upsert)."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "k long, p string, v double",
+    ).repartition("p").write.partitionBy("p").parquet(path)
+    assert delete_where(spark, path, F.col("k") == 1) == 1
+    delta = spark.createDataFrame([(2, "a", 99.0)], "k long, p string, v double")
+    partition_upsert(spark, path, delta, "p", ["k"])
+    got = sorted(
+        (r["k"], r["p"], r["v"]) for r in read_with_deletes(spark, path).collect()
+    )
+    assert got == [(2, "a", 99.0), (3, "b", 3.0)]
