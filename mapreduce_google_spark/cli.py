@@ -497,11 +497,16 @@ def main(argv: list[str] | None = None) -> int:
             healthy = _print_health_record(spark, args.sf_dir, record_extra)
             return 0 if healthy else 1
         elif args.mode == "zorder":
+            from mapreduce_google_spark.io import read_with_deletes
             from mapreduce_google_spark.operators.scale import write_zordered
 
             cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            # read THROUGH any deletion-vector sidecar: the clustered
+            # copy must hold the live rows only (a raw read would
+            # resurrect DV-deleted rows into the new layout); no-op for
+            # tables without a _deletes sidecar
             write_zordered(
-                spark.read.parquet(args.input),
+                read_with_deletes(spark, args.input),
                 args.output,
                 cols,
                 bits=args.bits,

@@ -173,3 +173,23 @@ def test_write_zordered_empty_input(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 0
     assert set(out.columns) == {"x", "y"}
+
+
+def test_zorder_copy_applies_deletion_vectors(spark, tmp_path):
+    """Re-clustering a table that carries a DV sidecar must copy the
+    LIVE rows only — a raw read would resurrect deleted rows into the
+    new layout (the CLI zorder verb reads through read_with_deletes)."""
+    from mapreduce_google_spark.io import delete_where, read_with_deletes
+    from mapreduce_google_spark.operators.scale import write_zordered
+
+    src = str(tmp_path / "src")
+    spark.range(0, 200).selectExpr(
+        "id AS x", "(id * 7) % 100 AS y"
+    ).repartition(2).write.parquet(src)
+    assert delete_where(spark, src, F.col("x") % 4 == 0) == 50
+
+    out = str(tmp_path / "clustered")
+    write_zordered(read_with_deletes(spark, src), out, ["x", "y"])
+    got = spark.read.parquet(out)
+    assert got.count() == 150
+    assert got.where(F.col("x") % 4 == 0).count() == 0
