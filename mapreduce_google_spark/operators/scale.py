@@ -1821,3 +1821,145 @@ def write_zordered_by_quantiles(
     if block_bytes is not None:
         writer = writer.option("parquet.block.size", str(block_bytes))
     writer.parquet(path)
+
+
+# --------------------------------------------------------------------------
+# Secondary point-lookup index — posting table on plain parquet
+# --------------------------------------------------------------------------
+
+#: the fixed t237 probe ids — all < 1000 so they exist at every sf
+POINT_LOOKUP_IDS: tuple[int, ...] = (17, 230, 452, 671, 888, 903)
+
+
+def refresh_point_index(spark: SparkSession, path: str, key_col: str) -> str:
+    """Build or INCREMENTALLY refresh the persisted secondary index of
+    the parquet table at ``path`` on ``key_col``: a posting table of
+    (key, file) pairs under ``<path>/_pointidx_<key_col>``, written
+    SORTED by key so index probes themselves row-group-prune. Returns
+    the index directory.
+
+    This is the needle-query complement of the zone-map manifest
+    (:func:`refresh_file_manifest`): min/max envelopes only skip files
+    when the key is CLUSTERED — on a hash-scattered key every file's
+    envelope spans the whole domain and zone maps prune nothing, while
+    the posting table answers "which files hold key k" exactly. The
+    index is O(distinct (key, file)) rows but only two columns wide;
+    at 100 TB it is the classic secondary-index trade — pay one narrow
+    sorted table to turn a needle query from a full scan into
+    |files(k)| reads. Refresh cost is proportional to NEW files only
+    (parquet files are immutable — replaced, never edited), matching
+    the manifest's incremental contract.
+    """
+    import glob
+
+    idx_dir = os.path.join(path, f"_pointidx_{key_col}")
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    known: set[str] = set()
+    if os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        known = {
+            r["file"]
+            for r in spark.read.parquet(idx_dir).select("file").distinct().collect()
+        }
+    new = [f for f in files if f not in known]
+    if not new and known == set(files):
+        return idx_dir
+    fresh = (
+        spark.read.parquet(*new)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("_metadata.file_path").alias("file"),
+        )
+        .distinct()
+        if new
+        else None
+    )
+    if known:
+        live = spark.createDataFrame([(f,) for f in files], "file string")
+        prev = (
+            spark.read.parquet(idx_dir)
+            .join(live, "file", "left_semi")  # drop vanished files' postings
+        )
+        merged = prev.unionByName(fresh) if fresh is not None else prev
+    else:
+        merged = fresh
+    # sorted single file: index probes hit a handful of row groups via
+    # the key's min/max stats, never the whole posting table
+    (
+        merged.localCheckpoint()  # don't read from the dir being replaced
+        .coalesce(1)
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .parquet(idx_dir)
+    )
+    return idx_dir
+
+
+def point_lookup(
+    spark: SparkSession, path: str, key_col: str, keys: list
+) -> DataFrame:
+    """Read ONLY the files the posting index maps the ``keys`` to, then
+    re-filter (exactness never depends on the index — a stale or missing
+    posting can only cost an extra file read... but see the refresh
+    contract: the index is refreshed first, so postings cover every
+    live file)."""
+    idx_dir = refresh_point_index(spark, path, key_col)
+    hits = (
+        spark.read.parquet(idx_dir)
+        .where(F.col("key").isin(keys))
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    files = sorted(r["file"] for r in hits)
+    if not files:
+        return (
+            spark.read.parquet(path)
+            .where(F.col(key_col).isin(keys))
+            .limit(0)
+        )
+    return spark.read.parquet(*files).where(F.col(key_col).isin(keys))
+
+
+def _indexed_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure a hash-scattered 16-file copy of events exists (the layout
+    where zone maps are useless on event_id — every file spans the whole
+    id range — and the posting index earns its keep)."""
+    tag = _tag(sf_dir, "events")
+    path = f"/tmp/mgs_events_hashed_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .repartition(16, "event_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T237 — secondary-index point lookup: fetch 6 fixed event ids from
+    a 16-file hash-scattered events layout, reading ONLY the files the
+    persisted posting index names.
+
+    The lakehouse needle query: zone maps (t227) prune nothing here —
+    event_id is hash-scattered, so every file's min/max envelope covers
+    the whole domain — while the (key, file) posting table pinpoints
+    the ≤6 files that can hold the probes (file-count reduction
+    asserted in ``tests/test_point_index.py``). At 100 TB this is the
+    difference between a full-table scan per lookup and O(k) file
+    reads + one narrow sorted-index probe. Exactness never rests on the
+    index: looked-up files are re-filtered by the pushed-down predicate,
+    and the oracle answers the same ids from the raw table.
+    """
+    path = _indexed_events_path(spark, sf_dir)
+    ids = list(POINT_LOOKUP_IDS)
+    return (
+        point_lookup(spark, path, "event_id", ids)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+        )
+        .orderBy("event_id")
+    )

