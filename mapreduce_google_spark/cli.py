@@ -3,7 +3,8 @@
 manager's job queue (``mapreduce/manager/__main__.py:180-196,313-319``).
 
 Modes (exec / query / explain / sql / compact / batch / status / restart,
-plus the table-maintenance verbs zorder / upsert / vacuum / manifest that
+plus the table-maintenance verbs zorder / upsert / vacuum / manifest /
+index / delete that
 operate the lakehouse layer from the shell):
 
 1. Reference-style streaming-exec job (the reference's whole surface):
@@ -396,6 +397,19 @@ def main(argv: list[str] | None = None) -> int:
         "--cols", required=True, help="comma-separated numeric stat columns"
     )
 
+    p_index = sub.add_parser(
+        "index",
+        help="incrementally refresh the (key, file) point-lookup index of a parquet dir",
+    )
+    p_index.add_argument("--input", required=True, help="parquet directory")
+    p_index.add_argument("--key", required=True, help="key column to index")
+    p_index.add_argument(
+        "--lookup",
+        default=None,
+        help="optional comma-separated key values: print the matching rows' count "
+        "and the files read instead of just refreshing",
+    )
+
     p_delete = sub.add_parser(
         "delete",
         help="merge-on-read DELETE: mark rows matching a SQL predicate via "
@@ -540,6 +554,25 @@ def main(argv: list[str] | None = None) -> int:
             cols = [c.strip() for c in args.cols.split(",") if c.strip()]
             manifest = refresh_file_manifest(spark, args.input, cols)
             print(json.dumps({"input": args.input, "files": manifest.count()}))
+        elif args.mode == "index":
+            from mapreduce_google_spark.operators.scale import (
+                point_lookup,
+                refresh_point_index,
+            )
+
+            idx_dir = refresh_point_index(spark, args.input, args.key)
+            rec = {
+                "input": args.input,
+                "index": idx_dir,
+                "postings": spark.read.parquet(idx_dir).count(),
+            }
+            if args.lookup:
+                keys = [int(k) for k in args.lookup.split(",") if k.strip()]
+                rec["lookup_keys"] = keys
+                rec["rows"] = point_lookup(
+                    spark, args.input, args.key, keys
+                ).count()
+            print(json.dumps(rec))
         elif args.mode == "delete":
             from pyspark.sql import functions as F
 

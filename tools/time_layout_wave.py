@@ -39,6 +39,7 @@ WAVE = [
     "t232_rolling_distinct_users_hll",
     "t233_weekly_retention_theta",
     "t234_order_price_quantiles_kll",
+    "t237_indexed_point_lookup",
 ]
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
@@ -52,6 +53,7 @@ def clear_wave_tmp() -> None:
         "/tmp/mgs_events_snapshots_*",
         "/tmp/mgs_events_dv_*",
         "/tmp/mgs_hll_daily_*",
+        "/tmp/mgs_events_hashed_*",
     ):
         for d in glob.glob(pat):
             shutil.rmtree(d, ignore_errors=True)
