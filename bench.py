@@ -157,6 +157,13 @@ def main() -> int:
                 # r1-r5-comparable total excludes it so round-over-round
                 # totals compare like with like.
                 "added_in_r6": ["t25_ivf_topk"],
+                # the serving-scale IVF story (VERDICT r07 item 8): the
+                # probes x {brute, IVF} wall + recall table lives in
+                # BENCH_ann_crossover.json (tools/ann_crossover.py at
+                # sf1 — IVF loses at 10 probes, wins 2.2x at 100 and
+                # 2.6x at 1000, recall 1.0; the 2.6x is the
+                # n_cells/n_probe_cells arithmetic cap)
+                "ann_crossover_artifact": "BENCH_ann_crossover.json",
                 "value_r5_comparable": round(
                     total - timings.get("t25_ivf_topk", 0.0), 3
                 ),

@@ -1851,15 +1851,27 @@ def refresh_point_index(spark: SparkSession, path: str, key_col: str) -> str:
     the manifest's incremental contract.
     """
     import glob
+    import json as _json
 
     idx_dir = os.path.join(path, f"_pointidx_{key_col}")
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    # steady-state check from the tiny covered-files sidecar, NOT a scan
+    # of the posting table (the no-op refresh is on every lookup's path —
+    # at corpus scale an O(postings) "what do I cover" scan per probe
+    # would swamp the lookup itself)
+    flist = os.path.join(idx_dir, "_covered_files.json")
     known: set[str] = set()
     if os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
-        known = {
-            r["file"]
-            for r in spark.read.parquet(idx_dir).select("file").distinct().collect()
-        }
+        if os.path.exists(flist):
+            known = set(_json.load(open(flist)))
+        else:  # legacy index without the sidecar: one-time scan
+            known = {
+                r["file"]
+                for r in spark.read.parquet(idx_dir)
+                .select("file")
+                .distinct()
+                .collect()
+            }
     new = [f for f in files if f not in known]
     if not new and known == set(files):
         return idx_dir
@@ -1867,7 +1879,14 @@ def refresh_point_index(spark: SparkSession, path: str, key_col: str) -> str:
         spark.read.parquet(*new)
         .select(
             F.col(key_col).alias("key"),
-            F.col("_metadata.file_path").alias("file"),
+            # strip the reader's "file:" URI prefix so postings compare
+            # equal to the directory listing (the covered-files sidecar
+            # and the vanished-files semi-join both join on this value;
+            # a prefix mismatch would silently rebuild the whole index
+            # on every refresh — the pre-r8 bug this normalizes away)
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:", ""
+            ).alias("file"),
         )
         .distinct()
         if new
@@ -1889,8 +1908,13 @@ def refresh_point_index(spark: SparkSession, path: str, key_col: str) -> str:
         .coalesce(1)
         .sortWithinPartitions("key")
         .write.mode("overwrite")
+        # small row groups: a key probe on the sorted index must prune to
+        # a handful of groups via min/max stats, not scan every posting
+        .option("parquet.block.size", str(1 * 1024 * 1024))
         .parquet(idx_dir)
     )
+    with open(flist, "w") as fh:
+        _json.dump(sorted(files), fh)
     return idx_dir
 
 
