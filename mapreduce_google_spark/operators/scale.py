@@ -1854,6 +1854,13 @@ def refresh_point_index(spark: SparkSession, path: str, key_col: str) -> str:
     import json as _json
 
     idx_dir = os.path.join(path, f"_pointidx_{key_col}")
+    if glob.glob(os.path.join(path, "*=*/")):
+        raise ValueError(
+            f"point index targets flat (unpartitioned) parquet dirs; {path} "
+            "is hive-partitioned — reading posted leaf files directly would "
+            "drop the partition columns. Use partition pruning + the zone-map "
+            "manifest there, or index an unpartitioned copy."
+        )
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     # steady-state check from the tiny covered-files sidecar, NOT a scan
     # of the posting table (the no-op refresh is on every lookup's path —

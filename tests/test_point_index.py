@@ -72,3 +72,17 @@ def test_missing_keys_return_empty(spark, tmp_path):
     path = str(tmp_path / "tbl")
     _write_hashed(spark, path, 100, 4)
     assert point_lookup(spark, path, "k", [123_456]).count() == 0
+
+
+def test_partitioned_tables_are_refused(spark, tmp_path):
+    """Reading posted leaf files of a hive layout would silently drop the
+    partition columns — the index must refuse partitioned dirs and point
+    at partition pruning / zone maps instead."""
+    import pytest
+
+    path = str(tmp_path / "part_tbl")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, p string, v double"
+    ).write.partitionBy("p").parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        refresh_point_index(spark, path, "k")
