@@ -1932,7 +1932,12 @@ def point_lookup(
     re-filter (exactness never depends on the index — a stale or missing
     posting can only cost an extra file read... but see the refresh
     contract: the index is refreshed first, so postings cover every
-    live file)."""
+    live file). Merge-on-read composes: if the table carries a
+    ``_deletes`` deletion-vector sidecar, the posted-files read applies
+    it exactly like :func:`io.read_with_deletes` (coordinate anti-join),
+    so a DV-deleted row never reappears through the index path."""
+    from mapreduce_google_spark.io import _deletes_dir
+
     idx_dir = refresh_point_index(spark, path, key_col)
     hits = (
         spark.read.parquet(idx_dir)
@@ -1948,7 +1953,19 @@ def point_lookup(
             .where(F.col(key_col).isin(keys))
             .limit(0)
         )
-    return spark.read.parquet(*files).where(F.col(key_col).isin(keys))
+    out = spark.read.parquet(*files).where(F.col(key_col).isin(keys))
+    dv_dir = _deletes_dir(path)
+    if os.path.exists(dv_dir):
+        out = out.select(
+            "*",
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_row_index"),
+        )
+        dv = spark.read.parquet(dv_dir).select("_file", "_row_index")
+        out = out.join(F.broadcast(dv), ["_file", "_row_index"], "left_anti").drop(
+            "_file", "_row_index"
+        )
+    return out
 
 
 def _indexed_events_path(spark: SparkSession, sf_dir: str) -> str:

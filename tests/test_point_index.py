@@ -86,3 +86,35 @@ def test_partitioned_tables_are_refused(spark, tmp_path):
     ).write.partitionBy("p").parquet(path)
     with pytest.raises(ValueError, match="hive-partitioned"):
         refresh_point_index(spark, path, "k")
+
+
+def test_index_survives_delete_and_compaction(spark, tmp_path):
+    """apply_deletes replaces the files it compacts; the index's
+    postings for those files dangle until the next refresh drops the
+    vanished files and scans the replacements. point_lookup refreshes
+    first, so lookups stay correct through the whole
+    delete → lookup → compact → lookup cycle."""
+    from mapreduce_google_spark.io import apply_deletes, delete_where
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 2_000, 8)
+    refresh_point_index(spark, path, "k")
+
+    assert delete_where(spark, path, F.col("k") % 10 == 3) == 200
+    # merge-on-read composes with the index: the posted-files read
+    # applies the DV sidecar, so a deleted key is gone IMMEDIATELY —
+    # not just after compaction
+    live = point_lookup(spark, path, "k", [3, 4])
+    assert {r["k"] for r in live.collect()} == {4}
+
+    stats = apply_deletes(spark, path)
+    assert stats["dropped_rows"] == 200
+    # post-compaction: replaced files vanished, new files unposted until
+    # refresh — point_lookup's refresh heals both, and deleted keys are
+    # physically gone
+    gone = point_lookup(spark, path, "k", [3, 13, 23])
+    assert gone.count() == 0
+    kept = point_lookup(spark, path, "k", [4, 14, 24])
+    assert {(r["k"], r["v"]) for r in kept.collect()} == {
+        (4, 12), (14, 42), (24, 72)
+    }
