@@ -7025,28 +7025,6 @@ register(
 # tests/test_registry_contract.py pins this ordering invariant.
 # --------------------------------------------------------------------------
 
-#: first-50 window, in the order the driver will check them.
-#: Round-8 composition (verbatim `tools/window_planner.py` output): 3
-#: fixed canaries + the 47 stalest oracle-bearing re-proofs from the
-#: union of CORRECTNESS_r01..r07 last-checked rounds (recomposed after
-#: the t237/t238 mid-round registrations: both never-checked entries
-#: slot in; t26/t27 rotate to the top of r9's stalest list) -- the
-#: r3 cohort
-#: that hit the staleness-5 edge when r7 landed (t10/t11/t13/t14/t19/
-#: t20, t83-t119, t02/t03/t21/t26/t27). No never-checked entries this
-#: round (r8 registered none into the oracle-bearing set). Ties broken
-#: by registration order; rows-only specs excluded -- their driver
-#: evidence is banked and a slot buys them nothing new. With ~47
-#: rotating slots over the oracle-bearing registry, every entry is
-#: re-provable within 5 rounds; tests/test_registry_contract.py asserts
-#: that budget against the recorded correctness history (see
-#: test_staleness_budget).
-#:
-#: FIRST ACTION EACH ROUND: `python tools/window_planner.py` emits the
-#: policy's window for the new round (paste here), and `--verify` proves
-#: the committed window IS the policy output. Entries registered after
-#: the window locks surface as a --verify divergence and slot first in
-#: the NEXT round's window.
 #: Specs whose BUILDER may run Spark jobs (beyond parquet file-listing)
 #: before the returned DataFrame is ever executed — the registry's
 #: honest ledger of construction-time eagerness (VERDICT r07 item 7).
@@ -7115,58 +7093,89 @@ EAGER_BUILD: frozenset[str] = frozenset(
     }
 )
 
-DRIVER_WINDOW: tuple[str, ...] = (
+#: the three fixed canaries — trip-wires for systemic breakage, checked
+#: in every round's window regardless of staleness.
+WINDOW_CANARIES: tuple[str, ...] = (
     "t01_word_count",
     "t09_revenue_per_region",
     "t17_exact_dedup",
-    "t237_indexed_point_lookup",
-    "t238_maintained_daily_revenue",
-    "t10_semi_anti_join",
-    "t11_top_orders_per_customer",
-    "t13_segment_set_ops",
-    "t14_scalar_functions",
-    "t19_text_stats",
-    "t20_pipe_word_count",
-    "t83_pack_invariants",
-    "t84_kmeans_invariants",
-    "t85_order_priority_check",
-    "t86_nation_pair_volume",
-    "t87_nation_market_share",
-    "t88_product_type_profit",
-    "t89_customer_order_distribution",
-    "t90_promo_revenue_share",
-    "t91_top_supplier",
-    "t92_parts_supplier_counts",
-    "t93_small_quantity_revenue",
-    "t94_branded_discount_revenue",
-    "t95_suppliers_who_failed_alone",
-    "t96_global_sales_opportunity",
-    "t97_important_part_values",
-    "t98_eligible_bulk_suppliers",
-    "t99_weekly_cohort_retention",
-    "t100_event_type_transitions",
-    "t101_user_rfm_segments",
-    "t102_hourly_conversion",
-    "t103_error_bursts",
-    "t104_cumulative_monthly_revenue",
-    "t105_doc_length_deciles",
-    "t106_lexical_diversity",
-    "t107_source_quality_matrix",
-    "t108_stopword_quality_gate",
-    "t109_stream_enriched_segments",
-    "t110_schema_evolution",
-    "t111_gap_filled_daily_revenue",
-    "t112_feature_hashing",
-    "t113_brand_price_stats",
-    "t115_segment_priority_ranks",
-    "t116_dead_letter_ingest",
-    "t117_bucketed_distinct_suppliers",
-    "t118_unpivoted_pricing_metrics",
-    "t119_pysource_word_count",
-    "t02_grep",
-    "t03_identity",
-    "t21_ngram_jaccard_pairs",
 )
+
+#: window size — the external harness checks the FIRST 50 queries() keys.
+WINDOW_SIZE: int = 50
+
+
+def _correctness_last_checked() -> dict[str, int]:
+    """Per-query last driver-checked round, unioned over the committed
+    ``CORRECTNESS_r*.json`` history at the repo root. Empty dict when no
+    history exists (fresh clone → everything is never-checked and the
+    window falls back to pure registration order)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(_re.search(r"r(\d+)", _os.path.basename(f)).group(1))
+        try:
+            with open(f) as fh:
+                names = _json.load(fh)
+        except (OSError, ValueError):
+            continue  # a torn/partial artifact must not break import
+        for name in names:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _compose_driver_window() -> tuple[str, ...]:
+    """Derive the round's first-50 driver window from the committed
+    correctness history — SELF-ROTATING, never hand-maintained (the r7/r8
+    rounds both went red at the round boundary because a hand-pasted
+    window was one rotation behind the freshly landed CORRECTNESS file;
+    deriving it at import makes that alarm structurally impossible).
+
+    Policy (unchanged from the r7/r8 hand rotation, now executable):
+      * 3 fixed canaries first (:data:`WINDOW_CANARIES`);
+      * never-driver-checked oracle-bearing entries next, registration
+        order (evidence debt beats staleness);
+      * then the stalest oracle-bearing entries by union last-checked
+        round, ties broken by registration order, until the window holds
+        :data:`WINDOW_SIZE`;
+      * rows-only and retired specs excluded — a slot can never buy them
+        a hash row (invariant twins rotate on their own merits).
+
+    At this call site ``REGISTRY`` insertion order IS registration order
+    (``_apply_driver_window`` has not reordered it yet), so the tie-break
+    needs no source parsing. ``tools/window_planner.py`` remains the
+    debugging view (prints the composed window / verifies it)."""
+    last = _correctness_last_checked()
+    reg = list(REGISTRY)  # registration order — see docstring
+    order = {n: i for i, n in enumerate(reg)}
+    oracle_bearing = [
+        n
+        for n in reg
+        if REGISTRY[n].oracle is not None
+        and not REGISTRY[n].retired
+        and n not in WINDOW_CANARIES
+    ]
+    never = [n for n in oracle_bearing if n not in last]
+    stale = sorted(
+        (n for n in oracle_bearing if n in last),
+        key=lambda n: (last[n], order[n]),
+    )
+    return tuple((list(WINDOW_CANARIES) + never + stale)[:WINDOW_SIZE])
+
+
+#: first-50 window, in the order the driver will check them — computed at
+#: import from the committed CORRECTNESS history (see
+#: :func:`_compose_driver_window`). With 47 rotating slots over the
+#: oracle-bearing registry, every entry is re-provable within 5 rounds;
+#: tests/test_registry_contract.py asserts that budget against the
+#: recorded history (test_staleness_budget) and that this tuple is
+#: exactly the policy output (test_window_is_policy_output).
+DRIVER_WINDOW: tuple[str, ...] = _compose_driver_window()
 
 
 def _apply_driver_window() -> None:

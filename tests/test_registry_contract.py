@@ -145,6 +145,83 @@ def test_staleness_budget():
     assert len(never) <= 47, f"never-checked backlog outgrew one window: {never}"
 
 
+def test_window_is_policy_output():
+    """The committed DRIVER_WINDOW must BE the rotation policy's output —
+    since r9 it is computed at import (_compose_driver_window), so this
+    guards against someone reintroducing a hand-pasted literal that can
+    drift one rotation behind the correctness history (the exact failure
+    that red-ed the tree at the r7 and r8 round boundaries)."""
+    from mapreduce_google_spark.queries import (
+        DRIVER_WINDOW,
+        _compose_driver_window,
+    )
+
+    assert list(DRIVER_WINDOW) == list(_compose_driver_window())
+
+
+def test_rotation_survives_future_round_boundaries():
+    """Simulate TEN future round boundaries: at each one the current
+    window lands as that round's CORRECTNESS artifact, the window
+    recomposes from the updated history, and the staleness budget must
+    hold. This is the structural proof that the self-rotating window
+    ends the every-round-red alarm: no reachable history state can push
+    an oracle-bearing entry past the budget, because stalest-first
+    rotation always schedules the at-risk cohort next."""
+    import copy
+
+    from mapreduce_google_spark import queries as q
+
+    last = copy.deepcopy(q._correctness_last_checked())
+    assert last, "no correctness history found"
+    current = max(last.values()) + 1
+    reg = list(REGISTRY)
+    order = {n: i for i, n in enumerate(reg)}
+    oracle_bearing = [
+        n
+        for n in reg
+        if REGISTRY[n].oracle is not None
+        and not REGISTRY[n].retired
+        and n not in q.WINDOW_CANARIES
+    ]
+    budget = -(-len(oracle_bearing) // (q.WINDOW_SIZE - len(q.WINDOW_CANARIES)))
+    for rnd in range(current, current + 10):
+        never = [n for n in oracle_bearing if n not in last]
+        stale = sorted(
+            (n for n in oracle_bearing if n in last),
+            key=lambda n: (last[n], order[n]),
+        )
+        window = (list(q.WINDOW_CANARIES) + never + stale)[: q.WINDOW_SIZE]
+        for name in window:  # the driver checks the window → evidence lands
+            last[name] = rnd
+        over = [
+            f"{n} (last r{last[n]}, staleness {rnd + 1 - last[n]})"
+            for n in oracle_bearing
+            if n in last and rnd + 1 - last[n] > budget
+        ]
+        assert not over, f"round r{rnd} boundary would alarm: {over}"
+
+
+def test_readme_registry_counts():
+    """README's registry-capacity numbers must equal the live registry —
+    they drifted twice (r7, r8 verdicts both flagged it); now they are
+    pinned. When this fires, update the three README lines."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "README.md")) as fh:
+        readme = fh.read()
+    total = len(REGISTRY)
+    active = sum(1 for s in REGISTRY.values() if not s.retired)
+    oracle_active = sum(
+        1 for s in REGISTRY.values() if s.oracle is not None and not s.retired
+    )
+    headroom = 3 + 47 * 5 - oracle_active
+    retired = total - active
+    assert f"{total} QuerySpecs ({active} active + {retired} retired" in readme
+    assert f"{oracle_active}/{active} active queries are oracle-checked" in readme
+    assert f"headroom: 238 − {oracle_active} = {headroom}" in readme
+
+
 def test_oracles_are_nonvacuous_at_driver_scale():
     """Every oracle must return rows at sf0.01 (the driver's gate
     scale) — a hash match between two empty results proves nothing, and
