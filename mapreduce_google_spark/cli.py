@@ -567,7 +567,17 @@ def main(argv: list[str] | None = None) -> int:
                 "postings": spark.read.parquet(idx_dir).count(),
             }
             if args.lookup:
-                keys = [int(k) for k in args.lookup.split(",") if k.strip()]
+                # int when the token parses, else the raw string —
+                # point_lookup's isin() handles the column's native type,
+                # so a string-typed key column must not die in int() here
+                # (ADVICE r8)
+                def _key(k: str):
+                    try:
+                        return int(k)
+                    except ValueError:
+                        return k
+
+                keys = [_key(k) for k in args.lookup.split(",") if k.strip()]
                 rec["lookup_keys"] = keys
                 rec["rows"] = point_lookup(
                     spark, args.input, args.key, keys

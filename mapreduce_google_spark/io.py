@@ -652,18 +652,40 @@ def _dir_bytes(d: str) -> int:
     )
 
 
+def dv_anti_join(df: DataFrame, dv_dir: str) -> DataFrame:
+    """Size-guarded deletion-vector anti-join, shared by every
+    merge-on-read path (:func:`read_with_deletes` and the point-index
+    lookup — ADVICE r8 flagged the lookup hard-coding its own broadcast
+    and bypassing this guard). ``df`` must already carry the
+    ``_file``/``_row_index`` coordinate columns. While the sidecar is
+    metadata-sized (the design point) the anti-join is forced broadcast;
+    past ``DV_BROADCAST_MAX_BYTES`` on disk the hint is dropped so Spark
+    shuffles instead of OOMing the driver building a giant hash table —
+    a delete-heavy table at that size should be compacted
+    (:func:`apply_deletes`), and the reader warns so."""
+    spark = df.sparkSession
+    dv = spark.read.parquet(dv_dir).select("_file", "_row_index")
+    if _dir_bytes(dv_dir) <= DV_BROADCAST_MAX_BYTES:
+        dv = F.broadcast(dv)
+    else:
+        import warnings
+
+        warnings.warn(
+            f"deletion sidecar at {dv_dir} exceeds "
+            f"{DV_BROADCAST_MAX_BYTES >> 20} MiB — using a shuffled "
+            "anti-join; run apply_deletes() to compact",
+            stacklevel=2,
+        )
+    return df.join(dv, ["_file", "_row_index"], "left_anti")
+
+
 def read_with_deletes(
     spark: SparkSession, path: str, _keep_coords: bool = False
 ) -> DataFrame:
     """Read the parquet table at ``path`` with its deletion vectors
     applied: rows whose (file, row_index) coordinates appear in the
-    ``_deletes`` sidecar are filtered out by an anti-join
-    (merge-on-read). While the sidecar is metadata-sized (the design
-    point) the anti-join is forced broadcast; past
-    ``DV_BROADCAST_MAX_BYTES`` on disk the hint is dropped so Spark
-    shuffles instead of OOMing the driver building a giant hash table —
-    a delete-heavy table at that size should be compacted
-    (:func:`apply_deletes`), and the reader warns so."""
+    ``_deletes`` sidecar are filtered out by :func:`dv_anti_join`
+    (merge-on-read)."""
     df = spark.read.parquet(path).select(
         "*",
         F.col("_metadata.file_path").alias("_file"),
@@ -671,19 +693,7 @@ def read_with_deletes(
     )
     dv_dir = _deletes_dir(path)
     if os.path.exists(dv_dir):
-        dv = spark.read.parquet(dv_dir).select("_file", "_row_index")
-        if _dir_bytes(dv_dir) <= DV_BROADCAST_MAX_BYTES:
-            dv = F.broadcast(dv)
-        else:
-            import warnings
-
-            warnings.warn(
-                f"deletion sidecar at {dv_dir} exceeds "
-                f"{DV_BROADCAST_MAX_BYTES >> 20} MiB — using a shuffled "
-                "anti-join; run apply_deletes() to compact",
-                stacklevel=2,
-            )
-        df = df.join(dv, ["_file", "_row_index"], "left_anti")
+        df = dv_anti_join(df, dv_dir)
     return df if _keep_coords else df.drop("_file", "_row_index")
 
 
