@@ -15,6 +15,11 @@ guarded code path (test_upsert.test_moved_key_guard).
 
 Determinism: derandomize=True replays the same sequence corpus every
 run (the test_property_fuzz settings).
+
+A second fuzz (test_point_index_matches_model_through_dml) runs the
+FLAT-table verb set — file append, DV delete, compaction — interleaved
+with indexed point lookups, proving the secondary index composes with
+every DML interleaving (VERDICT r8 item 6).
 """
 
 from __future__ import annotations
@@ -95,6 +100,96 @@ def test_dml_sequence_matches_model(spark, tmp_path_factory, ops):
         for r in read_with_deletes(spark, path).collect()
     }
     assert got == {k: (_home(k), v) for k, v in state.items()}, f"ops={ops}"
+
+
+#: flat-table fuzz ops (the point index refuses hive layouts by design —
+#: scale.refresh_point_index — so its interaction surface is the
+#: FLAT-table DML triad: file append, DV delete, compaction), each
+#: followed by an indexed lookup verb that must match the model.
+_append_rows = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(100, 999)),
+    min_size=1,
+    max_size=3,
+)
+_flat_op = st.one_of(
+    st.tuples(st.just("append"), _append_rows),
+    st.tuples(st.just("delete"), st.sampled_from([2, 3, 5]), st.integers(0, 2)),
+    st.tuples(st.just("compact")),
+    st.tuples(
+        st.just("lookup"),
+        st.lists(st.sampled_from(KEYS), min_size=1, max_size=3, unique=True),
+    ),
+)
+
+
+@given(ops=st.lists(_flat_op, min_size=2, max_size=6))
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_point_index_matches_model_through_dml(spark, tmp_path_factory, ops):
+    """VERDICT r8 item 6: the point index is the most interaction-prone
+    surface after the DML triad itself — refresh-after-delete/compact,
+    vanished-file postings, DV composition through the lookup path. Every
+    random interleaving of append / DV-delete / compact must leave
+    point_lookup agreeing with a plain Python multiset model (appends of
+    an existing key legitimately duplicate it — a flat table has no merge
+    semantics, so the model tracks {k: [v, ...]})."""
+    from mapreduce_google_spark.operators.scale import (
+        point_lookup,
+        refresh_point_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("idxfuzz") / "tbl")
+    base = [(k, float(k)) for k in KEYS]
+    spark.createDataFrame(base, "k long, v double").repartition(4, "k").write.parquet(
+        path
+    )
+    state: dict[int, list[float]] = {k: [v] for k, v in base}
+
+    def _check(probe: list[int]) -> None:
+        import glob as _glob
+        import os as _os
+
+        import pytest
+
+        if not _glob.glob(_os.path.join(path, "*.parquet")):
+            # every data file compacted away — the index must refuse
+            # clearly, and the model agrees the table is empty
+            assert not any(state.values())
+            with pytest.raises(ValueError, match="no parquet files"):
+                refresh_point_index(spark, path, "k")
+            return
+        got = sorted(
+            (r["k"], r["v"]) for r in point_lookup(spark, path, "k", probe).collect()
+        )
+        want = sorted((k, v) for k in probe for v in state.get(k, []))
+        assert got == want, f"probe={probe} ops={ops}"
+
+    for op in ops:
+        if op[0] == "append":
+            rows = [(k, float(v)) for k, v in op[1]]
+            spark.createDataFrame(rows, "k long, v double").coalesce(
+                1
+            ).write.mode("append").parquet(path)
+            for k, v in rows:
+                state.setdefault(k, []).append(v)
+        elif op[0] == "delete":
+            _, mod, residue = op
+            delete_where(spark, path, F.col("k") % mod == residue)
+            for k in list(state):
+                if k % mod == residue:
+                    state[k] = []
+        elif op[0] == "compact":
+            apply_deletes(spark, path)
+        else:
+            _check(op[1])
+    _check(KEYS)
 
 
 def test_upsert_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
