@@ -1303,22 +1303,11 @@ def manifest_pruned_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def snapshot_version_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T228 — time travel over a versioned table: totals per retained
-    snapshot version of the daily events table (v1 = as ingested, v2 =
-    after the t225 corrections merge).
-
-    The snapshot store (``io.versioned_write`` / ``io.read_snapshot``)
-    keeps each version as an immutable ``v=N`` directory published by an
-    atomic manifest swap — Delta/Iceberg time travel reduced to its two
-    load-bearing properties (immutable data files + tiny commit
-    metadata), so "query yesterday's table" is a manifest lookup, never
-    a restore. Readers pin a version; writers never mutate published
-    files — at 100 TB that's what makes concurrent backfill + serving
-    safe. Oracle: v1 totals from the raw source, v2 totals from the
-    relationally-derived merge.
-    """
-    from mapreduce_google_spark.io import list_versions, read_snapshot, versioned_write
+def _events_snapshot_root(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the two-version events snapshot chain exists (v1 = as
+    ingested, v2 = after the t225 corrections merge) and return its
+    root. Shared by time travel (t228) and cross-snapshot IVM (t239)."""
+    from mapreduce_google_spark.io import list_versions, versioned_write
 
     tag = _tag(sf_dir, "events")
     root = f"/tmp/mgs_events_snapshots_{tag}_o{UPSERT_INSERT_OFFSET}"
@@ -1335,6 +1324,27 @@ def snapshot_version_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             versioned_write(ev, root)      # v1: as ingested
         if len(list_versions(root)) == 1:
             versioned_write(merged, root)  # v2: after corrections
+    return root
+
+
+def snapshot_version_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T228 — time travel over a versioned table: totals per retained
+    snapshot version of the daily events table (v1 = as ingested, v2 =
+    after the t225 corrections merge).
+
+    The snapshot store (``io.versioned_write`` / ``io.read_snapshot``)
+    keeps each version as an immutable ``v=N`` directory published by an
+    atomic manifest swap — Delta/Iceberg time travel reduced to its two
+    load-bearing properties (immutable data files + tiny commit
+    metadata), so "query yesterday's table" is a manifest lookup, never
+    a restore. Readers pin a version; writers never mutate published
+    files — at 100 TB that's what makes concurrent backfill + serving
+    safe. Oracle: v1 totals from the raw source, v2 totals from the
+    relationally-derived merge.
+    """
+    from mapreduce_google_spark.io import list_versions, read_snapshot
+
+    root = _events_snapshot_root(spark, sf_dir)
     frames = []
     for v in list_versions(root)[:2]:
         frames.append(
@@ -2138,5 +2148,118 @@ def maintained_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("sum_value"),
         )
+        .orderBy("day")
+    )
+
+
+def _ivm_chain_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the cross-snapshot IVM artifacts exist and return their
+    root: ``view_v1/`` (the materialized per-day aggregate of snapshot
+    v1, exact-decimal sums) and ``cdc/`` (the v1→v2 change feed from
+    :func:`snapshot_diff`, CHANGED ROWS ONLY — delta-sized, carrying
+    old/new day+value). Both derive from the t228 snapshot chain
+    (:func:`_events_snapshot_root`), so t228/t239 share one ensure
+    artifact per corpus."""
+    from mapreduce_google_spark.io import read_snapshot
+
+    tag = _tag(sf_dir, "events")
+    root = f"/tmp/mgs_ivm_chain_{tag}_o{UPSERT_INSERT_OFFSET}"
+    view_dir = os.path.join(root, "view_v1")
+    cdc_dir = os.path.join(root, "cdc")
+    if os.path.exists(os.path.join(view_dir, "_SUCCESS")) and os.path.exists(
+        os.path.join(cdc_dir, "_SUCCESS")
+    ):
+        return root
+    snap_root = _events_snapshot_root(spark, sf_dir)
+    v1 = read_snapshot(spark, snap_root, version=1)
+    v2 = read_snapshot(spark, snap_root, version=2)
+    (
+        v1.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+        .coalesce(1)  # per-day view: O(days) rows, metadata-sized
+        .write.mode("overwrite")
+        .parquet(view_dir)
+    )
+    (
+        snapshot_diff(
+            v1,
+            v2,
+            ["event_id"],
+            ["day", "value"],
+            carry_old=("day", "value"),
+            carry_new=("day", "value"),
+        )
+        .where(F.col("change_type") != "unchanged")
+        .write.mode("overwrite")
+        .parquet(cdc_dir)
+    )
+    return root
+
+
+def chain_maintained_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T239 — incremental view maintenance across the SNAPSHOT CHAIN:
+    the per-day (n_events, sum_value) view at snapshot v2, computed as
+    the materialized v1 view ⊕ the aggregated v1→v2 change feed — the
+    plan reads ONLY the tiny view table and the delta-sized CDC feed,
+    never v1, never v2, never the source events (no-rescan plan-gated in
+    ``tests/test_ivm.py``).
+
+    This is t238 generalized onto the real CDC path (VERDICT r8 item 7):
+    t238's delta was derived arithmetically from the known corrections
+    rule; here the delta is :func:`snapshot_diff`'s row-level change
+    feed between two published ``versioned_write`` snapshots, so the
+    maintenance algebra is certified against what the lakehouse actually
+    records. Each CDC row contributes in retract/assert form — a delete
+    or the old half of an update retracts (−value, −1 row) on its old
+    day, an insert or the new half of an update asserts (+value, +1 row)
+    on its new day — so updates that MOVE a row across group keys
+    maintain correctly, the property the single-coalesced-day shortcut
+    would silently break. Groups whose maintained count reaches zero are
+    retracted entirely (standard IVM). At 100 TB: the nightly view
+    refresh costs O(days + |changes|), not O(corpus) — the same reason
+    the sketch tables (t232–t234) and streaming merges never re-scan.
+    Oracle: DuckDB recomputes the v2 view from the relationally-merged
+    table, identical semantics to t238's oracle by construction.
+    """
+    root = _ivm_chain_dir(spark, sf_dir)
+    view = spark.read.parquet(os.path.join(root, "view_v1"))
+    cdc = spark.read.parquet(os.path.join(root, "cdc"))
+    retract = cdc.where(F.col("old_day").isNotNull()).select(
+        F.col("old_day").alias("day"),
+        (-F.col("old_value").cast("decimal(12,2)")).alias("dv"),
+        F.lit(-1).cast("long").alias("dn"),
+    )
+    assert_ = cdc.where(F.col("new_day").isNotNull()).select(
+        F.col("new_day").alias("day"),
+        F.col("new_value").cast("decimal(12,2)").alias("dv"),
+        F.lit(1).cast("long").alias("dn"),
+    )
+    delta = (
+        retract.unionByName(assert_)
+        .groupBy("day")
+        .agg(F.sum("dv").alias("d_sum"), F.sum("dn").alias("d_n"))
+    )
+    return (
+        view.join(F.broadcast(delta), ["day"], "full_outer")
+        .select(
+            "day",
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_events"),
+            F.round(
+                (
+                    F.coalesce(
+                        F.col("sum_value"), F.lit(0).cast("decimal(12,2)")
+                    )
+                    + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(12,2)"))
+                ).cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+        .where(F.col("n_events") > 0)  # retract emptied groups
         .orderBy("day")
     )

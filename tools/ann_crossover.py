@@ -59,9 +59,10 @@ def main() -> int:
     for n in PROBE_COUNTS:
         row = {"probes": n}
         exact_sets = None
-        # the 1000-probe brute scan is minutes per rep — one rep there,
-        # spreads from the cheaper points
-        reps = N_REPS if n <= 100 else 1
+        # full replicates everywhere — the r8 artifact's 1000-probe row
+        # was n=1 with a degenerate spread (VERDICT r8 item 5); minutes
+        # per rep is the price of a non-degenerate conclusion
+        reps = N_REPS
         for label, builder in (("brute", cosine_topk), ("ivf", ivf_topk)):
             walls = []
             sets = None

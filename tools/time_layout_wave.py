@@ -39,7 +39,10 @@ WAVE = [
     "t232_rolling_distinct_users_hll",
     "t233_weekly_retention_theta",
     "t234_order_price_quantiles_kll",
+    "t235_variant_props_stats",
+    "t236_org_subtree_rollup",
     "t237_indexed_point_lookup",
+    "t238_maintained_daily_revenue",
 ]
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
