@@ -2199,34 +2199,20 @@ def _ivm_chain_dir(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def chain_maintained_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T239 — incremental view maintenance across the SNAPSHOT CHAIN:
-    the per-day (n_events, sum_value) view at snapshot v2, computed as
-    the materialized v1 view ⊕ the aggregated v1→v2 change feed — the
-    plan reads ONLY the tiny view table and the delta-sized CDC feed,
-    never v1, never v2, never the source events (no-rescan plan-gated in
-    ``tests/test_ivm.py``).
+def maintain_view_with_cdc(view: DataFrame, cdc: DataFrame) -> DataFrame:
+    """Apply a :func:`snapshot_diff` change feed to a materialized
+    per-day (n_events, sum_value) aggregate view — the retract/assert
+    IVM algebra shared by t239 and unit-tested in isolation
+    (``tests/test_ivm.py::test_chain_algebra_moves_groups_and_retracts``
+    feeds it synthetic group-moving updates and emptied groups).
 
-    This is t238 generalized onto the real CDC path (VERDICT r8 item 7):
-    t238's delta was derived arithmetically from the known corrections
-    rule; here the delta is :func:`snapshot_diff`'s row-level change
-    feed between two published ``versioned_write`` snapshots, so the
-    maintenance algebra is certified against what the lakehouse actually
-    records. Each CDC row contributes in retract/assert form — a delete
-    or the old half of an update retracts (−value, −1 row) on its old
-    day, an insert or the new half of an update asserts (+value, +1 row)
-    on its new day — so updates that MOVE a row across group keys
-    maintain correctly, the property the single-coalesced-day shortcut
-    would silently break. Groups whose maintained count reaches zero are
-    retracted entirely (standard IVM). At 100 TB: the nightly view
-    refresh costs O(days + |changes|), not O(corpus) — the same reason
-    the sketch tables (t232–t234) and streaming merges never re-scan.
-    Oracle: DuckDB recomputes the v2 view from the relationally-merged
-    table, identical semantics to t238's oracle by construction.
-    """
-    root = _ivm_chain_dir(spark, sf_dir)
-    view = spark.read.parquet(os.path.join(root, "view_v1"))
-    cdc = spark.read.parquet(os.path.join(root, "cdc"))
+    Each CDC row contributes in retract/assert form — a delete or the
+    old half of an update retracts (−value, −1 row) on its old day, an
+    insert or the new half of an update asserts (+value, +1 row) on its
+    new day — so updates that MOVE a row across group keys maintain
+    correctly, the property a single-coalesced-day shortcut would
+    silently break. Groups whose maintained count reaches zero are
+    retracted entirely (standard IVM)."""
     retract = cdc.where(F.col("old_day").isNotNull()).select(
         F.col("old_day").alias("day"),
         (-F.col("old_value").cast("decimal(12,2)")).alias("dv"),
@@ -2263,3 +2249,30 @@ def chain_maintained_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("n_events") > 0)  # retract emptied groups
         .orderBy("day")
     )
+
+
+def chain_maintained_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T239 — incremental view maintenance across the SNAPSHOT CHAIN:
+    the per-day (n_events, sum_value) view at snapshot v2, computed as
+    the materialized v1 view ⊕ the aggregated v1→v2 change feed — the
+    plan reads ONLY the tiny view table and the delta-sized CDC feed,
+    never v1, never v2, never the source events (no-rescan plan-gated by
+    ``tests/test_ivm.py::test_chain_maintenance_reads_only_view_and_cdc``).
+
+    This is t238 generalized onto the real CDC path (VERDICT r8 item 7):
+    t238's delta was derived arithmetically from the known corrections
+    rule; here the delta is :func:`snapshot_diff`'s row-level change
+    feed between two published ``versioned_write`` snapshots, so the
+    maintenance algebra (:func:`maintain_view_with_cdc`) is certified
+    against what the lakehouse actually records. At 100 TB: the nightly
+    view refresh costs O(days + |changes|), not O(corpus) — the same
+    reason the sketch tables (t232–t234) and streaming merges never
+    re-scan. Oracle: registered as ``t239_chain_maintained_daily_revenue``
+    in ``queries.py`` — DuckDB recomputes the v2 view from the
+    relationally-merged table, identical semantics to t238's oracle by
+    construction.
+    """
+    root = _ivm_chain_dir(spark, sf_dir)
+    view = spark.read.parquet(os.path.join(root, "view_v1"))
+    cdc = spark.read.parquet(os.path.join(root, "cdc"))
+    return maintain_view_with_cdc(view, cdc)

@@ -195,7 +195,8 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: search only the ``n_probe_cells`` cells whose
     centroids are closest to each probe. Rows-only for the driver;
-    ``tests/test_similarity.py`` measures recall vs :func:`cosine_topk`.
+    ``tests/test_approx_ops.py::test_ivf_recall`` measures recall vs
+    :func:`cosine_topk`.
 
     Honest scale accounting (benched next to exact t18, BENCH_sf1):
     at sf1 with the default 10 probes IVF is SLOWER than brute force
@@ -539,7 +540,8 @@ def kmeans_cluster_stats(
     count, mean/min cosine to the owned centroid.
 
     Rows-only for the driver (iterative fits aren't SQL-portable);
-    ``tests/test_similarity.py`` pins the invariants: full coverage,
+    ``tests/test_approx_ops.py::test_kmeans_clusters_invariants`` pins
+    the invariants: full coverage,
     determinism across runs, and that training improves mean
     assignment cosine over the untrained seed centroids.
     """

@@ -7013,6 +7013,53 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t239_chain_maintained_daily_revenue",
+        builder=scale_ops.chain_maintained_daily_revenue,
+        oracle="""
+            WITH src AS (
+                SELECT event_id, CAST(ts AS DATE) AS day, value FROM events
+            ),
+            corrections AS (
+                SELECT event_id, day, value + 1000 AS value
+                FROM src WHERE day = DATE '2024-01-02' AND event_id % 10 = 0
+            ),
+            inserts AS (
+                SELECT event_id + 1000000000, day, 1.0
+                FROM src WHERE day = DATE '2024-01-02' AND event_id % 17 = 0
+            ),
+            delta AS (
+                SELECT * FROM corrections UNION ALL SELECT * FROM inserts
+            ),
+            merged AS (
+                SELECT s.* FROM src s
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM delta d WHERE d.event_id = s.event_id
+                )
+                UNION ALL SELECT * FROM delta
+            )
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 6)
+                       AS sum_value
+            FROM merged GROUP BY day ORDER BY day
+        """,
+        doc="cross-snapshot incremental view maintenance: the snapshot-v2 "
+        "per-day (n_events, sum_value) view computed as the materialized "
+        "v1 view ⊕ the aggregated v1→v2 snapshot_diff change feed in "
+        "retract/assert form — the plan reads ONLY the tiny view table "
+        "and the delta-sized CDC feed, never v1, never v2, never the "
+        "source events (plan-gated in tests/test_ivm.py); t238's "
+        "maintenance algebra generalized onto the REAL CDC path, so "
+        "group-moving updates and emptied-group retraction maintain "
+        "correctly; the oracle recomputes the v2 view from the "
+        "relationally-merged table — identical to t238's oracle by "
+        "construction, because v2 IS the corrections merge",
+        tags=("lakehouse", "ivm", "cdc", "snapshot", "aggregation"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
@@ -7080,6 +7127,7 @@ EAGER_BUILD: frozenset[str] = frozenset(
         "t231_events_after_dv_delete",
         "t232_rolling_distinct_users_hll",
         "t237_indexed_point_lookup",  # hashed events copy + posting index
+        "t239_chain_maintained_daily_revenue",  # snapshot chain + view/CDC dirs
         # (stream) bounded streaming run inside the builder
         "t49_stream_dedup_counts",
         "t55_stream_event_pairs",

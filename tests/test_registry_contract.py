@@ -146,17 +146,76 @@ def test_staleness_budget():
 
 
 def test_window_is_policy_output():
-    """The committed DRIVER_WINDOW must BE the rotation policy's output —
-    since r9 it is computed at import (_compose_driver_window), so this
-    guards against someone reintroducing a hand-pasted literal that can
-    drift one rotation behind the correctness history (the exact failure
-    that red-ed the tree at the r7 and r8 round boundaries)."""
+    """Structural pin of the derived window, re-derived HERE from the
+    raw committed CORRECTNESS artifacts — not a tautological comparison
+    with _compose_driver_window evaluated from the same files (ADVICE
+    r9): a reintroduced hand-pasted literal AND a regression inside the
+    policy function both fail these assertions."""
+    import glob
+    import json
+    import os
+
     from mapreduce_google_spark.queries import (
         DRIVER_WINDOW,
-        _compose_driver_window,
+        WINDOW_CANARIES,
+        WINDOW_SIZE,
     )
 
-    assert list(DRIVER_WINDOW) == list(_compose_driver_window())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # independent read of the history (only COMMITTED artifacts count —
+    # the derived window must agree across checkouts of the same commit)
+    import subprocess
+
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=repo, capture_output=True, text=True,
+        ).stdout.split()
+    )
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for name in json.load(open(f)):
+            last[name] = max(last.get(name, 0), rnd)
+        assert os.path.basename(f) in tracked, (
+            f"{os.path.basename(f)} is untracked — the derived window "
+            "would differ between this tree and a fresh clone of HEAD"
+        )
+    assert last, "no correctness history found"
+
+    # shape: 50 unique names, canaries first
+    assert len(DRIVER_WINDOW) == WINDOW_SIZE
+    assert len(set(DRIVER_WINDOW)) == WINDOW_SIZE
+    assert DRIVER_WINDOW[: len(WINDOW_CANARIES)] == WINDOW_CANARIES
+
+    # eligibility: every slot is an active oracle-bearing spec
+    for name in DRIVER_WINDOW:
+        spec = REGISTRY[name]
+        assert spec.oracle is not None, f"rows-only spec in window: {name}"
+        assert not spec.retired, f"retired spec in window: {name}"
+
+    eligible = {
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None and not s.retired and n not in WINDOW_CANARIES
+    }
+    inside = [n for n in DRIVER_WINDOW if n not in WINDOW_CANARIES]
+    outside = eligible - set(inside)
+    # evidence debt beats staleness: a never-checked entry may never be
+    # left outside while a checked entry occupies a slot
+    if any(n not in last for n in outside):
+        assert all(n not in last for n in inside), (
+            "never-checked entries left outside while checked entries "
+            "hold window slots"
+        )
+    # stalest-first: every checked entry inside must be at least as
+    # stale as every checked entry left outside
+    checked_in = [last[n] for n in inside if n in last]
+    checked_out = [last[n] for n in outside if n in last]
+    if checked_in and checked_out:
+        assert max(checked_in) <= min(checked_out), (
+            "window holds a fresher entry than one left outside"
+        )
 
 
 def test_rotation_survives_future_round_boundaries():
@@ -274,3 +333,34 @@ def test_rotation_headroom():
     for name, spec in REGISTRY.items():
         if spec.retired:
             assert spec.oracle is not None, f"{name}: retired AND uncheckable"
+
+
+def test_claimed_test_references_exist():
+    """Every ``tests/xxx.py`` (optionally ``::test_name``) cited in
+    package source — docstrings claiming "plan-gated in tests/..." and
+    the like — must name a test file that exists and, when a specific
+    test is named, a function defined in it. Pins the r9 t239 failure
+    class (a docstring asserting a gate that was never written) forever
+    (VERDICT r9 item 8)."""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "mapreduce_google_spark")
+    ref = re.compile(r"(tests/[A-Za-z0-9_]+\.py)(::([A-Za-z0-9_]+))?")
+    problems = []
+    for src in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        text = open(src).read()
+        for m in ref.finditer(text):
+            # reference-repo citations ("reference ``tests/test_worker_08
+            # .py:249``") describe the OTHER repo's tests — not ours
+            if "eference" in text[max(0, m.start() - 250) : m.start()]:
+                continue
+            path = os.path.join(repo, m.group(1))
+            if not os.path.exists(path):
+                problems.append(f"{src}: cites missing {m.group(1)}")
+            elif m.group(3) and f"def {m.group(3)}(" not in open(path).read():
+                problems.append(
+                    f"{src}: cites {m.group(1)}::{m.group(3)} which is not defined"
+                )
+    assert not problems, "\n".join(problems)
