@@ -195,3 +195,143 @@ def test_index_survives_delete_and_compaction(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in kept.collect()} == {
         (4, 12), (14, 42), (24, 72)
     }
+
+
+def _index_file_states(idx_dir: str) -> dict[str, tuple[int, int]]:
+    return {
+        f: (os.stat(f).st_mtime_ns, os.path.getsize(f))
+        for f in glob.glob(os.path.join(idx_dir, "*.parquet"))
+    }
+
+
+def _append_source_file(spark, path: str, rows, schema: str, name: str) -> str:
+    tmp = path + f"_stage_{name}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+    dest = os.path.join(path, f"part-{name}.parquet")
+    os.rename(part, dest)
+    return dest
+
+
+def test_append_refresh_rewrites_no_prior_index_file(spark, tmp_path):
+    """The LSM contract (VERDICT r9 item 2): appending one small source
+    file to a large indexed table must write ONLY a new delta segment —
+    no pre-existing index byte is rewritten (compared by mtime+size),
+    and lookups keep answering exactly across old and new segments."""
+    import json
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 10_000, 16)
+    idx_dir = refresh_point_index(spark, path, "k")
+    before = _index_file_states(idx_dir)
+    assert before
+
+    _append_source_file(spark, path, [(20_001, 7)], "k long, v long", "a")
+    refresh_point_index(spark, path, "k")
+    after = _index_file_states(idx_dir)
+    # every prior index file survives byte-identical...
+    for f, st in before.items():
+        assert after.get(f) == st, f"pre-existing index file rewritten: {f}"
+    # ...and the delta segment is new files on top
+    assert set(after) > set(before)
+    sidecar = json.load(open(os.path.join(idx_dir, "_covered_files.json")))
+    assert sidecar["segments"] == 2
+    # lookups span segments: an old key and the appended key both answer
+    got = {
+        (r["k"], r["v"])
+        for r in point_lookup(spark, path, "k", [123, 20_001]).collect()
+    }
+    assert got == {(123, 369), (20_001, 7)}
+
+
+def test_segment_budget_triggers_compaction(spark, tmp_path):
+    """Per-refresh delta segments accumulate until compact_after, then
+    one merge rewrites the index into a single sorted generation — the
+    O(index) rewrite is paid once per budget, not per refresh."""
+    import json
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    idx_dir = refresh_point_index(spark, path, "k", compact_after=3)
+    flist = os.path.join(idx_dir, "_covered_files.json")
+
+    _append_source_file(spark, path, [(50_001, 1)], "k long, v long", "s1")
+    refresh_point_index(spark, path, "k", compact_after=3)
+    assert json.load(open(flist))["segments"] == 2
+
+    _append_source_file(spark, path, [(50_002, 2)], "k long, v long", "s2")
+    refresh_point_index(spark, path, "k", compact_after=3)
+    assert json.load(open(flist))["segments"] == 3
+
+    # the 4th segment would exceed the budget -> full compaction
+    _append_source_file(spark, path, [(50_003, 3)], "k long, v long", "s3")
+    refresh_point_index(spark, path, "k", compact_after=3)
+    assert json.load(open(flist))["segments"] == 1
+    # all postings survive the merge, exactly once
+    idx = spark.read.parquet(idx_dir)
+    assert idx.count() == 1_003
+    assert idx.groupBy("key", "file").count().where("count > 1").count() == 0
+    got = {
+        (r["k"], r["v"])
+        for r in point_lookup(
+            spark, path, "k", [50_001, 50_002, 50_003, 500]
+        ).collect()
+    }
+    assert got == {(50_001, 1), (50_002, 2), (50_003, 3), (500, 1_500)}
+
+
+def test_vanished_source_file_forces_compaction(spark, tmp_path):
+    """Replaced source files (compaction/rewrite upstream) must drop
+    their postings — the LSM append path can't express a delete, so a
+    vanished file routes the refresh through the compact path."""
+    import json
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    idx_dir = refresh_point_index(spark, path, "k")
+    dest = _append_source_file(spark, path, [(60_001, 9)], "k long, v long", "v1")
+    refresh_point_index(spark, path, "k")
+    assert json.load(open(os.path.join(idx_dir, "_covered_files.json")))[
+        "segments"
+    ] == 2
+
+    os.remove(dest)
+    refresh_point_index(spark, path, "k")
+    assert json.load(open(os.path.join(idx_dir, "_covered_files.json")))[
+        "segments"
+    ] == 1
+    assert (
+        spark.read.parquet(idx_dir).where(F.col("key") == 60_001).count() == 0
+    )
+    assert point_lookup(spark, path, "k", [60_001]).count() == 0
+
+
+def test_mixed_type_lookup_keys_never_raise_or_silently_miss(spark, tmp_path):
+    """ADVICE r9: the CLI's int-when-it-parses fallback can hand
+    point_lookup a mixed [str, int] key list. min() over it raised
+    TypeError, and an int probed against a string column NULLed the
+    manifest envelope comparisons (every file pruned, silent empty).
+    Keys are now coerced to the key column's type."""
+    path = str(tmp_path / "stbl")
+    (
+        spark.createDataFrame(
+            [(f"doc-{i:05d}", i) for i in range(500)], "k string, v long"
+        )
+        .repartition(4, "k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # mixed [str, int] probes against a STRING column: 17 coerces to "17"
+    # (matches nothing), doc-00042 must still be found
+    got = point_lookup(spark, path, "k", ["doc-00042", 17]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("doc-00042", 42)]
+
+    # string garbage against an INT column: dropped, never a cast error
+    ipath = str(tmp_path / "itbl")
+    _write_hashed(spark, ipath, 500, 4)
+    got = point_lookup(spark, ipath, "k", ["doc-00042", "123", 7]).collect()
+    assert {(r["k"], r["v"]) for r in got} == {(123, 369), (7, 21)}
+    # all-uncastable probe set: provably empty, zero files read
+    assert point_lookup(spark, ipath, "k", ["x", "y"]).count() == 0
