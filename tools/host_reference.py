@@ -1,0 +1,100 @@
+"""Same-host bench drift reference (VERDICT r8/r9 discipline, now
+structural): re-bench the PREVIOUS round's tip on the CURRENT host right
+next to the current tree, so round-over-round bench deltas are
+attributable by measurement instead of host-noise inference.
+
+Usage: python tools/host_reference.py [--out BENCH_host_reference_rNN.json]
+
+Finds the previous round's end-of-round commit (the driver's
+"round N: verdict/..." commit), checks it out into a throwaway git
+worktree, runs its bench.py, runs the current tree's bench.py, and
+writes a comparison artifact. Run from round_gate.sh step 4 — on a
+quiet host, after the suite, so both runs see the same conditions.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WT = "/tmp/mgs_prev_tip_worktree"
+
+
+def _run(cmd: list[str], cwd: str = REPO) -> str:
+    return subprocess.run(
+        cmd, cwd=cwd, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _bench(cwd: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "bench.py"], cwd=cwd, capture_output=True, text=True
+    )
+    for line in out.stdout.splitlines():
+        if '"metric"' in line:
+            return json.loads(line)
+    raise RuntimeError(f"no bench line from {cwd}:\n{out.stdout}\n{out.stderr}")
+
+
+def main() -> int:
+    this_round = 1 + max(
+        int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    out_path = os.path.join(REPO, f"BENCH_host_reference_r{this_round}.json")
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
+    prev_tip = _run(
+        ["git", "rev-list", "-1", "--grep", "^round [0-9]*: verdict", "HEAD"]
+    ).strip()
+    if not prev_tip:
+        print("no previous round tip found — skipping", file=sys.stderr)
+        return 0
+    subprocess.run(
+        ["git", "worktree", "remove", "--force", WT],
+        cwd=REPO, capture_output=True,
+    )
+    _run(["git", "worktree", "add", "--detach", WT, prev_tip])
+    try:
+        prev = _bench(WT)
+        cur = _bench(REPO)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", WT],
+            cwd=REPO, capture_output=True,
+        )
+    drift = {
+        q: {
+            "prev_tip": prev["queries"].get(q),
+            "current": cur["queries"].get(q),
+        }
+        for q in sorted(set(prev["queries"]) | set(cur["queries"]))
+    }
+    artifact = {
+        "what": (
+            f"same-host drift reference for r{this_round}: the "
+            f"r{this_round - 1} tip ({prev_tip[:7]}) re-benched on the "
+            f"r{this_round} host back-to-back with the current tree, so "
+            "round-over-round totals compare like-with-like"
+        ),
+        "prev_tip_commit": prev_tip[:7],
+        "prev_tip_total_on_this_host": prev["value"],
+        "current_tree_total_on_this_host": cur["value"],
+        "per_query": drift,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(
+        f"prev tip {prev['value']}s vs current {cur['value']}s -> {out_path}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -4,18 +4,24 @@
 # 1. full pytest suite
 # 2. exact driver-window replay at sf0.01 (what CORRECTNESS_rNN checks)
 # 3. headline bench at sf0.1 (what BENCH_rNN records)
+# 4. same-host drift reference: previous round's tip re-benched next to
+#    the current tree (writes BENCH_host_reference_rNN.json) — makes
+#    round-over-round bench deltas measurable, not host-noise inference
 # Exits nonzero on the first failure.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/3 pytest =="
+echo "== 1/4 pytest =="
 python -m pytest tests/ -q
 
-echo "== 2/3 driver window replay (sf0.01) =="
+echo "== 2/4 driver window replay (sf0.01) =="
 python tools/driver_sim.py --window --json /tmp/CORRECTNESS_local.json \
     2>/dev/null | tail -3
 
-echo "== 3/3 bench (sf0.1) =="
+echo "== 3/4 bench (sf0.1) =="
 python bench.py 2>/dev/null | grep '"metric"'
+
+echo "== 4/4 same-host drift reference =="
+python tools/host_reference.py
 
 echo "ROUND GATE: all green"

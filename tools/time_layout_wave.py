@@ -43,6 +43,7 @@ WAVE = [
     "t236_org_subtree_rollup",
     "t237_indexed_point_lookup",
     "t238_maintained_daily_revenue",
+    "t239_chain_maintained_daily_revenue",
 ]
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
@@ -57,6 +58,7 @@ def clear_wave_tmp() -> None:
         "/tmp/mgs_events_dv_*",
         "/tmp/mgs_hll_daily_*",
         "/tmp/mgs_events_hashed_*",
+        "/tmp/mgs_ivm_chain_*",
     ):
         for d in glob.glob(pat):
             shutil.rmtree(d, ignore_errors=True)
