@@ -1862,7 +1862,7 @@ def refresh_point_index(
     path: str,
     key_col: str,
     index_partitions: int | None = None,
-    compact_after: int = INDEX_COMPACT_SEGMENTS,
+    compact_after: int | None = None,
 ) -> str:
     """Build or INCREMENTALLY refresh the persisted secondary index of
     the parquet table at ``path`` on ``key_col``: a posting table of
@@ -1911,6 +1911,11 @@ def refresh_point_index(
     import glob
     import json as _json
 
+    if compact_after is None:
+        # late-bound so tests (and operators wired through point_lookup,
+        # which can't thread the knob) can tighten the budget by
+        # monkeypatching the module constant
+        compact_after = INDEX_COMPACT_SEGMENTS
     idx_dir = os.path.join(path, f"_pointidx_{key_col}")
     if glob.glob(os.path.join(path, "*=*/")):
         raise ValueError(

@@ -209,3 +209,64 @@ def test_upsert_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
         (r["k"], r["p"], r["v"]) for r in read_with_deletes(spark, path).collect()
     )
     assert got == [(2, "a", 99.0), (3, "b", 3.0)]
+
+
+@given(ops=st.lists(_flat_op, min_size=3, max_size=6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_point_index_matches_model_with_tight_compaction_budget(
+    spark, tmp_path_factory, monkeypatch, ops
+):
+    """The LSM variant of the index fuzz: with INDEX_COMPACT_SEGMENTS
+    tightened to 2, almost every second append crosses the compaction
+    boundary, so random interleavings exercise append-segment creation,
+    budget-triggered merges, AND vanished-file forced compactions in one
+    sequence — the three refresh paths the deterministic tests prove in
+    isolation."""
+    from mapreduce_google_spark.operators import scale
+    from mapreduce_google_spark.operators.scale import point_lookup
+
+    monkeypatch.setattr(scale, "INDEX_COMPACT_SEGMENTS", 2)
+
+    path = str(tmp_path_factory.mktemp("lsmfuzz") / "tbl")
+    base = [(k, float(k)) for k in KEYS]
+    spark.createDataFrame(base, "k long, v double").repartition(4, "k").write.parquet(
+        path
+    )
+    state: dict[int, list[float]] = {k: [v] for k, v in base}
+    for op in ops:
+        if op[0] == "append":
+            rows = [(k, float(v)) for k, v in op[1]]
+            spark.createDataFrame(rows, "k long, v double").coalesce(
+                1
+            ).write.mode("append").parquet(path)
+            for k, v in rows:
+                state.setdefault(k, []).append(v)
+        elif op[0] == "delete":
+            _, mod, residue = op
+            delete_where(spark, path, F.col("k") % mod == residue)
+            for k in list(state):
+                if k % mod == residue:
+                    state[k] = []
+        elif op[0] == "compact":
+            apply_deletes(spark, path)
+        else:
+            probe = op[1]
+            got = sorted(
+                (r["k"], r["v"])
+                for r in point_lookup(spark, path, "k", probe).collect()
+            )
+            want = sorted((k, v) for k in probe for v in state.get(k, []))
+            assert got == want, f"probe={probe} ops={ops}"
+    got = sorted(
+        (r["k"], r["v"]) for r in point_lookup(spark, path, "k", KEYS).collect()
+    )
+    want = sorted((k, v) for k in KEYS for v in state.get(k, []))
+    assert got == want
