@@ -2844,6 +2844,30 @@ def org_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map, so the plan scales like a bounded loop of projections, not a
     self-join explosion. Both the Spark side and the DuckDB oracle run
     the IDENTICAL recursive SQL (``ORG_SUBTREE_SQL``).
+
+    Scale note: Spark guards runaway recursion with
+    ``spark.sql.cteRecursionRowLimit`` (default 10^6 TOTAL rows across
+    iterations — a safety valve, not a semantic bound). This walk's
+    total is the algorithm's honest cost, N·(log₂N+1), which crosses
+    the default around N≈60k customers (found by the sf1 wave run —
+    the query worked at sf0.1 and died at 10×). The builder sizes the
+    valve to the data: N from parquet footer metadata (no scan), limit
+    = 4·N·(log₂N+2), so the guardrail keeps catching genuine runaway
+    recursion while the intended N·logN walk always fits.
     """
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
     register_views(spark, sf_dir, ("customer",))
+    n = max(
+        1,
+        pq.ParquetDataset(os.path.join(sf_dir, "customer.parquet"))
+        .read(columns=[])
+        .num_rows,
+    )
+    needed = 4 * n * (int(math.log2(n)) + 2)
+    if int(spark.conf.get("spark.sql.cteRecursionRowLimit")) < needed:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(needed))
     return spark.sql(ORG_SUBTREE_SQL)

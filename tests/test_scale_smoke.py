@@ -141,3 +141,23 @@ def test_sf1_headline_scaling_curve(spark, tmp_path_factory):
         if sf01_queries.get(n) and per_query[n] / sf01_queries[n] > 12
     }
     assert not over, f"per-query sf0.1→sf1 scaling past 12x: {over}"
+
+
+def test_recursion_row_limit_scales_with_data(spark):
+    """t236's recursive walk generates N*(log2N+1) total rows — the
+    honest cost of the algorithm — which crosses Spark's default
+    cteRecursionRowLimit guardrail (10^6) around N~60k customers; the
+    sf1 wave run found the query dead at 10x while green at sf0.1. The
+    builder must size the valve from parquet footer metadata so the
+    intended walk always fits (simulated here by pinning the limit
+    artificially low before building)."""
+    from mapreduce_google_spark.operators.relational import org_subtree_rollup
+
+    key = "spark.sql.cteRecursionRowLimit"
+    original = spark.conf.get(key)
+    spark.conf.set(key, "100")
+    try:
+        assert org_subtree_rollup(spark, SF01).count() == 7
+        assert int(spark.conf.get(key)) > 100
+    finally:
+        spark.conf.set(key, original)
