@@ -2331,39 +2331,40 @@ def maintain_view_with_cdc(view: DataFrame, cdc: DataFrame) -> DataFrame:
     new day — so updates that MOVE a row across group keys maintain
     correctly, the property a single-coalesced-day shortcut would
     silently break. Groups whose maintained count reaches zero are
-    retracted entirely (standard IVM)."""
-    retract = cdc.where(F.col("old_day").isNotNull()).select(
-        F.col("old_day").alias("day"),
-        (-F.col("old_value").cast("decimal(12,2)")).alias("dv"),
-        F.lit(-1).cast("long").alias("dn"),
-    )
-    assert_ = cdc.where(F.col("new_day").isNotNull()).select(
-        F.col("new_day").alias("day"),
-        F.col("new_value").cast("decimal(12,2)").alias("dv"),
-        F.lit(1).cast("long").alias("dn"),
-    )
-    delta = (
-        retract.unionByName(assert_)
-        .groupBy("day")
-        .agg(F.sum("dv").alias("d_sum"), F.sum("dn").alias("d_n"))
+    retracted entirely (standard IVM).
+
+    Plan shape: because the view's own rows are just one more abelian
+    contribution (+n_events, +sum_value), view ⊕ Δ is a UNION into a
+    single hash aggregation — no outer join at all (a full-outer join
+    can't even broadcast its small side; the r10 plan audit caught the
+    original join form emitting 3 exchanges + a dead broadcast hint).
+    One shuffle on the group key, whatever the feed size."""
+    contrib = (
+        view.select(
+            "day",
+            F.col("sum_value").alias("dv"),
+            F.col("n_events").alias("dn"),
+        )
+        .unionByName(
+            cdc.where(F.col("old_day").isNotNull()).select(
+                F.col("old_day").alias("day"),
+                (-F.col("old_value").cast("decimal(12,2)")).alias("dv"),
+                F.lit(-1).cast("long").alias("dn"),
+            )
+        )
+        .unionByName(
+            cdc.where(F.col("new_day").isNotNull()).select(
+                F.col("new_day").alias("day"),
+                F.col("new_value").cast("decimal(12,2)").alias("dv"),
+                F.lit(1).cast("long").alias("dn"),
+            )
+        )
     )
     return (
-        view.join(F.broadcast(delta), ["day"], "full_outer")
-        .select(
-            "day",
-            (
-                F.coalesce(F.col("n_events"), F.lit(0))
-                + F.coalesce(F.col("d_n"), F.lit(0))
-            ).alias("n_events"),
-            F.round(
-                (
-                    F.coalesce(
-                        F.col("sum_value"), F.lit(0).cast("decimal(12,2)")
-                    )
-                    + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(12,2)"))
-                ).cast("double"),
-                6,
-            ).alias("sum_value"),
+        contrib.groupBy("day")
+        .agg(
+            F.sum("dn").alias("n_events"),
+            F.round(F.sum("dv").cast("double"), 6).alias("sum_value"),
         )
         .where(F.col("n_events") > 0)  # retract emptied groups
         .orderBy("day")

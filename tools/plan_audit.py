@@ -68,7 +68,7 @@ def main() -> int:
         spark,
         [(n, s) for n, s in sorted(REGISTRY.items()) if s.headline],
     )
-    print("\n## Layout & sketch wave (t224–t235)\n")
+    print("\n## Layout & sketch wave (t224–t239)\n")
     print(HEADER)
     _audit_rows(
         spark,
