@@ -6962,8 +6962,10 @@ register(
         "a 16-file hash-scattered layout reading ONLY the files the "
         "persisted (key, file) posting table names — the needle-query "
         "complement of t227's zone maps (which cannot prune a "
-        "hash-scattered key); index is refreshed incrementally (new "
-        "files only) and exactness never rests on it (looked-up files "
+        "hash-scattered key); index refresh is LSM-shaped (appends write "
+        "only their own sorted delta segment; full merge once per "
+        "INDEX_COMPACT_SEGMENTS refreshes or on vanished source files) "
+        "and exactness never rests on it (looked-up files "
         "are re-filtered; oracle answers from the raw table)",
         tags=("lakehouse", "index", "point-lookup"),
     )

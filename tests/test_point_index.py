@@ -224,9 +224,11 @@ def test_append_refresh_rewrites_no_prior_index_file(spark, tmp_path):
 
     path = str(tmp_path / "tbl")
     _write_hashed(spark, path, 10_000, 16)
-    idx_dir = refresh_point_index(spark, path, "k")
+    # 4 index files in the base generation so the pruning assertion at
+    # the end is non-vacuous (a single-file generation admits trivially)
+    idx_dir = refresh_point_index(spark, path, "k", index_partitions=4)
     before = _index_file_states(idx_dir)
-    assert before
+    assert len(before) >= 4
 
     _append_source_file(spark, path, [(20_001, 7)], "k long, v long", "a")
     refresh_point_index(spark, path, "k")
@@ -244,6 +246,13 @@ def test_append_refresh_rewrites_no_prior_index_file(spark, tmp_path):
         for r in point_lookup(spark, path, "k", [123, 20_001]).collect()
     }
     assert got == {(123, 369), (20_001, 7)}
+    # probe-side cost stays bounded by the segment count: a narrow key
+    # range admits at most ONE index file per segment (disjoint
+    # envelopes within each segment by range-partitioned construction)
+    admitted, total = pruned_files_from_manifest(
+        spark, idx_dir, {"key": (123, 123)}
+    )
+    assert len(admitted) <= sidecar["segments"] < total
 
 
 def test_segment_budget_triggers_compaction(spark, tmp_path):
