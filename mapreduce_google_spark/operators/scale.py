@@ -2012,6 +2012,12 @@ def refresh_point_index(
                 .join(live, "file", "left_semi")  # drop vanished postings
             )
             merged = prev.unionByName(fresh) if fresh is not None else prev
+            # heal torn appends: a crash between a segment append and its
+            # sidecar update re-appends the same postings on the next
+            # refresh — harmless to lookups (posted files are read
+            # distinct and re-filtered) but compaction is where the
+            # duplicates die (tests/test_point_index.py::test_torn_append_heals)
+            merged = merged.distinct()
         else:
             merged = fresh
         # COMPACT path — one sorted generation: N parallel sort+write

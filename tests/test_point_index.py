@@ -344,3 +344,33 @@ def test_mixed_type_lookup_keys_never_raise_or_silently_miss(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in got} == {(123, 369), (7, 21)}
     # all-uncastable probe set: provably empty, zero files read
     assert point_lookup(spark, ipath, "k", ["x", "y"]).count() == 0
+
+
+def test_torn_append_heals(spark, tmp_path):
+    """Crash-safety of the LSM append: if a refresh dies between writing
+    its delta segment and updating the sidecar, the rerun re-appends the
+    same postings (the sidecar still lists the source file as
+    uncovered). Duplicated postings must never affect lookup answers
+    (posted files are read DISTINCT and re-filtered), and the next
+    compaction must dedupe the posting table."""
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    idx_dir = refresh_point_index(spark, path, "k")
+
+    # simulate the torn rerun: duplicate an index segment file on disk
+    seg = sorted(glob.glob(os.path.join(idx_dir, "*.parquet")))[0]
+    shutil.copy(seg, os.path.join(idx_dir, "part-torn-dup.parquet"))
+    idx = spark.read.parquet(idx_dir)
+    assert idx.count() > idx.distinct().count()  # duplicates present
+
+    # lookups stay exact through the duplicates
+    got = {(r["k"], r["v"]) for r in point_lookup(spark, path, "k", [7]).collect()}
+    assert got == {(7, 21)}
+
+    # an append that trips the budget compacts — and the merge dedupes
+    _append_source_file(spark, path, [(70_001, 1)], "k long, v long", "t1")
+    refresh_point_index(spark, path, "k", compact_after=1)
+    idx = spark.read.parquet(idx_dir)
+    assert idx.count() == idx.distinct().count() == 1_001
