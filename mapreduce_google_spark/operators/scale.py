@@ -1856,6 +1856,11 @@ INDEX_SRC_BYTES_PER_PARTITION = 256 * 1024 * 1024
 #: rewrite-the-world refresh is now the RARE path, amortized 1/N).
 INDEX_COMPACT_SEGMENTS = 8
 
+#: above this many probe keys, point_lookup switches from isin()
+#: literals (one codegen branch per key) to a broadcast semi-join
+#: against a keys DataFrame — the batched-lookup path.
+POINT_LOOKUP_ISIN_MAX = 1_000
+
 
 def refresh_point_index(
     spark: SparkSession,
@@ -2105,7 +2110,13 @@ def point_lookup(
     range-partitioned construction) key envelopes intersect
     [min(keys), max(keys)], then row-group stats prune within them —
     at 100 TB a probe reads one index file's few row groups, not the
-    corpus-cardinality posting table."""
+    corpus-cardinality posting table.
+
+    Batched lookups: past :data:`POINT_LOOKUP_ISIN_MAX` keys the probe
+    and the re-filter switch from ``isin()`` literals (which compile one
+    expression branch per key — a 100k-key batch would blow the codegen
+    budget) to a broadcast semi-join against a keys DataFrame; same
+    answers, plan cost O(|keys|) data instead of O(|keys|) code."""
     from mapreduce_google_spark.io import _deletes_dir, dv_anti_join
 
     if not keys:
@@ -2115,6 +2126,27 @@ def point_lookup(
     )
     if not keys:  # every probe was uncastable → provably zero matches
         return spark.read.parquet(path).where(F.lit(False))
+
+    if len(keys) > POINT_LOOKUP_ISIN_MAX:
+        from pyspark.sql.types import StructType
+
+        key_type = spark.read.parquet(path).schema[key_col].dataType
+        _keys_df = spark.createDataFrame(
+            [(k,) for k in set(keys)],
+            schema=StructType().add("_probe_key", key_type),
+        )
+
+        def _filter_keys(df: DataFrame, col: str) -> DataFrame:
+            return df.join(
+                F.broadcast(_keys_df.withColumnRenamed("_probe_key", col)),
+                [col],
+                "left_semi",
+            )
+    else:
+
+        def _filter_keys(df: DataFrame, col: str) -> DataFrame:
+            return df.where(F.col(col).isin(keys))
+
     idx_dir = refresh_point_index(spark, path, key_col)
     try:
         key_range = (min(keys), max(keys))
@@ -2133,8 +2165,7 @@ def point_lookup(
         )
     hits = (
         (
-            spark.read.parquet(*idx_files)
-            .where(F.col("key").isin(keys))
+            _filter_keys(spark.read.parquet(*idx_files), "key")
             .select("file")
             .distinct()
             .collect()
@@ -2146,10 +2177,10 @@ def point_lookup(
     if not files:
         return (
             spark.read.parquet(path)
-            .where(F.col(key_col).isin(keys))
+            .where(F.col(key_col).isin(keys[:POINT_LOOKUP_ISIN_MAX]))
             .limit(0)
         )
-    out = spark.read.parquet(*files).where(F.col(key_col).isin(keys))
+    out = _filter_keys(spark.read.parquet(*files), key_col)
     dv_dir = _deletes_dir(path)
     if os.path.exists(dv_dir):
         out = out.select(

@@ -374,3 +374,22 @@ def test_torn_append_heals(spark, tmp_path):
     refresh_point_index(spark, path, "k", compact_after=1)
     idx = spark.read.parquet(idx_dir)
     assert idx.count() == idx.distinct().count() == 1_001
+
+
+def test_batched_lookup_uses_join_not_isin(spark, tmp_path):
+    """Past POINT_LOOKUP_ISIN_MAX probe keys the lookup must answer via
+    a broadcast semi-join instead of an isin() literal list — a 100k-key
+    batch as one expression blows the codegen budget; as a joined
+    relation it is O(|keys|) data. Answers must be identical to the
+    needle path."""
+    from mapreduce_google_spark.operators.scale import POINT_LOOKUP_ISIN_MAX
+    from mapreduce_google_spark.plans import formatted_plan
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 5_000, 8)
+    keys = list(range(0, 2 * POINT_LOOKUP_ISIN_MAX + 10, 2))  # > threshold
+    df = point_lookup(spark, path, "k", keys)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == {(k, k * 3) for k in keys if k < 5_000}
