@@ -409,6 +409,13 @@ def main(argv: list[str] | None = None) -> int:
         help="optional comma-separated key values: print the matching rows' count "
         "and the files read instead of just refreshing",
     )
+    p_index.add_argument(
+        "--lookup-file",
+        default=None,
+        help="path to a file of key values (one per line) for BATCHED lookups — "
+        "past 1000 keys point_lookup answers via a broadcast semi-join, not "
+        "an isin() literal; mutually exclusive with --lookup",
+    )
 
     p_delete = sub.add_parser(
         "delete",
@@ -566,19 +573,26 @@ def main(argv: list[str] | None = None) -> int:
                 "index": idx_dir,
                 "postings": spark.read.parquet(idx_dir).count(),
             }
-            if args.lookup:
+            if args.lookup and args.lookup_file:
+                raise SystemExit("--lookup and --lookup-file are mutually exclusive")
+            if args.lookup or args.lookup_file:
                 # int when the token parses, else the raw string —
-                # point_lookup's isin() handles the column's native type,
+                # point_lookup coerces to the key column's native type,
                 # so a string-typed key column must not die in int() here
-                # (ADVICE r8)
+                # (ADVICE r8/r9)
                 def _key(k: str):
                     try:
                         return int(k)
                     except ValueError:
                         return k
 
-                keys = [_key(k) for k in args.lookup.split(",") if k.strip()]
-                rec["lookup_keys"] = keys
+                if args.lookup_file:
+                    with open(args.lookup_file) as fh:
+                        tokens = [ln.strip() for ln in fh]
+                else:
+                    tokens = args.lookup.split(",")
+                keys = [_key(k) for k in tokens if k.strip()]
+                rec["lookup_keys"] = len(keys)
                 rec["rows"] = point_lookup(
                     spark, args.input, args.key, keys
                 ).count()

@@ -407,3 +407,47 @@ def test_cli_delete_and_apply(tmp_path, spark):
     assert rec["compaction"]["dropped_rows"] == 20
     assert not os.path.exists(os.path.join(path, "_deletes"))
     assert spark.read.parquet(path).count() == 80
+
+
+def test_cli_index_lookup_file(tmp_path):
+    """The index verb's batched-lookup path: keys from a file (one per
+    line, mixed parseable/garbage tokens), exact row count back; and
+    --lookup/--lookup-file refuse to combine."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tbl = str(tmp_path / "tbl")
+    kf = str(tmp_path / "keys.txt")
+
+    build = subprocess.run(
+        [sys.executable, "-c", f"""
+import sys; sys.path.insert(0, {repo!r})
+from mapreduce_google_spark.session import get_spark
+from pyspark.sql import functions as F
+s = get_spark(master="local[4]")
+s.range(500).select(F.col("id").alias("k"), (F.col("id")*3).alias("v")) \\
+ .repartition(4, "k").write.parquet({tbl!r})
+"""],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert build.returncode == 0, build.stderr[-2000:]
+    with open(kf, "w") as fh:
+        fh.write("7\n42\nnot-a-key\n499\n9999\n")  # 3 hits, 1 garbage, 1 miss
+
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "index", "--input", tbl, "--key", "k", "--lookup-file", kf],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["rows"] == 3  # 7, 42, 499 hit; 9999 misses; garbage coerced away
+    assert rec["lookup_keys"] == 5  # the CLI parsed all non-empty lines
+
+    both = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "index", "--input", tbl, "--key", "k",
+         "--lookup", "7", "--lookup-file", kf],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
+    )
+    assert both.returncode != 0
+    assert "mutually exclusive" in (both.stderr + both.stdout)
