@@ -1902,7 +1902,14 @@ def refresh_point_index(
       all live postings are merged into one sorted generation
       (``mode("overwrite")``), resetting the segment count. Under
       continuous ingest the O(index) rewrite is paid once per
-      ``compact_after`` refreshes, not per refresh.
+      ``compact_after`` refreshes, not per refresh. Vanished files
+      route through the merge deliberately: a tombstone sidecar could
+      defer it, but the only event that vanishes files is a source
+      rewrite (compaction/GDPR apply), which already paid O(source) —
+      the index merge (two narrow columns, a small fraction of source
+      bytes) rides on it without changing the event's asymptotic cost,
+      and skipping tombstones keeps lookup exactness independent of a
+      second metadata structure.
 
     Probes see one layout either way: every segment is
     ``repartitionByRange(N, key)`` + sort-within (N scales with the
