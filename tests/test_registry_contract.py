@@ -9,6 +9,25 @@ from mapreduce_google_spark.io import TABLES
 from mapreduce_google_spark.queries import REGISTRY
 
 
+def _tracked_correctness_files(repo: str) -> list[str]:
+    """Git-tracked CORRECTNESS artifacts, derived here with a direct
+    ``git ls-files`` call (NOT by importing the package's helper — these
+    tests must stay an independent re-derivation of the policy). The
+    driver's untracked round-boundary deposit is deliberately invisible:
+    the window contract is a pure function of HEAD."""
+    import os
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "ls-files", "--", "CORRECTNESS_r*.json"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode == 0, "tests require a git checkout"
+    return [os.path.join(repo, p) for p in out.stdout.split()]
+
+
 def test_names_are_unique_and_well_formed():
     assert len(REGISTRY) == len(set(REGISTRY))
     for name in REGISTRY:
@@ -91,7 +110,6 @@ def test_staleness_budget():
     Rows-only specs are exempt (a window slot can never buy them a hash
     row; their invariant twins carry the evidence and are themselves
     budgeted here)."""
-    import glob
     import json
     import os
 
@@ -100,7 +118,9 @@ def test_staleness_budget():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}
     rounds = []
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    # committed history only — must agree with the window derivation,
+    # which ignores the driver's untracked round-boundary deposit
+    for f in _tracked_correctness_files(root):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         rounds.append(rnd)
         with open(f) as fh:
@@ -151,7 +171,6 @@ def test_window_is_policy_output():
     with _compose_driver_window evaluated from the same files (ADVICE
     r9): a reintroduced hand-pasted literal AND a regression inside the
     policy function both fail these assertions."""
-    import glob
     import json
     import os
 
@@ -162,25 +181,17 @@ def test_window_is_policy_output():
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # independent read of the history (only COMMITTED artifacts count —
-    # the derived window must agree across checkouts of the same commit)
-    import subprocess
-
-    tracked = set(
-        subprocess.run(
-            ["git", "ls-files", "CORRECTNESS_r*.json"],
-            cwd=repo, capture_output=True, text=True,
-        ).stdout.split()
-    )
+    # independent read of the history: only COMMITTED artifacts count —
+    # the window consumes tracked files exclusively, so an untracked
+    # round-boundary deposit sitting in the tree is ignored here exactly
+    # as the derivation ignores it (VERDICT r10 item 1: asserting
+    # tracked-ness of every on-disk artifact made this test red by
+    # construction at every round boundary)
     last: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for f in sorted(_tracked_correctness_files(repo)):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for name in json.load(open(f)):
             last[name] = max(last.get(name, 0), rnd)
-        assert os.path.basename(f) in tracked, (
-            f"{os.path.basename(f)} is untracked — the derived window "
-            "would differ between this tree and a fresh clone of HEAD"
-        )
     assert last, "no correctness history found"
 
     # shape: 50 unique names, canaries first
@@ -216,6 +227,40 @@ def test_window_is_policy_output():
         assert max(checked_in) <= min(checked_out), (
             "window holds a fresher entry than one left outside"
         )
+
+
+def test_untracked_boundary_deposit_is_ignored():
+    """The exact round-boundary scenario that redded r7, r8 and r10:
+    the driver deposits a fresh, NOT-yet-committed CORRECTNESS artifact,
+    then the judge runs pytest in that tree. The derived history and the
+    recomposed window must be byte-identical before and after the
+    deposit — i.e. the derivation is a pure function of HEAD, so the
+    working tree and a fresh clone always agree (VERDICT r10 item 1)."""
+    import os
+
+    from mapreduce_google_spark import queries as q
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    before_last = q._correctness_last_checked()
+    before_window = q._compose_driver_window()
+    assert before_last, "no correctness history found"
+
+    fake = os.path.join(repo, "CORRECTNESS_r98.json")
+    assert not os.path.exists(fake), "r98 sentinel artifact already exists"
+    try:
+        # name a real, currently-stale query so a glob-based derivation
+        # WOULD change both the history and the window
+        victim = before_window[-1]
+        with open(fake, "w") as fh:
+            fh.write('{"%s": {"hash_match": true}}' % victim)
+        assert q._correctness_last_checked() == before_last, (
+            "untracked deposit leaked into the derived history"
+        )
+        assert q._compose_driver_window() == before_window, (
+            "untracked deposit rotated the window"
+        )
+    finally:
+        os.remove(fake)
 
 
 def test_rotation_survives_future_round_boundaries():
