@@ -325,6 +325,19 @@ def test_readme_registry_counts():
     assert f"{oracle_active}/{active} active queries are oracle-checked" in readme
     assert f"headroom: 238 − {oracle_active} = {headroom}" in readme
 
+    # COVERAGE.md's closing paragraph was the last counts surface
+    # without a pin — it drifted at r10 (t239 updated README only)
+    with open(os.path.join(root, "COVERAGE.md")) as fh:
+        coverage = fh.read()
+    rows_only = active - oracle_active
+    assert (
+        f"{total} registered queries: {active} active "
+        f"({oracle_active} oracle-checked, {rows_only} rows-only" in coverage
+    ), "COVERAGE.md counts paragraph drifted from the live registry"
+    assert f"and {retired} retired" in coverage.replace("\n", " "), (
+        "COVERAGE.md retired count drifted"
+    )
+
 
 def test_oracles_are_nonvacuous_at_driver_scale():
     """Every oracle must return rows at sf0.01 (the driver's gate
