@@ -2087,7 +2087,16 @@ def _coerce_probe_keys(dtype, keys: list) -> list:
                 # via str() so int(3.9) can't silently truncate-match
                 out.append(int(str(k)))
             except ValueError:
-                pass  # "doc-00042" against an int column: matches nothing
+                # whole-valued floats (3.0, "3.0" — e.g. keys that
+                # round-tripped through JSON) equal the integer under
+                # SQL numeric promotion, so they must match; only
+                # fractional values are dropped (ADVICE r10)
+                try:
+                    f = float(str(k))
+                except ValueError:
+                    continue  # "doc-00042" against an int column: no row
+                if f.is_integer():
+                    out.append(int(f))
         return out
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
         for k in keys:

@@ -342,6 +342,12 @@ def test_mixed_type_lookup_keys_never_raise_or_silently_miss(spark, tmp_path):
     _write_hashed(spark, ipath, 500, 4)
     got = point_lookup(spark, ipath, "k", ["doc-00042", "123", 7]).collect()
     assert {(r["k"], r["v"]) for r in got} == {(123, 369), (7, 21)}
+    # whole-valued floats against an INT column equal the integer under
+    # SQL numeric promotion (JSON round-trips ints to floats) — they
+    # must match; fractional floats still match nothing (ADVICE r10:
+    # the str()-only path dropped 3.0 where isin(3.0) used to hit k==3)
+    got = point_lookup(spark, ipath, "k", [3.0, "5.0", 3.9, "6.5"]).collect()
+    assert {(r["k"], r["v"]) for r in got} == {(3, 9), (5, 15)}
     # all-uncastable probe set: provably empty, zero files read
     assert point_lookup(spark, ipath, "k", ["x", "y"]).count() == 0
 
