@@ -1861,6 +1861,117 @@ INDEX_COMPACT_SEGMENTS = 8
 #: against a keys DataFrame — the batched-lookup path.
 POINT_LOOKUP_ISIN_MAX = 1_000
 
+#: in the DataFrame probe path, key sets at or under this measured
+#: distinct count are broadcast to the semi-joins (~16 MB at the cap);
+#: past it the join shuffles — tens of millions of probe keys must not
+#: be shipped to every executor.
+POINT_LOOKUP_BROADCAST_MAX = 1_000_000
+
+
+class ConcurrentRefreshError(RuntimeError):
+    """A second ``refresh_point_index`` writer raced an in-flight one.
+
+    The LSM refresh mutates two things non-atomically — index segment
+    files and the ``_covered_files.json`` sidecar — so two concurrent
+    writers can under-count segments (last-writer-wins on the sidecar)
+    and leave a double-appended segment uncompacted. The refresh is
+    therefore single-writer by contract, enforced with an O_EXCL lock
+    file (VERDICT r10 item 6). Concurrent LOOKUPS are unaffected: the
+    steady-state no-op refresh never takes the lock."""
+
+
+def _acquire_refresh_lock(idx_dir: str) -> str:
+    """Take the single-writer refresh lock via O_CREAT|O_EXCL — atomic
+    on POSIX local and NFS v3+ filesystems. The lock lives BESIDE the
+    index dir (``<idx_dir>.refresh.lock`` in the table dir), not inside
+    it: compaction's ``mode("overwrite")`` clears the index dir and
+    would silently release a lock stored there mid-mutation. The lock
+    records ``host:pid``; a lock whose holder is a provably dead
+    SAME-HOST process is broken automatically (crashed refresh),
+    anything else raises :class:`ConcurrentRefreshError` with the
+    holder identity — deleting the file manually is the documented
+    override when the holder host is known dead."""
+    import socket
+
+    lock = idx_dir.rstrip("/") + ".refresh.lock"
+    me = f"{socket.gethostname()}:{os.getpid()}"
+    for attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if attempt == 0 and _break_dead_holder_lock(lock):
+                continue  # stale lock removed — retry the O_EXCL create
+            try:
+                holder = open(lock).read().strip() or "<unknown>"
+            except OSError:
+                holder = "<unknown>"
+            raise ConcurrentRefreshError(
+                f"refresh_point_index is single-writer: {lock} is held by "
+                f"{holder}. If that process is dead on another host, "
+                "delete the lock file and retry."
+            ) from None
+        os.write(fd, me.encode())
+        os.close(fd)
+        return lock
+    raise AssertionError("unreachable")
+
+
+def _break_dead_holder_lock(lock: str) -> bool:
+    """Remove ``lock`` iff its recorded holder is a same-host process
+    that no longer exists. Unreadable/torn payloads, other hosts, and
+    alive-under-another-uid holders are all left alone (False)."""
+    import socket
+
+    try:
+        host, _, pid_s = open(lock).read().strip().partition(":")
+        pid = int(pid_s)
+    except (OSError, ValueError):
+        return False
+    if host != socket.gethostname():
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        try:
+            os.remove(lock)
+        except OSError:
+            return False
+        return True
+    except PermissionError:
+        return False  # alive under another uid
+    return False  # alive
+
+
+def _read_covered_sidecar(
+    spark: SparkSession, idx_dir: str, flist: str
+) -> tuple[set, int]:
+    """(covered source files, segment count) from the tiny sidecar —
+    NOT a scan of the posting table (the no-op refresh is on every
+    lookup's path). Legacy indexes without a sidecar pay a one-time
+    posting scan; legacy list-format sidecars read as one segment."""
+    import json as _json
+
+    known: set[str] = set()
+    segments = 0
+    if os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        segments = 1
+        if os.path.exists(flist):
+            sidecar = _json.load(open(flist))
+            if isinstance(sidecar, dict):
+                known = set(sidecar["covered"])
+                segments = sidecar["segments"]
+            else:  # legacy list-format sidecar: one monolithic segment
+                known = set(sidecar)
+        else:  # legacy index without the sidecar: one-time scan
+            known = {
+                r["file"]
+                for r in spark.read.parquet(idx_dir)
+                .select("file")
+                .distinct()
+                .collect()
+            }
+    return known, segments
+
 
 def refresh_point_index(
     spark: SparkSession,
@@ -1919,9 +2030,18 @@ def refresh_point_index(
     file per segment per probe; row-group stats prune inside those.
     Segment count is tracked in the ``_covered_files.json`` sidecar
     (legacy list-format sidecars read as one segment).
+
+    **Single-writer contract**: segment files and the sidecar mutate
+    non-atomically, so concurrent refreshes could under-count segments
+    (last sidecar writer wins) and strand a duplicate segment until the
+    next compaction. Mutating refreshes therefore take an O_EXCL lock
+    file beside the index dir; a second writer fails fast with
+    :class:`ConcurrentRefreshError` (a dead same-host holder's lock is
+    broken automatically). The steady-state no-op refresh — every
+    lookup's path — never takes the lock, so concurrent readers never
+    contend.
     """
     import glob
-    import json as _json
 
     if compact_after is None:
         # late-bound so tests (and operators wired through point_lookup,
@@ -1950,25 +2070,7 @@ def refresh_point_index(
     # at corpus scale an O(postings) "what do I cover" scan per probe
     # would swamp the lookup itself)
     flist = os.path.join(idx_dir, "_covered_files.json")
-    known: set[str] = set()
-    segments = 0
-    if os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
-        segments = 1
-        if os.path.exists(flist):
-            sidecar = _json.load(open(flist))
-            if isinstance(sidecar, dict):
-                known = set(sidecar["covered"])
-                segments = sidecar["segments"]
-            else:  # legacy list-format sidecar: one monolithic segment
-                known = set(sidecar)
-        else:  # legacy index without the sidecar: one-time scan
-            known = {
-                r["file"]
-                for r in spark.read.parquet(idx_dir)
-                .select("file")
-                .distinct()
-                .collect()
-            }
+    known, segments = _read_covered_sidecar(spark, idx_dir, flist)
     new = [f for f in files if f not in known]
     vanished = known - set(files)
     if not new and not vanished:
@@ -1978,6 +2080,43 @@ def refresh_point_index(
         if not os.path.exists(os.path.join(idx_dir, "_manifest", "_SUCCESS")):
             refresh_file_manifest(spark, idx_dir, ["key"])
         return idx_dir
+    # mutation needed → single-writer gate (lock-free up to here, so
+    # concurrent steady-state lookups never contend). Re-derive the
+    # sidecar state UNDER the lock: a writer that finished while we
+    # waited at the O_EXCL create may have covered our files already,
+    # and re-appending them would duplicate a whole segment.
+    lock = _acquire_refresh_lock(idx_dir)
+    try:
+        known, segments = _read_covered_sidecar(spark, idx_dir, flist)
+        new = [f for f in files if f not in known]
+        vanished = known - set(files)
+        if not new and not vanished:
+            return idx_dir  # the racing writer did our work
+        return _refresh_point_index_locked(
+            spark, idx_dir, flist, files, new, vanished, known, segments,
+            key_col, index_partitions, compact_after,
+        )
+    finally:
+        os.remove(lock)
+
+
+def _refresh_point_index_locked(
+    spark: SparkSession,
+    idx_dir: str,
+    flist: str,
+    files: list,
+    new: list,
+    vanished: set,
+    known: set,
+    segments: int,
+    key_col: str,
+    index_partitions: int | None,
+    compact_after: int,
+) -> str:
+    """The mutation half of :func:`refresh_point_index` — caller holds
+    the single-writer refresh lock."""
+    import json as _json
+
     fresh = (
         spark.read.parquet(*new)
         .select(
@@ -2131,7 +2270,7 @@ def point_lookup(
     Batched lookups: past :data:`POINT_LOOKUP_ISIN_MAX` keys the probe
     and the re-filter switch from ``isin()`` literals (which compile one
     expression branch per key — a 100k-key batch would blow the codegen
-    budget) to a broadcast semi-join against a keys DataFrame; same
+    budget) to the semi-join path (:func:`point_lookup_df`); same
     answers, plan cost O(|keys|) data instead of O(|keys|) code."""
     from mapreduce_google_spark.io import _deletes_dir, dv_anti_join
 
@@ -2144,24 +2283,20 @@ def point_lookup(
         return spark.read.parquet(path).where(F.lit(False))
 
     if len(keys) > POINT_LOOKUP_ISIN_MAX:
+        # batched path: hand the (already natively-typed) keys to the
+        # DataFrame entry point — one semi-join implementation for both
+        # driver-list and distributed key sources
         from pyspark.sql.types import StructType
 
         key_type = spark.read.parquet(path).schema[key_col].dataType
-        _keys_df = spark.createDataFrame(
+        keys_df = spark.createDataFrame(
             [(k,) for k in set(keys)],
             schema=StructType().add("_probe_key", key_type),
         )
+        return point_lookup_df(spark, path, key_col, keys_df)
 
-        def _filter_keys(df: DataFrame, col: str) -> DataFrame:
-            return df.join(
-                F.broadcast(_keys_df.withColumnRenamed("_probe_key", col)),
-                [col],
-                "left_semi",
-            )
-    else:
-
-        def _filter_keys(df: DataFrame, col: str) -> DataFrame:
-            return df.where(F.col(col).isin(keys))
+    def _filter_keys(df: DataFrame, col: str) -> DataFrame:
+        return df.where(F.col(col).isin(keys))
 
     idx_dir = refresh_point_index(spark, path, key_col)
     try:
@@ -2196,6 +2331,119 @@ def point_lookup(
             .where(F.col(key_col).isin(keys[:POINT_LOOKUP_ISIN_MAX]))
             .limit(0)
         )
+    out = _filter_keys(spark.read.parquet(*files), key_col)
+    dv_dir = _deletes_dir(path)
+    if os.path.exists(dv_dir):
+        out = out.select(
+            "*",
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_row_index"),
+        )
+        out = dv_anti_join(out, dv_dir).drop("_file", "_row_index")
+    return out
+
+
+def _coerce_probe_col(dtype, col):
+    """Expression twin of :func:`_coerce_probe_keys` — cast a probe
+    COLUMN to the key column's type with the same semantics: uncastable
+    values become NULL (dropped by the caller), whole-valued floats
+    equal their integer, fractional floats never truncate-match.
+    Returns a Column of the key type."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StringType):
+        return col.cast("string")
+    # try_cast throughout: ANSI mode (the Spark 4 default) makes a plain
+    # cast THROW on uncastable input, but an uncastable probe means
+    # "matches no row", never an error (same contract as the list path)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # direct integral cast first ('3' and big longs stay exact —
+        # non-integral strings NULL out rather than truncating); fall
+        # back to the whole-valued-double path so '3.0'/3.0 match key 3
+        # while 3.9 stays NULL (floor differs)
+        d = col.try_cast("double")
+        whole = F.when(d == F.floor(d), d.try_cast(dtype.simpleString()))
+        return F.coalesce(
+            col.cast("string").try_cast(dtype.simpleString()), whole
+        )
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return col.try_cast("double").try_cast(dtype.simpleString())
+    return col.try_cast(dtype.simpleString())
+
+
+def point_lookup_df(
+    spark: SparkSession, path: str, key_col: str, keys_df: DataFrame
+) -> DataFrame:
+    """:func:`point_lookup` with a DISTRIBUTED probe-key source: the
+    first column of ``keys_df`` holds the keys (any castable type — the
+    same coercion semantics as the list path, applied as expressions).
+    This is the shape for key batches past driver memory (VERDICT r10
+    item 7: tens of millions of probe keys must never materialize as a
+    Python list) — e.g. ``spark.read.text(keyfile)`` piped straight in.
+
+    Plan shape: the probe and the re-filter are LEFT SEMI joins against
+    the deduplicated keys — broadcast when the measured distinct-key
+    count fits :data:`POINT_LOOKUP_BROADCAST_MAX` (the count rides the
+    same 1-row aggregate as the min/max range, so the decision costs
+    nothing extra), shuffled otherwise; which is exactly the 100 TB-safe
+    default. Index-file pruning still applies: [min(keys), max(keys)]
+    comes from that aggregate, never a driver materialization of the
+    keys."""
+    from mapreduce_google_spark.io import _deletes_dir, dv_anti_join
+
+    key_type = spark.read.parquet(path).schema[key_col].dataType
+    probe_col = keys_df.columns[0]
+    keys = (
+        keys_df.select(
+            _coerce_probe_col(key_type, F.col(probe_col)).alias("_probe_key")
+        )
+        .where(F.col("_probe_key").isNotNull())
+        .distinct()
+        # materialize once: the stats aggregate, the index probe and the
+        # re-filter all consume the key set; without this each would
+        # re-shuffle the distinct
+        .localCheckpoint()
+    )
+    stats = keys.agg(
+        F.count("*").alias("n"),
+        F.min("_probe_key").alias("lo"),
+        F.max("_probe_key").alias("hi"),
+    ).first()
+    if stats["n"] == 0:  # empty/all-uncastable: provably zero matches
+        return spark.read.parquet(path).where(F.lit(False))
+    # decide the join strategy from the MEASURED count, not Catalyst's
+    # estimate (which is pre-distinct and can call a tens-of-millions
+    # key set broadcastable, or a small one shuffled): broadcast under
+    # the cap, force a shuffled hash join past it — never ship a huge
+    # key set to every executor
+    keys_side = (
+        F.broadcast(keys)
+        if stats["n"] <= POINT_LOOKUP_BROADCAST_MAX
+        else keys.hint("shuffle_hash")
+    )
+
+    def _filter_keys(df: DataFrame, col: str) -> DataFrame:
+        return df.join(
+            keys_side.withColumnRenamed("_probe_key", col), [col], "left_semi"
+        )
+
+    idx_dir = refresh_point_index(spark, path, key_col)
+    idx_files, _total = pruned_files_from_manifest(
+        spark, idx_dir, {"key": (stats["lo"], stats["hi"])}
+    )
+    hits = (
+        (
+            _filter_keys(spark.read.parquet(*idx_files), "key")
+            .select("file")
+            .distinct()
+            .collect()  # metadata-sized: bounded by the table's file count
+        )
+        if idx_files
+        else []
+    )
+    files = sorted(r["file"] for r in hits)
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
     out = _filter_keys(spark.read.parquet(*files), key_col)
     dv_dir = _deletes_dir(path)
     if os.path.exists(dv_dir):

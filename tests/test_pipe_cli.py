@@ -441,7 +441,11 @@ s.range(500).select(F.col("id").alias("k"), (F.col("id")*3).alias("v")) \\
     assert res.returncode == 0, res.stderr[-2000:]
     rec = json.loads(res.stdout.strip().splitlines()[-1])
     assert rec["rows"] == 3  # 7, 42, 499 hit; 9999 misses; garbage coerced away
-    assert rec["lookup_keys"] == 5  # the CLI parsed all non-empty lines
+    assert rec["lookup_key_count"] == 5  # the CLI parsed all non-empty lines
+    assert rec["lookup_mode"] == "list"  # under the DataFrame threshold
+    # a batched file's key list stays out of the record (it can be huge);
+    # lookup_keys (the pre-r10 list schema) is inline---lookup only
+    assert "lookup_keys" not in rec
 
     both = subprocess.run(
         [sys.executable, "-m", "mapreduce_google_spark.cli",
@@ -451,3 +455,46 @@ s.range(500).select(F.col("id").alias("k"), (F.col("id")*3).alias("v")) \\
     )
     assert both.returncode != 0
     assert "mutually exclusive" in (both.stderr + both.stdout)
+
+
+def test_cli_index_lookup_file_2m_keys_stays_off_driver(tmp_path):
+    """VERDICT r10 item 7: a 2M-key --lookup-file must never
+    materialize as a Python list — past CLI_LOOKUP_DF_THRESHOLD the CLI
+    reads the file with spark.read.text and probes via the distributed
+    semi-join path (point_lookup_df), reported as lookup_mode=dataframe.
+    The no-driver-materialization guarantee is structural (the CLI
+    streams at most THRESHOLD+1 lines before switching; the plan gate
+    lives in tests/test_point_index.py); this test proves the whole
+    path end-to-end at a size where the old list path was the wrong
+    shape."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tbl = str(tmp_path / "tbl")
+    kf = str(tmp_path / "keys2m.txt")
+
+    build = subprocess.run(
+        [sys.executable, "-c", f"""
+import sys; sys.path.insert(0, {repo!r})
+from mapreduce_google_spark.session import get_spark
+from pyspark.sql import functions as F
+s = get_spark(master="local[4]")
+s.range(1000).select(F.col("id").alias("k"), (F.col("id")*3).alias("v")) \\
+ .repartition(4, "k").write.parquet({tbl!r})
+"""],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert build.returncode == 0, build.stderr[-2000:]
+    with open(kf, "w") as fh:
+        for i in range(2_000_000):
+            fh.write(f"{i}\n")  # keys 0..999 hit, the rest miss
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce_google_spark.cli",
+         "index", "--input", tbl, "--key", "k", "--lookup-file", kf],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["lookup_mode"] == "dataframe"
+    assert rec["lookup_key_count"] == 2_000_000
+    assert rec["rows"] == 1000  # keys 0..999 all hit
+    assert "lookup_keys" not in rec

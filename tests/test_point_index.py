@@ -399,3 +399,158 @@ def test_batched_lookup_uses_join_not_isin(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     got = {(r["k"], r["v"]) for r in df.collect()}
     assert got == {(k, k * 3) for k in keys if k < 5_000}
+
+
+def test_point_lookup_df_matches_list_path(spark, tmp_path):
+    """VERDICT r10 item 7: the DataFrame probe entry point — keys come
+    in as a (possibly string-typed) column, never a driver list. Same
+    coercion semantics as the list path (garbage dropped, whole-valued
+    floats match their integer, fractional floats never truncate-match),
+    same answers, and the probe/re-filter are LEFT SEMI joins."""
+    from mapreduce_google_spark.operators.scale import point_lookup_df
+    from mapreduce_google_spark.plans import formatted_plan
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    keys_df = spark.createDataFrame(
+        [("7",), ("42",), ("3.0",), ("3.9",), ("doc-x",), ("9999",), ("42",)],
+        "key string",
+    )
+    df = point_lookup_df(spark, path, "k", keys_df)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == {(7, 21), (42, 126), (3, 9)}
+
+    # numeric probe column against the integer key works the same way
+    keys_num = spark.range(990, 1_010).select(F.col("id").alias("probe"))
+    got = {
+        r["k"]
+        for r in point_lookup_df(spark, path, "k", keys_num).collect()
+    }
+    assert got == set(range(990, 1_000))
+
+    # empty / all-uncastable key sets: provably zero matches, no error
+    assert point_lookup_df(
+        spark, path, "k", spark.createDataFrame([("x",), ("y",)], "key string")
+    ).count() == 0
+
+
+def test_point_lookup_df_huge_keyset_does_not_broadcast(spark, tmp_path):
+    """Past POINT_LOOKUP_BROADCAST_MAX measured keys the semi-join must
+    NOT carry a broadcast hint — shipping a tens-of-millions key set to
+    every executor is the driver-list mistake relocated. (Tested by
+    tightening the constant, not by generating millions of rows.)"""
+    import mapreduce_google_spark.operators.scale as scale
+    from mapreduce_google_spark.plans import formatted_plan
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    keys_df = spark.range(500).select(F.col("id").alias("probe"))
+    old = scale.POINT_LOOKUP_BROADCAST_MAX
+    scale.POINT_LOOKUP_BROADCAST_MAX = 100
+    try:
+        df = scale.point_lookup_df(spark, path, "k", keys_df)
+        plan = formatted_plan(df)
+        assert "LeftSemi" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert df.count() == 500
+    finally:
+        scale.POINT_LOOKUP_BROADCAST_MAX = old
+
+
+def test_concurrent_refresh_second_writer_fails_cleanly(spark, tmp_path):
+    """VERDICT r10 item 6: the LSM refresh is single-writer — segment
+    files and the sidecar mutate non-atomically, so a second concurrent
+    writer must fail fast (ConcurrentRefreshError), not silently race.
+    A lock whose holder is a provably dead same-host process is broken
+    automatically; lookups stay exact throughout."""
+    import socket
+
+    from mapreduce_google_spark.operators.scale import (
+        ConcurrentRefreshError,
+        point_lookup,
+    )
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    idx_dir = refresh_point_index(spark, path, "k")
+    lock = idx_dir.rstrip("/") + ".refresh.lock"
+    assert not os.path.exists(lock)  # released after a successful build
+
+    # steady-state lookups are LOCK-FREE: a held lock never blocks a
+    # reader whose refresh has nothing to do
+    with open(lock, "w") as fh:
+        fh.write("some-other-host:999999")
+    assert {(r["k"], r["v"]) for r in point_lookup(spark, path, "k", [7]).collect()} == {
+        (7, 21)
+    }
+
+    # force a mutating refresh (new source file) while the live foreign
+    # writer holds the lock: unbreakable (other host), must raise
+    _append_source_file(spark, path, [(60_001, 9)], "k long, v long", "v1")
+    try:
+        refresh_point_index(spark, path, "k")
+        raise AssertionError("second writer did not fail")
+    except ConcurrentRefreshError as exc:
+        assert "some-other-host:999999" in str(exc)
+    assert os.path.exists(lock)  # a foreign live lock is never broken
+    # the failed writer must not have touched the index: the committed
+    # generation still answers exactly for its covered keys
+    idx = spark.read.parquet(idx_dir)
+    assert idx.count() == 1_000 and idx.where(F.col("key") == 60_001).count() == 0
+
+    # same-host DEAD holder: broken automatically, refresh proceeds
+    with open(lock, "w") as fh:
+        pid = 999_999_999 % 4_194_304  # guaranteed-unused pid space is
+        # not portable; use a pid far above typical pid_max and verify
+        fh.write(f"{socket.gethostname()}:{pid}")
+    try:
+        os.kill(pid, 0)
+        dead = False
+    except ProcessLookupError:
+        dead = True
+    except PermissionError:
+        dead = False
+    if dead:
+        idx2 = refresh_point_index(spark, path, "k")
+        assert not os.path.exists(lock)
+        assert {
+            (r["k"], r["v"])
+            for r in point_lookup(spark, path, "k", [60_001]).collect()
+        } == {(60_001, 9)}
+        assert idx2 == idx_dir
+    else:
+        os.remove(lock)  # rare collision with a live pid: clean up
+
+
+def test_refresh_lock_survives_compaction_overwrite(spark, tmp_path):
+    """The lock lives BESIDE the index dir: compaction's
+    mode('overwrite') clears the index dir, and a lock stored inside it
+    would be silently released mid-mutation. Prove the lock is held for
+    the whole compaction and released (removed) only at the end."""
+    import mapreduce_google_spark.operators.scale as scale
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    idx_dir = refresh_point_index(spark, path, "k")
+    lock = idx_dir.rstrip("/") + ".refresh.lock"
+
+    # instrument the locked mutation half to observe the lock mid-flight
+    seen = {}
+    real = scale._refresh_point_index_locked
+
+    def spy(*a, **kw):
+        seen["held_during_mutation"] = os.path.exists(lock)
+        return real(*a, **kw)
+
+    scale._refresh_point_index_locked = spy
+    try:
+        _append_source_file(spark, path, [(70_001, 1)], "k long, v long", "c1")
+        refresh_point_index(spark, path, "k", compact_after=1)  # forces compaction
+    finally:
+        scale._refresh_point_index_locked = real
+    assert seen["held_during_mutation"] is True
+    assert not os.path.exists(lock)  # released after
+    got = point_lookup(spark, path, "k", [70_001]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(70_001, 1)]
