@@ -2854,6 +2854,18 @@ def org_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     valve to the data: N from parquet footer metadata (no scan), limit
     = 4·N·(log₂N+2), so the guardrail keeps catching genuine runaway
     recursion while the intended N·logN walk always fits.
+
+    **Session-wide ratchet, by design (ADVICE r10)**: the conf is set
+    at BUILD time but read at EXECUTION time, and it is only ever
+    raised, never restored — a per-query scope would need the runner to
+    wrap execution (the builder returns a lazy DataFrame and is gone
+    before any job runs), and restoring eagerly here would race other
+    builders sharing the session. The weakening is bounded and
+    monotone: the limit never exceeds 4·N·(log₂N+2) for the LARGEST
+    customer table any builder in the session has seen, so every other
+    recursive query still trips the valve at ~4× its own honest cost
+    against that table — runaway recursion (quadratic or unbounded
+    growth) blows past any N·logN-shaped bound almost immediately.
     """
     import math
     import os

@@ -50,9 +50,22 @@ def main() -> int:
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
-    prev_tip = _run(
-        ["git", "rev-list", "-1", "--grep", "^round [0-9]*: verdict", "HEAD"]
-    ).strip()
+    # walk verdict commits newest-first and take the first one from a
+    # PRIOR round — if this tool runs after the current round's verdict
+    # commit exists, the naive most-recent match would bench the tree
+    # against itself (ADVICE r10)
+    prev_tip = ""
+    for line in _run(
+        [
+            "git", "rev-list", "--grep", "^round [0-9]*: verdict",
+            "--format=%H %s", "--no-commit-header", "HEAD",
+        ]
+    ).splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+): verdict", subject)
+        if m and int(m.group(1)) < this_round:
+            prev_tip = sha
+            break
     if not prev_tip:
         print("no previous round tip found — skipping", file=sys.stderr)
         return 0
@@ -69,12 +82,16 @@ def main() -> int:
             ["git", "worktree", "remove", "--force", WT],
             cwd=REPO, capture_output=True,
         )
+    # an older tip's bench.py may predate the per-query field (ADVICE
+    # r10) — degrade to totals-only rather than KeyError
+    prev_q = prev.get("queries", {})
+    cur_q = cur.get("queries", {})
     drift = {
         q: {
-            "prev_tip": prev["queries"].get(q),
-            "current": cur["queries"].get(q),
+            "prev_tip": prev_q.get(q),
+            "current": cur_q.get(q),
         }
-        for q in sorted(set(prev["queries"]) | set(cur["queries"]))
+        for q in sorted(set(prev_q) | set(cur_q))
     }
     artifact = {
         "what": (
