@@ -2501,6 +2501,38 @@ def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def batched_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T240 — batched secondary-index lookup with a DISTRIBUTED probe
+    set: 2,500 event ids (every odd id in [1, 5000)) arrive as a
+    DataFrame — ``spark.range``, standing in for any driver-unbounded
+    key source such as ``spark.read.text(keyfile)`` — and are answered
+    through :func:`point_lookup_df`: the same persisted posting index
+    as t237, probed and re-filtered via LEFT SEMI joins against the
+    deduplicated keys instead of isin() literals.
+
+    The 100 TB shape this certifies (VERDICT r10 item 7): reverse-ETL
+    and eval-set extraction probe MILLIONS of keys per run — a key
+    batch must never become per-key expressions (codegen blows past a
+    few thousand) nor a driver-side list (memory), and the join side
+    must be chosen from the MEASURED key count (broadcast under
+    :data:`POINT_LOOKUP_BROADCAST_MAX`, shuffled semi-join past it).
+    Exactness never rests on the index: posted files are re-filtered by
+    the same semi-join, and the oracle answers the identical id set
+    from the raw table.
+    """
+    path = _indexed_events_path(spark, sf_dir)
+    probes = spark.range(1, 5_000, 2).select(F.col("id").alias("probe_id"))
+    return (
+        point_lookup_df(spark, path, "event_id", probes)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental view maintenance — aggregate views updated from the delta
 # --------------------------------------------------------------------------

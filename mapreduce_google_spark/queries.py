@@ -7062,6 +7062,30 @@ register(
     )
 )
 
+register(
+    QuerySpec(
+        name="t240_batched_point_lookup",
+        builder=scale_ops.batched_point_lookup,
+        oracle="""
+            SELECT event_id, event_type,
+                   round(CAST(value AS DOUBLE), 6) AS value
+            FROM events
+            WHERE event_id % 2 = 1 AND event_id BETWEEN 1 AND 4999
+            ORDER BY event_id
+        """,
+        doc="batched point lookup, probe keys as a DataFrame (2,500 odd "
+        "event ids via spark.range standing in for a key file): "
+        "point_lookup_df probes t237's posting index and re-filters via "
+        "LEFT SEMI joins against the deduplicated keys — never isin() "
+        "literals, never a driver list; join side chosen from the "
+        "measured key count (broadcast under POINT_LOOKUP_BROADCAST_MAX, "
+        "forced shuffle_hash past it — plan-gated in "
+        "tests/test_point_index.py); the oracle answers the identical id "
+        "set from the raw table",
+        tags=("lakehouse", "index", "lookup", "batch"),
+    )
+)
+
 # --------------------------------------------------------------------------
 # Registry ordering — the external correctness harness checks the FIRST 50
 # entries of queries() (round-1 evidence: CORRECTNESS_r01.json ends at the
@@ -7129,6 +7153,8 @@ EAGER_BUILD: frozenset[str] = frozenset(
         "t231_events_after_dv_delete",
         "t232_rolling_distinct_users_hll",
         "t237_indexed_point_lookup",  # hashed events copy + posting index
+        "t240_batched_point_lookup",  # same hashed copy + index as t237;
+        # the builder also runs the keys-stats aggregate + posting probe
         "t239_chain_maintained_daily_revenue",  # snapshot chain + view/CDC dirs
         # (stream) bounded streaming run inside the builder
         "t49_stream_dedup_counts",
