@@ -7,21 +7,34 @@
 # 4. same-host drift reference: previous round's tip re-benched next to
 #    the current tree (writes BENCH_host_reference_rNN.json) — makes
 #    round-over-round bench deltas measurable, not host-noise inference
+# 5. plan audit: per-headline plan properties written to PLANS_rNN.md —
+#    keeps the r5+ audit trail unbroken as a gate output, not a memory
 # Exits nonzero on the first failure.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/4 pytest =="
+echo "== 1/5 pytest =="
 python -m pytest tests/ -q
 
-echo "== 2/4 driver window replay (sf0.01) =="
+echo "== 2/5 driver window replay (sf0.01) =="
 python tools/driver_sim.py --window --json /tmp/CORRECTNESS_local.json \
     2>/dev/null | tail -3
 
-echo "== 3/4 bench (sf0.1) =="
+echo "== 3/5 bench (sf0.1) =="
 python bench.py 2>/dev/null | grep '"metric"'
 
-echo "== 4/4 same-host drift reference =="
+echo "== 4/5 same-host drift reference =="
 python tools/host_reference.py
+
+echo "== 5/5 plan audit =="
+ROUND=$(python - <<'PY'
+import glob, os, re
+rounds = [int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+          for f in glob.glob("CORRECTNESS_r*.json")]
+print(max(rounds) + 1 if rounds else 1)
+PY
+)
+python tools/plan_audit.py 2>/dev/null > "PLANS_r${ROUND}.md"
+echo "wrote PLANS_r${ROUND}.md"
 
 echo "ROUND GATE: all green"
