@@ -27,7 +27,7 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
 #: the r7 layout/sketch wave — audited as a second section so the
 #: artifact shows the table-maintenance plans, not just the headliners
-WAVE = tuple(f"t2{n}" for n in range(24, 40))
+WAVE = tuple(f"t2{n}" for n in range(24, 41))
 
 
 def _audit_rows(spark, names_specs):
