@@ -2444,14 +2444,20 @@ def point_lookup_df(
     files = sorted(r["file"] for r in hits)
     if not files:
         return spark.read.parquet(path).where(F.lit(False))
-    out = _filter_keys(spark.read.parquet(*files), key_col)
+    src = spark.read.parquet(*files)
     dv_dir = _deletes_dir(path)
     if os.path.exists(dv_dir):
-        out = out.select(
+        # _metadata resolves only directly on a file-scan relation — it
+        # must be projected BEFORE the semi-join (after a join it is an
+        # unresolvable attribute; this path + DV was the one untested
+        # combination in the r10 batched branch)
+        src = src.select(
             "*",
             F.col("_metadata.file_path").alias("_file"),
             F.col("_metadata.row_index").alias("_row_index"),
         )
+    out = _filter_keys(src, key_col)
+    if os.path.exists(dv_dir):
         out = dv_anti_join(out, dv_dir).drop("_file", "_row_index")
     return out
 

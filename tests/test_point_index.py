@@ -554,3 +554,30 @@ def test_refresh_lock_survives_compaction_overwrite(spark, tmp_path):
     assert not os.path.exists(lock)  # released after
     got = point_lookup(spark, path, "k", [70_001]).collect()
     assert [(r["k"], r["v"]) for r in got] == [(70_001, 1)]
+
+
+def test_batched_lookup_composes_with_deletion_vectors(spark, tmp_path):
+    """The one combination r10 never exercised: a >POINT_LOOKUP_ISIN_MAX
+    key batch (semi-join path) against a table carrying a _deletes
+    sidecar. _metadata resolves only directly on a file-scan relation,
+    so the DV coordinates must be projected BEFORE the semi-join —
+    projecting after it raised AnalysisException and made merge-on-read
+    silently unavailable to batched lookups. Deleted rows must never
+    reappear through the index path, list or DataFrame probes alike."""
+    from mapreduce_google_spark.io import delete_where
+    from mapreduce_google_spark.operators.scale import point_lookup_df
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 5_000, 4)
+    assert delete_where(spark, path, F.col("k") % 10 == 3) == 500
+
+    # batched list path (delegates to the semi-join)
+    got = point_lookup(spark, path, "k", list(range(2_500)))
+    assert got.count() == 2_500 - 250
+    assert got.where(F.col("k") % 10 == 3).count() == 0
+
+    # DataFrame probe path directly
+    probes = spark.range(2_500).select(F.col("id").alias("probe"))
+    got = point_lookup_df(spark, path, "k", probes)
+    assert got.count() == 2_500 - 250
+    assert got.where(F.col("k") % 10 == 3).count() == 0
