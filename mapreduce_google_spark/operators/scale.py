@@ -2382,7 +2382,8 @@ def point_lookup_df(
     Python list) — e.g. ``spark.read.text(keyfile)`` piped straight in.
 
     Plan shape: the probe and the re-filter are LEFT SEMI joins against
-    the deduplicated keys — broadcast when the measured distinct-key
+    the probe keys (duplicate-insensitive, so the key set is never
+    shuffled for a distinct) — broadcast when the measured distinct-key
     count fits :data:`POINT_LOOKUP_BROADCAST_MAX` (the count rides the
     same 1-row aggregate as the min/max range, so the decision costs
     nothing extra), shuffled otherwise; which is exactly the 100 TB-safe
@@ -2398,10 +2399,15 @@ def point_lookup_df(
             _coerce_probe_col(key_type, F.col(probe_col)).alias("_probe_key")
         )
         .where(F.col("_probe_key").isNotNull())
-        .distinct()
-        # materialize once: the stats aggregate, the index probe and the
-        # re-filter all consume the key set; without this each would
-        # re-shuffle the distinct
+        # NO distinct: LEFT SEMI joins are duplicate-insensitive, so
+        # deduplication would buy nothing but a full shuffle of the key
+        # set (measured 1.5x the whole lookup wall at 2M keys). The
+        # count below is therefore an upper bound — conservative in the
+        # right direction for the broadcast decision.
+        # materialize once (map-only, no shuffle): the stats aggregate,
+        # the index probe and the re-filter all consume the key set, and
+        # pinning ONE snapshot keeps the range and the joins consistent
+        # even over a non-deterministic source
         .localCheckpoint()
     )
     stats = keys.agg(
@@ -2514,7 +2520,7 @@ def batched_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key source such as ``spark.read.text(keyfile)`` — and are answered
     through :func:`point_lookup_df`: the same persisted posting index
     as t237, probed and re-filtered via LEFT SEMI joins against the
-    deduplicated keys instead of isin() literals.
+    probe keys instead of isin() literals.
 
     The 100 TB shape this certifies (VERDICT r10 item 7): reverse-ETL
     and eval-set extraction probe MILLIONS of keys per run — a key

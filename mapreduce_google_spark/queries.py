@@ -7076,7 +7076,7 @@ register(
         doc="batched point lookup, probe keys as a DataFrame (2,500 odd "
         "event ids via spark.range standing in for a key file): "
         "point_lookup_df probes t237's posting index and re-filters via "
-        "LEFT SEMI joins against the deduplicated keys — never isin() "
+        "LEFT SEMI joins against the probe keys — never isin() "
         "literals, never a driver list; join side chosen from the "
         "measured key count (broadcast under POINT_LOOKUP_BROADCAST_MAX, "
         "forced shuffle_hash past it — plan-gated in "
