@@ -581,3 +581,65 @@ def test_batched_lookup_composes_with_deletion_vectors(spark, tmp_path):
     got = point_lookup_df(spark, path, "k", probes)
     assert got.count() == 2_500 - 250
     assert got.where(F.col("k") % 10 == 3).count() == 0
+
+
+def test_real_concurrent_refresh_race_one_writer_wins(spark, tmp_path):
+    """Two ACTUAL concurrent refresh calls (threads, not a hand-planted
+    lock file): the first to take the O_EXCL lock mutates while holding
+    it; the second must fail with ConcurrentRefreshError while the
+    holder is inside the mutation. Afterwards the index is exactly the
+    single-writer result and a rerun refresh is a clean no-op."""
+    import threading
+    import time as _time
+
+    import mapreduce_google_spark.operators.scale as scale
+    from mapreduce_google_spark.operators.scale import ConcurrentRefreshError
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    idx_dir = refresh_point_index(spark, path, "k")
+    _append_source_file(spark, path, [(80_001, 2)], "k long, v long", "r1")
+
+    real = scale._refresh_point_index_locked
+    entered = threading.Event()
+    release = threading.Event()
+
+    def slow(*a, **kw):
+        entered.set()
+        release.wait(timeout=30)
+        return real(*a, **kw)
+
+    scale._refresh_point_index_locked = slow
+    errors: list = []
+
+    def second():
+        entered.wait(timeout=30)
+        try:
+            refresh_point_index(spark, path, "k")
+            errors.append(None)
+        except ConcurrentRefreshError as exc:
+            errors.append(exc)
+
+    try:
+        t1 = threading.Thread(
+            target=lambda: refresh_point_index(spark, path, "k")
+        )
+        t2 = threading.Thread(target=second)
+        t1.start()
+        t2.start()
+        t2.join(timeout=60)
+        release.set()
+        t1.join(timeout=120)
+    finally:
+        release.set()
+        scale._refresh_point_index_locked = real
+
+    assert len(errors) == 1 and isinstance(errors[0], ConcurrentRefreshError)
+    # single-writer result: exactly one appended segment, postings exact
+    idx = spark.read.parquet(idx_dir)
+    assert idx.where(F.col("key") == 80_001).count() == 1
+    assert idx.count() == 1_001
+    # steady state afterwards: lock-free no-op
+    assert refresh_point_index(spark, path, "k") == idx_dir
+    got = point_lookup(spark, path, "k", [80_001]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(80_001, 2)]
