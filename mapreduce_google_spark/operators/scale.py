@@ -1384,6 +1384,18 @@ def refresh_file_manifest(spark: SparkSession, path: str, cols: list[str]) -> Da
     Stats-less columns are stored as NULL envelopes; the pruning
     consumer (:func:`pruned_files_from_manifest`) keeps NULL-envelope
     files — same conservative contract as the footer walk.
+
+    Concurrency contract (weaker than the point index's lock, by
+    design): the steady-state call never writes; a MUTATING refresh is
+    a full rewrite from the writer's own file listing, so concurrent
+    mutating refreshes are last-writer-wins and self-heal on the next
+    refresh (a missing row is re-added from the footer walk) — but a
+    reader overlapping a rewrite can transiently fail (overwrite is
+    delete-then-write), and interleaved part-files from two writers can
+    leave duplicate rows until the next rewrite. The pruning consumer
+    therefore deduplicates file paths defensively; single-writer per
+    table remains the recommended operating mode (the index lock exists
+    because ITS sidecar+segments cannot self-heal — this one can).
     """
     import glob
 
@@ -1489,8 +1501,14 @@ def pruned_files_from_manifest(
             | ~((F.col(f"min_{col}") > hi) | (F.col(f"max_{col}") < lo))
         )
         cond = cond & keep
-    total = manifest.count()
-    files = [r["file"] for r in manifest.where(cond).select("file").collect()]
+    # distinct on BOTH counts: a manifest carrying duplicate rows for a
+    # file (torn/raced rewrite) must never surface the same path twice —
+    # spark.read.parquet(*files) reads a repeated path TWICE, silently
+    # doubling that file's rows in whatever query consumed the pruning
+    total = manifest.select("file").distinct().count()
+    files = {
+        r["file"] for r in manifest.where(cond).select("file").collect()
+    }
     return sorted(files), total
 
 

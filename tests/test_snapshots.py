@@ -251,3 +251,37 @@ def test_manifest_derives_stat_types_from_schema(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported type"):
         refresh_file_manifest(spark, bad, ["a"])
+
+
+def test_duplicate_manifest_rows_never_double_reads(spark, tmp_path):
+    """A manifest carrying duplicate rows for a file (torn or raced
+    rewrite — concurrent mutating refreshes are documented
+    last-writer-wins) must never surface the same path twice from
+    pruning: spark.read.parquet(*files) reads a repeated path TWICE,
+    which would silently double that file's rows in whatever consumed
+    the pruning. The consumer dedupes defensively."""
+    import glob
+
+    from mapreduce_google_spark.operators.scale import (
+        pruned_files_from_manifest,
+        refresh_file_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(1_000).select(
+        F.col("id").alias("x"), (F.col("id") * 2).alias("v")
+    ).repartition(4).write.parquet(path)
+    refresh_file_manifest(spark, path, ["x"])
+    mdir = os.path.join(path, "_manifest")
+
+    # simulate the torn rewrite: duplicate the manifest's content file
+    part = sorted(glob.glob(os.path.join(mdir, "*.parquet")))[0]
+    import shutil
+
+    shutil.copy(part, os.path.join(mdir, "part-torn-dup.parquet"))
+    man = spark.read.parquet(mdir)
+    assert man.count() > man.select("file").distinct().count()
+
+    files, total = pruned_files_from_manifest(spark, path, {"x": (0, 999)})
+    assert len(files) == len(set(files)) == total == 4
+    assert spark.read.parquet(*files).count() == 1_000  # not doubled
