@@ -1289,7 +1289,13 @@ def manifest_pruned_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, _total = pruned_files_from_manifest(
         spark, path, {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
     )
-    src = spark.read.parquet(*files) if files else spark.read.parquet(path)
+    # an empty pruned set proves no file can intersect the box — a
+    # schema-only empty frame, never a whole-table fallback scan
+    src = (
+        spark.read.parquet(*files)
+        if files
+        else spark.read.parquet(path).where(F.lit(False))
+    )
     return (
         src.where(F.col("l_partkey").between(pk_lo, pk_hi))
         .where(F.col("l_suppkey").between(sk_lo, sk_hi))
