@@ -1882,8 +1882,12 @@ INDEX_COMPACT_SEGMENTS = 8
 
 #: above this many probe keys, point_lookup switches from isin()
 #: literals (one codegen branch per key) to a broadcast semi-join
-#: against a keys DataFrame — the batched-lookup path.
-POINT_LOOKUP_ISIN_MAX = 1_000
+#: against a keys DataFrame — the batched-lookup path. Set from the
+#: measured crossover at the 10x corpus (tools/batched_lookup_bench.py
+#: --crossover, n=3 medians): isin wins up to ~500 keys (0.8–1.3s vs a
+#: flat ~1.2–1.3s semi-join), then degrades linearly with expression
+#: size (1.7s @1k, 2.6s @2k) while the semi-join stays flat.
+POINT_LOOKUP_ISIN_MAX = 500
 
 #: in the DataFrame probe path, key sets at or under this measured
 #: distinct count are broadcast to the semi-joins (~16 MB at the cap);

@@ -6,8 +6,11 @@ key sets past driver memory; past POINT_LOOKUP_BROADCAST_MAX measured
 keys it shuffles instead of broadcasting).
 
 Usage: python tools/batched_lookup_bench.py [sf_dir] [n_reps]
+       python tools/batched_lookup_bench.py --crossover [sf_dir] [n_reps]
 Defaults: /tmp/mgs_sf1 (the 10x replica from make_scaled_sf.py), 3.
 Writes one JSON line (paste/commit as BENCH_batched_lookup.json).
+--crossover instead sweeps isin vs semi-join walls over key-batch
+sizes — the measurement POINT_LOOKUP_ISIN_MAX is set from.
 
 Each timing covers the full user-visible lookup: steady-state index
 refresh check, probe, posted-file read, re-filter, count. The index is
@@ -35,8 +38,9 @@ from mapreduce_google_spark.operators.scale import (  # noqa: E402
 )
 from mapreduce_google_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mgs_sf1"
-N_REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _pos[0] if _pos else "/tmp/mgs_sf1"
+N_REPS = int(_pos[1]) if len(_pos) > 1 else 3
 KEYFILE = "/tmp/mgs_batched_lookup_keys_2m.txt"
 
 
@@ -49,9 +53,57 @@ def _median_wall(fn) -> tuple[float, int]:
     return statistics.median(walls), rows
 
 
+def _crossover(spark, path) -> int:
+    """Sweep isin vs semi-join lookup walls over batch sizes; each point
+    forces one strategy by pinning POINT_LOOKUP_ISIN_MAX."""
+    import mapreduce_google_spark.operators.scale as scale
+
+    def timed(n: int, force: str) -> float:
+        old = scale.POINT_LOOKUP_ISIN_MAX
+        scale.POINT_LOOKUP_ISIN_MAX = 10**9 if force == "isin" else 0
+        try:
+            walls = []
+            for _ in range(N_REPS):
+                t0 = time.monotonic()
+                point_lookup(spark, path, "event_id", list(range(n))).count()
+                walls.append(time.monotonic() - t0)
+            return round(statistics.median(walls), 3)
+        finally:
+            scale.POINT_LOOKUP_ISIN_MAX = old
+
+    table = {
+        n: {"isin_s": timed(n, "isin"), "semijoin_s": timed(n, "join")}
+        for n in (10, 50, 200, 500, 1_000, 2_000)
+    }
+    print(
+        json.dumps(
+            {
+                "what": (
+                    "isin vs semi-join lookup wall by probe-batch size "
+                    "(median of n_reps) — POINT_LOOKUP_ISIN_MAX is set at "
+                    "the crossover"
+                ),
+                "sf_dir": SF_DIR,
+                "n_reps": N_REPS,
+                "by_batch_size": table,
+                "configured_isin_max": (
+                    __import__(
+                        "mapreduce_google_spark.operators.scale",
+                        fromlist=["POINT_LOOKUP_ISIN_MAX"],
+                    ).POINT_LOOKUP_ISIN_MAX
+                ),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     path = _indexed_events_path(spark, SF_DIR)
+    if "--crossover" in sys.argv:
+        refresh_point_index(spark, path, "event_id")
+        return _crossover(spark, path)
 
     t0 = time.monotonic()
     refresh_point_index(spark, path, "event_id")
