@@ -170,6 +170,18 @@ def test_point_index_matches_model_through_dml(spark, tmp_path_factory, ops):
         )
         want = sorted((k, v) for k in probe for v in state.get(k, []))
         assert got == want, f"probe={probe} ops={ops}"
+        # same probe through the DataFrame/semi-join path: it shares the
+        # index but not the filter/DV plumbing (the r11 DV-composition
+        # bug lived exactly in the gap this closes), so both paths fuzz
+        # through every DML interleaving
+        from mapreduce_google_spark.operators.scale import point_lookup_df
+
+        probes_df = spark.createDataFrame([(k,) for k in probe], "probe long")
+        got_df = sorted(
+            (r["k"], r["v"])
+            for r in point_lookup_df(spark, path, "k", probes_df).collect()
+        )
+        assert got_df == want, f"df-path probe={probe} ops={ops}"
 
     for op in ops:
         if op[0] == "append":
