@@ -2321,7 +2321,10 @@ def point_lookup(
             [(k,) for k in set(keys)],
             schema=StructType().add("_probe_key", key_type),
         )
-        return point_lookup_df(spark, path, key_col, keys_df)
+        # a LocalRelation is a literal embedded in the plan — re-scans
+        # are identical by construction, so the snapshot pin would be a
+        # pure-overhead job (~0.3s at 100k keys)
+        return point_lookup_df(spark, path, key_col, keys_df, pin_keys=False)
 
     def _filter_keys(df: DataFrame, col: str) -> DataFrame:
         return df.where(F.col(col).isin(keys))
@@ -2400,7 +2403,11 @@ def _coerce_probe_col(dtype, col):
 
 
 def point_lookup_df(
-    spark: SparkSession, path: str, key_col: str, keys_df: DataFrame
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+    pin_keys: bool = True,
 ) -> DataFrame:
     """:func:`point_lookup` with a DISTRIBUTED probe-key source: the
     first column of ``keys_df`` holds the keys (any castable type — the
@@ -2417,7 +2424,14 @@ def point_lookup_df(
     nothing extra), shuffled otherwise; which is exactly the 100 TB-safe
     default. Index-file pruning still applies: [min(keys), max(keys)]
     comes from that aggregate, never a driver materialization of the
-    keys."""
+    keys.
+
+    ``pin_keys=False`` skips the one-job snapshot pin of the key set —
+    safe ONLY when the key source is deterministic across re-scans
+    (a LocalRelation, a static parquet dir); with a non-deterministic
+    source the range aggregate and the two joins could otherwise see
+    different keys, and a range narrower than the probed keys would
+    prune index files the probe needed (silently missing rows)."""
     from mapreduce_google_spark.io import _deletes_dir, dv_anti_join
 
     key_type = spark.read.parquet(path).schema[key_col].dataType
@@ -2432,12 +2446,15 @@ def point_lookup_df(
         # set (measured 1.5x the whole lookup wall at 2M keys). The
         # count below is therefore an upper bound — conservative in the
         # right direction for the broadcast decision.
+    )
+    if pin_keys:
         # materialize once (map-only, no shuffle): the stats aggregate,
         # the index probe and the re-filter all consume the key set, and
         # pinning ONE snapshot keeps the range and the joins consistent
-        # even over a non-deterministic source
-        .localCheckpoint()
-    )
+        # even over a non-deterministic source. Callers whose source is
+        # deterministic by construction (point_lookup's LocalRelation
+        # delegation) pass pin_keys=False and skip the job.
+        keys = keys.localCheckpoint()
     stats = keys.agg(
         F.count("*").alias("n"),
         F.min("_probe_key").alias("lo"),

@@ -114,8 +114,12 @@ def main() -> int:
             for i in range(2_000_000):
                 fh.write(f"{i}\n")
 
+    from mapreduce_google_spark.operators.scale import POINT_LOOKUP_ISIN_MAX
+
     isin_wall, isin_rows = _median_wall(
-        lambda: point_lookup(spark, path, "event_id", list(range(1_000)))
+        lambda: point_lookup(
+            spark, path, "event_id", list(range(POINT_LOOKUP_ISIN_MAX))
+        )
     )
     bcast_wall, bcast_rows = _median_wall(
         lambda: point_lookup(spark, path, "event_id", list(range(100_000)))
@@ -143,7 +147,10 @@ def main() -> int:
         "index_build_or_checkup_wall_s": build_wall,
         "n_reps": N_REPS,
         "regimes": {
-            "isin_1k_keys": {"wall_s": isin_wall, "hits": isin_rows},
+            f"isin_{POINT_LOOKUP_ISIN_MAX}_keys": {
+                "wall_s": isin_wall,
+                "hits": isin_rows,
+            },
             "broadcast_semijoin_100k_keys": {
                 "wall_s": bcast_wall,
                 "hits": bcast_rows,
