@@ -697,6 +697,33 @@ def read_with_deletes(
     return df if _keep_coords else df.drop("_file", "_row_index")
 
 
+def read_files_with_deletes(
+    spark: SparkSession, path: str, files: list[str]
+) -> DataFrame:
+    """Read ONLY ``files`` of the table at ``path``, deletion vectors
+    applied — the composition every pruned read (zone-map manifest,
+    posting index) must go through: reading a pruned file list with a
+    bare ``spark.read.parquet(*files)`` silently resurrects DV-deleted
+    rows on merge-on-read tables (the r11 batched-lookup bug class).
+    ``_metadata`` coordinates are projected here, directly on the scan
+    relation, BEFORE any join a caller adds — after a join the attribute
+    is unresolvable. An empty ``files`` list returns a schema-only empty
+    frame (a provably-empty pruning must never fall back to a
+    whole-table scan)."""
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    df = spark.read.parquet(*files)
+    dv_dir = _deletes_dir(path)
+    if os.path.exists(dv_dir):
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_row_index"),
+        )
+        df = dv_anti_join(df, dv_dir).drop("_file", "_row_index")
+    return df
+
+
 def apply_deletes(spark: SparkSession, path: str) -> dict:
     """Compaction: physically drop deleted rows by rewriting ONLY the
     files the sidecar references, then clear the sidecar. Files with no

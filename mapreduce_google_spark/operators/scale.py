@@ -1289,13 +1289,12 @@ def manifest_pruned_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, _total = pruned_files_from_manifest(
         spark, path, {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
     )
-    # an empty pruned set proves no file can intersect the box — a
-    # schema-only empty frame, never a whole-table fallback scan
-    src = (
-        spark.read.parquet(*files)
-        if files
-        else spark.read.parquet(path).where(F.lit(False))
-    )
+    # the composed pruned read: empty pruning → schema-only empty frame
+    # (never a whole-table fallback scan), and any _deletes sidecar is
+    # applied so merge-on-read deletes never resurrect through pruning
+    from mapreduce_google_spark.io import read_files_with_deletes
+
+    src = read_files_with_deletes(spark, path, files)
     return (
         src.where(F.col("l_partkey").between(pk_lo, pk_hi))
         .where(F.col("l_suppkey").between(sk_lo, sk_hi))
@@ -2300,7 +2299,7 @@ def point_lookup(
     expression branch per key — a 100k-key batch would blow the codegen
     budget) to the semi-join path (:func:`point_lookup_df`); same
     answers, plan cost O(|keys|) data instead of O(|keys|) code."""
-    from mapreduce_google_spark.io import _deletes_dir, dv_anti_join
+    from mapreduce_google_spark.io import read_files_with_deletes
 
     if not keys:
         return spark.read.parquet(path).where(F.lit(False))
@@ -2362,16 +2361,10 @@ def point_lookup(
             .where(F.col(key_col).isin(keys[:POINT_LOOKUP_ISIN_MAX]))
             .limit(0)
         )
-    out = _filter_keys(spark.read.parquet(*files), key_col)
-    dv_dir = _deletes_dir(path)
-    if os.path.exists(dv_dir):
-        out = out.select(
-            "*",
-            F.col("_metadata.file_path").alias("_file"),
-            F.col("_metadata.row_index").alias("_row_index"),
-        )
-        out = dv_anti_join(out, dv_dir).drop("_file", "_row_index")
-    return out
+    # shared composed read: DV sidecar applied on the scan relation
+    # (anti-join before the key filter — commutative, both are row
+    # predicates on disjoint concerns)
+    return _filter_keys(read_files_with_deletes(spark, path, files), key_col)
 
 
 def _coerce_probe_col(dtype, col):
@@ -2432,7 +2425,7 @@ def point_lookup_df(
     source the range aggregate and the two joins could otherwise see
     different keys, and a range narrower than the probed keys would
     prune index files the probe needed (silently missing rows)."""
-    from mapreduce_google_spark.io import _deletes_dir, dv_anti_join
+    from mapreduce_google_spark.io import read_files_with_deletes
 
     key_type = spark.read.parquet(path).schema[key_col].dataType
     probe_col = keys_df.columns[0]
@@ -2493,24 +2486,12 @@ def point_lookup_df(
         else []
     )
     files = sorted(r["file"] for r in hits)
-    if not files:
-        return spark.read.parquet(path).where(F.lit(False))
-    src = spark.read.parquet(*files)
-    dv_dir = _deletes_dir(path)
-    if os.path.exists(dv_dir):
-        # _metadata resolves only directly on a file-scan relation — it
-        # must be projected BEFORE the semi-join (after a join it is an
-        # unresolvable attribute; this path + DV was the one untested
-        # combination in the r10 batched branch)
-        src = src.select(
-            "*",
-            F.col("_metadata.file_path").alias("_file"),
-            F.col("_metadata.row_index").alias("_row_index"),
-        )
-    out = _filter_keys(src, key_col)
-    if os.path.exists(dv_dir):
-        out = dv_anti_join(out, dv_dir).drop("_file", "_row_index")
-    return out
+    # shared composed read: DV sidecar applied on the scan relation
+    # (_metadata resolves only there — projecting it after the semi-join
+    # was the r11 bug), empty file list → schema-only empty frame
+    return _filter_keys(
+        read_files_with_deletes(spark, path, files), key_col
+    )
 
 
 def _indexed_events_path(spark: SparkSession, sf_dir: str) -> str:

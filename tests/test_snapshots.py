@@ -285,3 +285,30 @@ def test_duplicate_manifest_rows_never_double_reads(spark, tmp_path):
     files, total = pruned_files_from_manifest(spark, path, {"x": (0, 999)})
     assert len(files) == len(set(files)) == total == 4
     assert spark.read.parquet(*files).count() == 1_000  # not doubled
+
+
+def test_manifest_pruned_reads_apply_deletion_vectors(spark, tmp_path):
+    """Composition gap of the r11 batched-lookup bug class, closed at
+    the source: reading a pruned file list with a bare
+    spark.read.parquet(*files) resurrects DV-deleted rows on
+    merge-on-read tables. Every pruned read goes through
+    io.read_files_with_deletes, which applies the sidecar on the scan
+    relation."""
+    from mapreduce_google_spark.io import delete_where, read_files_with_deletes
+    from mapreduce_google_spark.operators.scale import pruned_files_from_manifest
+
+    path = str(tmp_path / "t")
+    spark.range(1_000).select(
+        F.col("id").alias("x"), (F.col("id") * 2).alias("v")
+    ).repartition(4).write.parquet(path)
+    assert delete_where(spark, path, F.col("x") % 10 == 3) == 100
+
+    files, total = pruned_files_from_manifest(spark, path, {"x": (0, 999)})
+    assert total == 4
+    got = read_files_with_deletes(spark, path, files)
+    assert got.count() == 900
+    assert got.where(F.col("x") % 10 == 3).count() == 0
+
+    # empty pruning: schema-only empty frame, never a full-table scan
+    empty = read_files_with_deletes(spark, path, [])
+    assert empty.columns == ["x", "v"] and empty.count() == 0
