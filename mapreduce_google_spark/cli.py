@@ -181,11 +181,17 @@ def _run_compact(
     import math
     import os
 
+    from mapreduce_google_spark.io import read_with_deletes
+
     in_files = glob.glob(os.path.join(input, "*.parquet"))
     if target_files is None:
         total = sum(os.path.getsize(f) for f in in_files)
         target_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(input)
+    # read THROUGH any deletion-vector sidecar: a raw read would bake
+    # DV-deleted rows back into the compacted output permanently (the
+    # output carries no sidecar); no-op for tables without _deletes —
+    # same contract as the zorder verb
+    df = read_with_deletes(spark, input)
     df.coalesce(target_files).write.mode("overwrite").parquet(output)
     out_files = glob.glob(os.path.join(output, "*.parquet"))
     return {

@@ -151,6 +151,29 @@ def test_compact_run(spark, tmp_path, sf_dir):
     assert before == after
 
 
+def test_compact_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
+    """Same class as upsert's r8 regression and r11's pruned-read gap:
+    the compact verb rewrites the table, and the OUTPUT carries no
+    _deletes sidecar — a raw read would bake deleted rows back in
+    permanently. Compaction must read through the sidecar."""
+    from mapreduce_google_spark.cli import _run_compact
+    from mapreduce_google_spark.io import delete_where
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.range(1_000).selectExpr("id AS k", "id * 2 AS v").repartition(
+        8
+    ).write.parquet(src)
+    assert delete_where(spark, src, F.col("k") % 10 == 3) == 100
+    summary = _run_compact(spark, input=src, output=out, target_files=2)
+    assert summary["rows"] == 900
+    got = spark.read.parquet(out)
+    assert got.count() == 900
+    assert got.where(F.col("k") % 10 == 3).count() == 0
+
+
 def test_compact_sizes_by_target_mb(spark, tmp_path, sf_dir):
     """Without --target-files the file count derives from total bytes /
     target-mb — a tiny input always compacts to one file."""
