@@ -208,10 +208,12 @@ def _run_profile(spark: SparkSession, *, input: str) -> list[dict]:
     covers every type). All statistics come from ONE aggregation pass —
     4 expressions per column in a single scan, never a per-column loop
     of jobs — which is the only profile shape that works on a 100 TB
-    table."""
-    from pyspark.sql import functions as F
+    table. Reads through any _deletes sidecar — a profile counting
+    logically-deleted rows would report the wrong n_rows/min/max for
+    every downstream sizing decision."""
+    from mapreduce_google_spark.io import read_with_deletes
 
-    df = spark.read.parquet(input)
+    df = read_with_deletes(spark, input)
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for f in df.schema.fields:
         c = f.name

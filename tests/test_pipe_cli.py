@@ -212,6 +212,23 @@ def test_profile_run(spark, sf_dir):
     assert all(r["n_nulls"] == 0 for r in recs)
 
 
+def test_profile_reads_through_deletion_vectors(spark, tmp_path):
+    """A profile counting logically-deleted rows reports the wrong
+    n_rows/min/max for every sizing decision downstream — the profile
+    verb reads through the _deletes sidecar like the rewrite verbs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.cli import _run_profile
+    from mapreduce_google_spark.io import delete_where
+
+    src = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k").repartition(2).write.parquet(src)
+    assert delete_where(spark, src, F.col("k") >= 90) == 10
+    recs = _run_profile(spark, input=src)
+    assert recs[0]["n_rows"] == 90
+    assert recs[0]["max"] == "89"
+
+
 def test_curate_writes_kept_corpus(spark, tmp_path, sf_dir):
     from mapreduce_google_spark.operators.textstats import curated_corpus
 
