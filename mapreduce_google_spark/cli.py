@@ -427,8 +427,9 @@ def main(argv: list[str] | None = None) -> int:
         "--lookup-file",
         default=None,
         help="path to a file of key values (one per line) for BATCHED lookups — "
-        "past 1000 keys point_lookup answers via a broadcast semi-join, not "
-        "an isin() literal; mutually exclusive with --lookup",
+        "past the measured isin crossover the lookup answers via a semi-join, "
+        "and past 100k keys the file is read distributed (spark.read.text), "
+        "never as a driver list; mutually exclusive with --lookup",
     )
 
     p_delete = sub.add_parser(
