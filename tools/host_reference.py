@@ -41,6 +41,22 @@ def _bench(cwd: str) -> dict:
     raise RuntimeError(f"no bench line from {cwd}:\n{out.stdout}\n{out.stderr}")
 
 
+def _merge_runs(a: dict, b: dict) -> dict:
+    """Mean of two bench records (one from each ABBA slot): total value
+    and per-query seconds. Means (not min) keep the drift cancellation
+    symmetric — each tree gets exactly one hot and one cold slot."""
+    qa, qb = a.get("queries", {}), b.get("queries", {})
+    return {
+        "value": round((a["value"] + b["value"]) / 2, 3),
+        "value_slots": [a["value"], b["value"]],
+        "queries": {
+            q: round((qa[q] + qb[q]) / 2, 3)
+            for q in qa
+            if q in qb
+        },
+    }
+
+
 def main() -> int:
     this_round = 1 + max(
         int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
@@ -75,8 +91,18 @@ def main() -> int:
     )
     _run(["git", "worktree", "add", "--detach", WT, prev_tip])
     try:
-        prev = _bench(WT)
-        cur = _bench(REPO)
+        # COUNTERBALANCED ABBA order: benching prev-then-current once
+        # made the current tree look 10-17% slower on IDENTICAL code —
+        # the same tree benched twice back-to-back scores ~+16% on the
+        # second run (thermal/cache order effect, measured r11). Two
+        # passes in mirrored order cancel linear drift; per-tree result
+        # is the mean of its first-slot and second-slot runs.
+        prev_a = _bench(WT)
+        cur_a = _bench(REPO)
+        cur_b = _bench(REPO)
+        prev_b = _bench(WT)
+        prev = _merge_runs(prev_a, prev_b)
+        cur = _merge_runs(cur_a, cur_b)
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", WT],
@@ -101,8 +127,13 @@ def main() -> int:
             "round-over-round totals compare like-with-like"
         ),
         "prev_tip_commit": prev_tip[:7],
+        "order": "ABBA (counterbalanced — see tool docstring; r11 found "
+        "a ~16% same-tree second-run penalty that a single A,B pass "
+        "mis-attributes to the code)",
         "prev_tip_total_on_this_host": prev["value"],
+        "prev_tip_slot_values": prev["value_slots"],
         "current_tree_total_on_this_host": cur["value"],
+        "current_tree_slot_values": cur["value_slots"],
         "per_query": drift,
     }
     with open(out_path, "w") as fh:
