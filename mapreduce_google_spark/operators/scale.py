@@ -2301,13 +2301,16 @@ def point_lookup(
     answers, plan cost O(|keys|) data instead of O(|keys|) code."""
     from mapreduce_google_spark.io import read_files_with_deletes
 
+    # ONE reader construction per lookup: each spark.read.parquet(path)
+    # lists the table directory (an object-store LIST at real file
+    # counts) — three of them per probe was pure overhead
+    tbl = spark.read.parquet(path)
+    key_type = tbl.schema[key_col].dataType
     if not keys:
-        return spark.read.parquet(path).where(F.lit(False))
-    keys = _coerce_probe_keys(
-        spark.read.parquet(path).schema[key_col].dataType, keys
-    )
+        return tbl.where(F.lit(False))
+    keys = _coerce_probe_keys(key_type, keys)
     if not keys:  # every probe was uncastable → provably zero matches
-        return spark.read.parquet(path).where(F.lit(False))
+        return tbl.where(F.lit(False))
 
     if len(keys) > POINT_LOOKUP_ISIN_MAX:
         # batched path: hand the (already natively-typed) keys to the
@@ -2315,7 +2318,6 @@ def point_lookup(
         # driver-list and distributed key sources
         from pyspark.sql.types import StructType
 
-        key_type = spark.read.parquet(path).schema[key_col].dataType
         keys_df = spark.createDataFrame(
             [(k,) for k in set(keys)],
             schema=StructType().add("_probe_key", key_type),
@@ -2356,11 +2358,7 @@ def point_lookup(
     )
     files = sorted(r["file"] for r in hits)
     if not files:
-        return (
-            spark.read.parquet(path)
-            .where(F.col(key_col).isin(keys[:POINT_LOOKUP_ISIN_MAX]))
-            .limit(0)
-        )
+        return tbl.where(F.col(key_col).isin(keys)).limit(0)
     # shared composed read: DV sidecar applied on the scan relation
     # (anti-join before the key filter — commutative, both are row
     # predicates on disjoint concerns)
@@ -2427,7 +2425,8 @@ def point_lookup_df(
     prune index files the probe needed (silently missing rows)."""
     from mapreduce_google_spark.io import read_files_with_deletes
 
-    key_type = spark.read.parquet(path).schema[key_col].dataType
+    tbl = spark.read.parquet(path)  # one directory listing per lookup
+    key_type = tbl.schema[key_col].dataType
     probe_col = keys_df.columns[0]
     keys = (
         keys_df.select(
@@ -2454,7 +2453,7 @@ def point_lookup_df(
         F.max("_probe_key").alias("hi"),
     ).first()
     if stats["n"] == 0:  # empty/all-uncastable: provably zero matches
-        return spark.read.parquet(path).where(F.lit(False))
+        return tbl.where(F.lit(False))
     # decide the join strategy from the MEASURED count, not Catalyst's
     # estimate (which is pre-distinct and can call a tens-of-millions
     # key set broadcastable, or a small one shuffled): broadcast under
