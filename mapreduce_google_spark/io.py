@@ -518,6 +518,24 @@ def list_versions(root: str) -> list[int]:
         return sorted(json.load(fh)["versions"])
 
 
+def _next_version(root: str) -> int:
+    """Next unclaimed snapshot version: 1 + the max over the committed
+    manifest AND any on-disk ``v=N`` directory or ``v=N.claim`` marker.
+    Orphan directories from crashed writers must be SKIPPED, never
+    collided with — allocating from the manifest alone meant one
+    crashed publish bricked every later publish (``mode("error")`` on
+    the orphan dir) until a vacuum swept it."""
+    import re
+
+    taken = set(list_versions(root))
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            m = re.fullmatch(r"v=(\d+)(\.claim)?", name)
+            if m:
+                taken.add(int(m.group(1)))
+    return (max(taken) + 1) if taken else 1
+
+
 def versioned_write(df: DataFrame, root: str) -> int:
     """Publish ``df`` as the next immutable snapshot version of the
     table at ``root`` and return its version number.
@@ -528,19 +546,61 @@ def versioned_write(df: DataFrame, root: str) -> int:
     manifest is swapped into place with ``os.replace`` (atomic on a
     POSIX filesystem). Crash between data write and manifest swap
     leaves an unlisted orphan directory — invisible to every reader,
-    reclaimable by a vacuum sweep — never a torn table.
+    reclaimable by a vacuum sweep, SKIPPED by the next publisher's
+    version allocator — never a torn table, never a bricked store.
+
+    Concurrent publishers are safe: version numbers are allocated with
+    an O_EXCL ``v=N.claim`` marker (losers recompute and take the next
+    number), and the manifest read-modify-replace runs under a tiny
+    ``_versions.lock`` critical section (pure metadata, microseconds)
+    so a slow writer cannot swap away a faster writer's commit. A
+    publisher that crashes INSIDE the manifest swap leaves the lock
+    behind; the next publisher fails after ~5s with a message naming
+    the file to delete.
     """
     import json
+    import time
 
-    versions = list_versions(root)
-    n = (versions[-1] + 1) if versions else 1
-    df.write.mode("error").parquet(os.path.join(root, f"v={n}"))
-    mf = _versions_manifest(root)
-    tmp = mf + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"versions": versions + [n]}, fh)
-    os.replace(tmp, mf)
-    return n
+    os.makedirs(root, exist_ok=True)
+    while True:
+        n = _next_version(root)
+        claim = os.path.join(root, f"v={n}.claim")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # a concurrent publisher claimed n — take the next
+        os.close(fd)
+        break
+    try:
+        df.write.mode("error").parquet(os.path.join(root, f"v={n}"))
+        # manifest swap under the metadata lock: re-read committed
+        # versions NOW (a concurrent publisher may have committed while
+        # our data wrote) so no commit is ever lost to a stale swap
+        mf = _versions_manifest(root)
+        lock = mf + ".lock"
+        for _ in range(500):
+            try:
+                lfd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.01)
+        else:
+            raise RuntimeError(
+                f"snapshot manifest lock {lock} held for >5s — a crashed "
+                "publisher left it behind; delete the file and retry"
+            )
+        try:
+            versions = sorted(set(list_versions(root)) | {n})
+            tmp = f"{mf}.tmp.{n}"
+            with open(tmp, "w") as fh:
+                json.dump({"versions": versions}, fh)
+            os.replace(tmp, mf)
+        finally:
+            os.close(lfd)
+            os.remove(lock)
+        return n
+    finally:
+        os.remove(claim)
 
 
 def read_snapshot(
@@ -595,6 +655,11 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> dict:
             if which is orphans:
                 orphans.append(int(m.group(1)))
             shutil.rmtree(os.path.join(root, name))
+        # stale allocator markers from crashed publishers (same caveat
+        # as dropped dirs: vacuum during an in-flight publish races it)
+        c = re.fullmatch(r"v=(\d+)\.claim", name)
+        if c and int(c.group(1)) not in keep:
+            os.remove(os.path.join(root, name))
     return {"dropped": dropped, "orphans": orphans}
 
 

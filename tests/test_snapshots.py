@@ -312,3 +312,76 @@ def test_manifest_pruned_reads_apply_deletion_vectors(spark, tmp_path):
     # empty pruning: schema-only empty frame, never a full-table scan
     empty = read_files_with_deletes(spark, path, [])
     assert empty.columns == ["x", "v"] and empty.count() == 0
+
+
+def test_crashed_publish_does_not_brick_the_store(spark, tmp_path):
+    """A crash between data write and manifest swap leaves an orphan
+    v=N directory. Allocating the next version from the manifest alone
+    collided with the orphan (mode('error') raised) — EVERY later
+    publish failed until a vacuum swept it. The allocator now skips any
+    on-disk v=N, so publishing continues; the orphan stays unreadable
+    and vacuumable."""
+    import pytest
+
+    from mapreduce_google_spark.io import (
+        read_snapshot,
+        vacuum_snapshots,
+        versioned_write,
+    )
+
+    root = str(tmp_path / "store")
+    assert versioned_write(spark.range(3).selectExpr("id AS n"), root) == 1
+    assert versioned_write(spark.range(5).selectExpr("id AS n"), root) == 2
+    # simulate the crashed writer: data directory exists, manifest never
+    # learned about it
+    os.makedirs(os.path.join(root, "v=3"))
+
+    assert versioned_write(spark.range(7).selectExpr("id AS n"), root) == 4
+    assert read_snapshot(spark, root).count() == 7
+    with pytest.raises(ValueError, match="not committed"):
+        read_snapshot(spark, root, version=3)
+    assert vacuum_snapshots(root, keep_last=2)["orphans"] == [3]
+
+
+def test_concurrent_versioned_writes_get_distinct_versions(spark, tmp_path):
+    """Two publishers racing the same store must both succeed with
+    DISTINCT version numbers and BOTH commits visible in the manifest —
+    the claim-file allocator serializes numbering, and the locked
+    manifest swap re-reads committed versions so a slow writer cannot
+    swap away a fast writer's commit."""
+    import threading
+
+    from mapreduce_google_spark.io import (
+        list_versions,
+        read_snapshot,
+        versioned_write,
+    )
+
+    root = str(tmp_path / "store")
+    versioned_write(spark.range(1).selectExpr("id AS n"), root)
+
+    results: list[int] = []
+    errors: list[Exception] = []
+
+    def publish(rows: int) -> None:
+        try:
+            results.append(
+                versioned_write(spark.range(rows).selectExpr("id AS n"), root)
+            )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [threading.Thread(target=publish, args=(r,)) for r in (10, 20)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert sorted(results) == [2, 3]
+    assert list_versions(root) == [1, 2, 3]
+    assert {read_snapshot(spark, root, version=v).count() for v in (2, 3)} == {
+        10,
+        20,
+    }
+    # no allocator debris after clean publishes
+    assert not [f for f in os.listdir(root) if f.endswith(".claim")]
