@@ -2455,10 +2455,10 @@ def point_lookup_df(
     if stats["n"] == 0:  # empty/all-uncastable: provably zero matches
         return tbl.where(F.lit(False))
     # decide the join strategy from the MEASURED count, not Catalyst's
-    # estimate (which is pre-distinct and can call a tens-of-millions
-    # key set broadcastable, or a small one shuffled): broadcast under
-    # the cap, force a shuffled hash join past it — never ship a huge
-    # key set to every executor
+    # size estimate (a checkpointed key set has none, and a raw source
+    # estimate can call a tens-of-millions key set broadcastable):
+    # broadcast under the cap, force a shuffled hash join past it —
+    # never ship a huge key set to every executor
     keys_side = (
         F.broadcast(keys)
         if stats["n"] <= POINT_LOOKUP_BROADCAST_MAX
