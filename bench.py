@@ -164,6 +164,10 @@ def main() -> int:
                 # 2.6x at 1000, recall 1.0; the 2.6x is the
                 # n_cells/n_probe_cells arithmetic cap)
                 "ann_crossover_artifact": "BENCH_ann_crossover.json",
+                "batched_lookup_artifacts": [
+                    "BENCH_batched_lookup.json",
+                    "BENCH_batched_lookup_crossover.json",
+                ],
                 "value_r5_comparable": round(
                     total - timings.get("t25_ivf_topk", 0.0), 3
                 ),
