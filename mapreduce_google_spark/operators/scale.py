@@ -50,6 +50,23 @@ def _tag(sf_dir: str, *names: str) -> str:
     return cache_tag(sf_dir, *names)
 
 
+def _warehouse_dir(spark: SparkSession) -> str:
+    """The LIVE session's resolved warehouse directory as a local path.
+
+    Never hardcode the engine's own default (``/tmp/mgs-warehouse``,
+    ``session.py``): a caller-supplied session — the driver's, a
+    notebook's — resolves ``spark.sql.warehouse.dir`` elsewhere
+    (typically ``$PWD/spark-warehouse``), and a cleanup that looks in
+    the wrong warehouse lets an orphaned table directory brick every
+    managed ``saveAsTable`` with ``LOCATION_ALREADY_EXISTS`` (the t40
+    r11 driver-red; VERDICT r11 item 1)."""
+    from urllib.parse import urlparse
+
+    raw = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(raw)
+    return parsed.path if parsed.scheme in ("file", "") else raw
+
+
 def bucketed_revenue_per_segment(
     spark: SparkSession, sf_dir: str, num_buckets: int = 8
 ) -> DataFrame:
@@ -79,8 +96,10 @@ def bucketed_revenue_per_segment(
         if not spark.catalog.tableExists(tbl):
             # the in-memory catalog dies with the session but the warehouse
             # dir survives — clear any orphaned location before re-creating
-            # (with a persistent metastore this rewrite never happens)
-            loc = os.path.join("/tmp/mgs-warehouse", tbl)
+            # (with a persistent metastore this rewrite never happens).
+            # The warehouse must come from THIS session's conf, not the
+            # engine default: the two can differ (see _warehouse_dir)
+            loc = os.path.join(_warehouse_dir(spark), tbl)
             if os.path.exists(loc):
                 shutil.rmtree(loc)
             (
