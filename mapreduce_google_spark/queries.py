@@ -7213,9 +7213,26 @@ def _tracked_correctness_files(repo: str) -> list[str] | None:
     ]
 
 
+def _is_green_row(row: object) -> bool:
+    """True iff a CORRECTNESS artifact row is a FULL pass — rows +
+    schema + hash all matched. Red/err rows must not count as evidence:
+    a failing operator whose name merely appears in an artifact would
+    otherwise leave the stalest-first rotation for up to 5 rounds at
+    the exact moment it most needs re-proving (VERDICT r11 item 2 —
+    t40 went red in r11 and a presence-based clock would have hidden
+    it until ~r16)."""
+    return (
+        isinstance(row, dict)
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    )
+
+
 def _correctness_last_checked() -> dict[str, int]:
-    """Per-query last driver-checked round, unioned over the COMMITTED
-    (git-tracked) ``CORRECTNESS_r*.json`` history at the repo root.
+    """Per-query last driver-GREEN round (see :func:`_is_green_row`),
+    unioned over the COMMITTED (git-tracked) ``CORRECTNESS_r*.json``
+    history at the repo root.
     Untracked round-boundary deposits are deliberately excluded so the
     derivation is a pure function of HEAD; outside a git checkout the
     glob fallback keeps the package importable. Empty dict when no
@@ -7235,11 +7252,14 @@ def _correctness_last_checked() -> dict[str, int]:
         rnd = int(_re.search(r"r(\d+)", _os.path.basename(f)).group(1))
         try:
             with open(f) as fh:
-                names = _json.load(fh)
+                rows = _json.load(fh)
         except (OSError, ValueError):
             continue  # a torn/partial artifact must not break import
-        for name in names:
-            last[name] = max(last.get(name, 0), rnd)
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if _is_green_row(row):
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 

@@ -28,6 +28,26 @@ def _tracked_correctness_files(repo: str) -> list[str]:
     return [os.path.join(repo, p) for p in out.stdout.split()]
 
 
+def _green_names(artifact_path: str) -> list[str]:
+    """Names whose artifact row is a FULL pass (rows+schema+hash all
+    true) — the independent twin of queries._is_green_row. Red/err rows
+    are NOT evidence: counting them let a failing entry (t40, r11) age
+    out of the rotation exactly when it needed re-proving (VERDICT r11
+    item 2)."""
+    import json
+
+    with open(artifact_path) as fh:
+        rows = json.load(fh)
+    return [
+        name
+        for name, row in rows.items()
+        if isinstance(row, dict)
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    ]
+
+
 def test_names_are_unique_and_well_formed():
     assert len(REGISTRY) == len(set(REGISTRY))
     for name in REGISTRY:
@@ -110,7 +130,6 @@ def test_staleness_budget():
     Rows-only specs are exempt (a window slot can never buy them a hash
     row; their invariant twins carry the evidence and are themselves
     budgeted here)."""
-    import json
     import os
 
     from mapreduce_google_spark.queries import DRIVER_WINDOW
@@ -123,9 +142,8 @@ def test_staleness_budget():
     for f in _tracked_correctness_files(root):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         rounds.append(rnd)
-        with open(f) as fh:
-            for name in json.load(fh):
-                last[name] = max(last.get(name, 0), rnd)
+        for name in _green_names(f):  # green rows only — red is not evidence
+            last[name] = max(last.get(name, 0), rnd)
     assert rounds, "no correctness history found"
     current = max(rounds) + 1
     for name in DRIVER_WINDOW:  # the upcoming round's evidence
@@ -171,7 +189,6 @@ def test_window_is_policy_output():
     with _compose_driver_window evaluated from the same files (ADVICE
     r9): a reintroduced hand-pasted literal AND a regression inside the
     policy function both fail these assertions."""
-    import json
     import os
 
     from mapreduce_google_spark.queries import (
@@ -190,7 +207,7 @@ def test_window_is_policy_output():
     last: dict[str, int] = {}
     for f in sorted(_tracked_correctness_files(repo)):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        for name in json.load(open(f)):
+        for name in _green_names(f):  # green rows only — red is not evidence
             last[name] = max(last.get(name, 0), rnd)
     assert last, "no correctness history found"
 
@@ -252,7 +269,10 @@ def test_untracked_boundary_deposit_is_ignored():
         # WOULD change both the history and the window
         victim = before_window[-1]
         with open(fake, "w") as fh:
-            fh.write('{"%s": {"hash_match": true}}' % victim)
+            fh.write(
+                '{"%s": {"rows_match": true, "schema_match": true, '
+                '"hash_match": true}}' % victim
+            )
         assert q._correctness_last_checked() == before_last, (
             "untracked deposit leaked into the derived history"
         )
@@ -261,6 +281,65 @@ def test_untracked_boundary_deposit_is_ignored():
         )
     finally:
         os.remove(fake)
+
+
+def test_red_rows_are_not_staleness_evidence(tmp_path, monkeypatch):
+    """VERDICT r11 item 2, the r11 t40 incident as a unit test: a
+    tracked artifact row that is red/err (any of rows/schema/hash not
+    true) must NOT advance that query's last-checked clock — otherwise
+    a failing operator leaves the stalest-first rotation for up to 5
+    rounds at the exact moment it most needs re-proving. Simulated by
+    injecting a synthetic tracked artifact (via the file-list seam) in
+    which a currently-scheduled query errs: its clock must not move and
+    it must still hold a window slot."""
+    import json
+    import os
+
+    from mapreduce_google_spark import queries as q
+
+    before_last = q._correctness_last_checked()
+    before_window = q._compose_driver_window()
+    victim = before_window[-1]  # a rotating (non-canary) scheduled entry
+
+    real_files = q._tracked_correctness_files(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    fake = tmp_path / "CORRECTNESS_r97.json"
+    fake.write_text(
+        json.dumps(
+            {
+                victim: {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": "LOCATION_ALREADY_EXISTS (synthetic)",
+                }
+            }
+        )
+    )
+    monkeypatch.setattr(
+        q, "_tracked_correctness_files", lambda repo: real_files + [str(fake)]
+    )
+    assert q._correctness_last_checked() == before_last, (
+        "an err row advanced the staleness clock"
+    )
+    after_window = q._compose_driver_window()
+    assert victim in after_window, (
+        "a red round evicted the failing query from the rotation"
+    )
+    assert after_window == before_window
+
+    # and a GREEN r97 row for the same query must rotate it out — the
+    # filter distinguishes red from green, it doesn't ignore the file
+    fake.write_text(
+        json.dumps(
+            {victim: {"rows_match": True, "schema_match": True, "hash_match": True}}
+        )
+    )
+    assert q._correctness_last_checked()[victim] == 97
+    assert victim not in q._compose_driver_window()
 
 
 def test_rotation_survives_future_round_boundaries():
