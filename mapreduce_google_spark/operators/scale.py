@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 
 from mapreduce_google_spark.functions.numeric import dsum, money
 from mapreduce_google_spark.functions.text import tokenize
-from mapreduce_google_spark.io import cache_tag, load_table, register_views
+from mapreduce_google_spark.io import (
+    _break_dead_holder_lock,
+    cache_tag,
+    load_table,
+    register_views,
+)
 
 #: decimal sum → double, rounded — deterministic vs the oracle regardless
 #: of partitioning (double accumulation order varies run to run).
@@ -1962,30 +1967,8 @@ def _acquire_refresh_lock(idx_dir: str) -> str:
     raise AssertionError("unreachable")
 
 
-def _break_dead_holder_lock(lock: str) -> bool:
-    """Remove ``lock`` iff its recorded holder is a same-host process
-    that no longer exists. Unreadable/torn payloads, other hosts, and
-    alive-under-another-uid holders are all left alone (False)."""
-    import socket
-
-    try:
-        host, _, pid_s = open(lock).read().strip().partition(":")
-        pid = int(pid_s)
-    except (OSError, ValueError):
-        return False
-    if host != socket.gethostname():
-        return False
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        try:
-            os.remove(lock)
-        except OSError:
-            return False
-        return True
-    except PermissionError:
-        return False  # alive under another uid
-    return False  # alive
+# _break_dead_holder_lock moved to io.py (shared with the snapshot
+# store's claim sweep); imported at the module header.
 
 
 def _read_covered_sidecar(
@@ -2240,8 +2223,15 @@ def _refresh_point_index_locked(
             .parquet(idx_dir)
         )
         segments = 1
-    with open(flist, "w") as fh:
+    # atomic sidecar swap (ADVICE r11): lock-free steady-state LOOKUPS
+    # read this file without taking the refresh lock, so an in-place
+    # rewrite could hand them a truncated/empty JSON mid-write — temp
+    # file + os.replace gives every reader either the old or the new
+    # sidecar, never a torn one (same pattern as the versions manifest)
+    tmp = f"{flist}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
         _json.dump({"covered": sorted(files), "segments": segments}, fh)
+    os.replace(tmp, flist)
     # zone-map manifest ON the index itself — refreshed here (the write
     # path pays the footer walk, incremental: appended segments add only
     # their own files' rows) so steady-state lookups get index-file
@@ -2418,6 +2408,7 @@ def point_lookup_df(
     key_col: str,
     keys_df: DataFrame,
     pin_keys: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """:func:`point_lookup` with a DISTRIBUTED probe-key source: the
     first column of ``keys_df`` holds the keys (any castable type — the
@@ -2441,7 +2432,13 @@ def point_lookup_df(
     (a LocalRelation, a static parquet dir); with a non-deterministic
     source the range aggregate and the two joins could otherwise see
     different keys, and a range narrower than the probed keys would
-    prune index files the probe needed (silently missing rows)."""
+    prune index files the probe needed (silently missing rows).
+
+    ``stats_out``: pass a dict to receive the stats aggregate this
+    lookup already computes — ``{"n": coerced-key count (upper bound,
+    duplicates included), "lo": min, "hi": max}`` — so callers that
+    report a key count (the CLI) don't pay a SECOND full pass over the
+    key source just for the number (ADVICE r11)."""
     from mapreduce_google_spark.io import read_files_with_deletes
 
     tbl = spark.read.parquet(path)  # one directory listing per lookup
@@ -2471,6 +2468,8 @@ def point_lookup_df(
         F.min("_probe_key").alias("lo"),
         F.max("_probe_key").alias("hi"),
     ).first()
+    if stats_out is not None:
+        stats_out.update(n=stats["n"], lo=stats["lo"], hi=stats["hi"])
     if stats["n"] == 0:  # empty/all-uncastable: provably zero matches
         return tbl.where(F.lit(False))
     # decide the join strategy from the MEASURED count, not Catalyst's

@@ -643,3 +643,27 @@ def test_real_concurrent_refresh_race_one_writer_wins(spark, tmp_path):
     assert refresh_point_index(spark, path, "k") == idx_dir
     got = point_lookup(spark, path, "k", [80_001]).collect()
     assert [(r["k"], r["v"]) for r in got] == [(80_001, 2)]
+
+
+def test_covered_sidecar_swap_is_atomic_artifact(spark, tmp_path):
+    """ADVICE r11: steady-state lookups read _covered_files.json WITHOUT
+    the refresh lock, so the writer must swap it with os.replace — a
+    reader can then never see a truncated/empty JSON. Artifact check:
+    valid sidecar and no .tmp residue after both an append refresh and
+    a compaction."""
+    import json
+
+    path = str(tmp_path / "tbl")
+    _write_hashed(spark, path, 1_000, 4)
+    idx_dir = refresh_point_index(spark, path, "k")
+    _append_source_file(spark, path, [(80_001, 5)], "k long, v long", "a1")
+    refresh_point_index(spark, path, "k")  # append (delta segment)
+    _append_source_file(spark, path, [(80_002, 6)], "k long, v long", "a2")
+    refresh_point_index(spark, path, "k", compact_after=1)  # compaction
+    flist = os.path.join(idx_dir, "_covered_files.json")
+    sidecar = json.load(open(flist))
+    assert set(sidecar) == {"covered", "segments"}
+    assert len(sidecar["covered"]) == 6  # 4 base + 2 appended
+    assert not [
+        n for n in os.listdir(idx_dir) if n.startswith("_covered_files.json.tmp")
+    ]

@@ -385,3 +385,88 @@ def test_concurrent_versioned_writes_get_distinct_versions(spark, tmp_path):
     }
     # no allocator debris after clean publishes
     assert not [f for f in os.listdir(root) if f.endswith(".claim")]
+
+
+def _dead_claim_payload() -> str:
+    """``host:pid`` of a REAL process that has already exited — spawned
+    and reaped here, so os.kill(pid, 0) deterministically raises
+    ProcessLookupError (no guessing at unused pid space)."""
+    import socket
+    import subprocess
+    import sys
+
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait()
+    return f"{socket.gethostname()}:{p.pid}"
+
+
+def test_dead_publisher_claim_is_reclaimed_at_allocation(spark, tmp_path):
+    """VERDICT r11 item 5: a publisher that crashes between claiming a
+    version number and its finally leaves a v=N.claim that blocked the
+    number forever (the allocator skips it; only vacuum swept it). The
+    allocation-time sweep reclaims a claim whose holder is provably
+    dead, so the next publish REUSES the number."""
+    from mapreduce_google_spark.io import versioned_write
+
+    root = str(tmp_path / "store")
+    assert versioned_write(spark.range(3).selectExpr("id AS n"), root) == 1
+    with open(os.path.join(root, "v=2.claim"), "w") as fh:
+        fh.write(_dead_claim_payload())
+    # no data dir for v=2 (crashed before the write): number is reusable
+    assert versioned_write(spark.range(5).selectExpr("id AS n"), root) == 2
+    assert list_versions(root) == [1, 2]
+    assert not [f for f in os.listdir(root) if f.endswith(".claim")]
+
+
+def test_live_claim_is_never_reclaimed(spark, tmp_path):
+    """A claim held by a LIVE process is an in-flight publish: neither
+    the allocation sweep nor vacuum may touch it (or its data dir) —
+    doing so would re-open the allocation collision the claim protocol
+    exists to prevent (ADVICE r11)."""
+    import socket
+
+    from mapreduce_google_spark.io import vacuum_snapshots, versioned_write
+
+    root = str(tmp_path / "store")
+    versioned_write(spark.range(3).selectExpr("id AS n"), root)
+    claim = os.path.join(root, "v=2.claim")
+    with open(claim, "w") as fh:
+        fh.write(f"{socket.gethostname()}:{os.getpid()}")  # us: alive
+    # mid-publish: the claimed version's data is landing
+    spark.range(9).selectExpr("id AS n").write.parquet(os.path.join(root, "v=2"))
+
+    # a concurrent publisher must allocate PAST the live claim
+    assert versioned_write(spark.range(5).selectExpr("id AS n"), root) == 3
+    # vacuum must leave both the live claim and its uncommitted dir
+    out = vacuum_snapshots(root, keep_last=10)
+    assert out["orphans"] == []
+    assert os.path.exists(claim)
+    assert os.path.isdir(os.path.join(root, "v=2"))
+    assert list_versions(root) == [1, 3]
+
+    # once the holder is dead, vacuum sweeps BOTH
+    with open(claim, "w") as fh:
+        fh.write(_dead_claim_payload())
+    out = vacuum_snapshots(root, keep_last=10)
+    assert out["orphans"] == [2]
+    assert not os.path.exists(claim)
+    assert not os.path.exists(os.path.join(root, "v=2"))
+
+
+def test_vacuum_removes_claim_leftover_from_crash_after_commit(spark, tmp_path):
+    """Crash AFTER the manifest swap but before claim cleanup: the
+    version is committed and permanently taken, the marker is junk —
+    vacuum removes it regardless of holder, and the version's data
+    survives."""
+    import socket
+
+    from mapreduce_google_spark.io import read_snapshot, vacuum_snapshots, versioned_write
+
+    root = str(tmp_path / "store")
+    versioned_write(spark.range(3).selectExpr("id AS n"), root)
+    versioned_write(spark.range(5).selectExpr("id AS n"), root)
+    with open(os.path.join(root, "v=2.claim"), "w") as fh:
+        fh.write(f"{socket.gethostname()}:{os.getpid()}")  # even a live holder
+    vacuum_snapshots(root, keep_last=10)
+    assert not [f for f in os.listdir(root) if f.endswith(".claim")]
+    assert read_snapshot(spark, root, version=2).count() == 5
