@@ -765,6 +765,13 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> dict:
         claim = os.path.join(root, f"v={v}.claim")
         if os.path.exists(claim) and not _break_dead_holder_lock(claim):
             continue
+        # TOCTOU guard: a publisher may have COMMITTED v (and removed
+        # its claim) after our manifest read above — re-read before the
+        # irreversible delete. Past this check no commit of v can land:
+        # committing requires a claim, no claim for v exists now, and a
+        # dead holder can't commit.
+        if v in set(list_versions(root)):
+            continue
         orphans.append(v)
         shutil.rmtree(os.path.join(root, name))
     return {"dropped": dropped, "orphans": orphans}

@@ -470,3 +470,70 @@ def test_vacuum_removes_claim_leftover_from_crash_after_commit(spark, tmp_path):
     vacuum_snapshots(root, keep_last=10)
     assert not [f for f in os.listdir(root) if f.endswith(".claim")]
     assert read_snapshot(spark, root, version=2).count() == 5
+
+
+def test_vacuum_races_concurrent_publishers_without_losing_commits(spark, tmp_path):
+    """ADVICE r11 end-to-end: vacuum interleaved with live publishers
+    must never lose a commit (manifest swap runs under the shared
+    lock), never delete an in-flight publish's data dir or claim, and
+    the store must end consistent — every manifest version readable,
+    retention respected."""
+    import threading
+
+    from mapreduce_google_spark.io import (
+        read_snapshot,
+        vacuum_snapshots,
+        versioned_write,
+    )
+
+    root = str(tmp_path / "store")
+    versioned_write(spark.range(1).selectExpr("id AS n"), root)
+
+    published: list[int] = []
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def publisher(seed: int) -> None:
+        try:
+            for i in range(4):
+                published.append(
+                    versioned_write(
+                        spark.range(seed * 10 + i + 1).selectExpr("id AS n"), root
+                    )
+                )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    def vacuumer() -> None:
+        try:
+            while not stop.is_set():
+                vacuum_snapshots(root, keep_last=3)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    pubs = [threading.Thread(target=publisher, args=(s,)) for s in (1, 2)]
+    vac = threading.Thread(target=vacuumer)
+    vac.start()
+    for t in pubs:
+        t.start()
+    for t in pubs:
+        t.join(timeout=300)
+    stop.set()
+    vac.join(timeout=60)
+    assert not errors, errors
+    # every publish got a DISTINCT version (no allocation collision
+    # re-opened by a racing claim sweep)
+    assert len(published) == 8 and len(set(published)) == 8
+    # final state: one more vacuum, then every surviving version reads
+    vacuum_snapshots(root, keep_last=3)
+    vs = list_versions(root)
+    assert len(vs) == 3
+    for v in vs:
+        assert read_snapshot(spark, root, version=v).count() >= 1
+    # no stale debris: every claim gone, every on-disk dir committed
+    leftovers = [n for n in os.listdir(root) if n.endswith(".claim")]
+    assert not leftovers
+    dirs = sorted(
+        int(n.split("=")[1]) for n in os.listdir(root) if n.startswith("v=")
+    )
+    assert dirs == vs
