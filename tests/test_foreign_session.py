@@ -26,6 +26,17 @@ CATALOG_TOUCHING = (
     "t223_incremental_dedup_from_store",
 )
 
+#: entries whose correctness depends on session confs the engine must
+#: apply at RUNTIME because the driver's session never saw get_spark's
+#: build-time confs — t15 reads events.parquet (TIMESTAMP(NANOS) needs
+#: nanosAsLong + the UTC timezone pin, the round-1 driver failure
+#: class), t19 exercises the documents loaders. Cheap canaries that
+#: keep io._ensure_read_confs honest on a vanilla session.
+RUNTIME_CONF_SENSITIVE = (
+    "t15_tumbling_window",
+    "t19_text_stats",
+)
+
 
 def test_catalog_queries_green_on_default_session(tmp_path):
     """Run the probe with cwd=tmp_path so Spark's DEFAULT warehouse
@@ -35,7 +46,7 @@ def test_catalog_queries_green_on_default_session(tmp_path):
     probe = os.path.join(repo, "tests", "foreign_session_probe.py")
     env = dict(os.environ, PYTHONPATH=repo)
     out = subprocess.run(
-        [sys.executable, probe, SF_DIR, *CATALOG_TOUCHING],
+        [sys.executable, probe, SF_DIR, *CATALOG_TOUCHING, *RUNTIME_CONF_SENSITIVE],
         cwd=tmp_path,
         env=env,
         capture_output=True,
