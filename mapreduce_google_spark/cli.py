@@ -401,6 +401,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_vacuum.add_argument("--root", required=True, help="snapshot store root")
     p_vacuum.add_argument("--keep-last", type=int, default=2)
+    p_vacuum.add_argument(
+        "--min-age-s",
+        type=float,
+        default=0.0,
+        help="time-based retention floor: versions younger than this "
+        "(dir mtime) are kept even past --keep-last, and young "
+        "uncommitted dirs are not presumed crashed",
+    )
 
     p_manifest = sub.add_parser(
         "manifest",
@@ -569,7 +577,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "vacuum":
             from mapreduce_google_spark.io import vacuum_snapshots
 
-            print(json.dumps(vacuum_snapshots(args.root, keep_last=args.keep_last)))
+            print(
+                json.dumps(
+                    vacuum_snapshots(
+                        args.root,
+                        keep_last=args.keep_last,
+                        min_age_s=args.min_age_s,
+                    )
+                )
+            )
         elif args.mode == "manifest":
             from mapreduce_google_spark.operators.scale import refresh_file_manifest
 

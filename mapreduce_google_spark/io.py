@@ -693,11 +693,21 @@ def read_snapshot(
     return spark.read.parquet(os.path.join(root, f"v={v}"))
 
 
-def vacuum_snapshots(root: str, keep_last: int = 2) -> dict:
+def vacuum_snapshots(
+    root: str, keep_last: int = 2, min_age_s: float = 0.0
+) -> dict:
     """Reclaim snapshot-store space: drop all but the newest
     ``keep_last`` committed versions and delete orphan ``v=N``
     directories left by crashed writers. Returns
     ``{"dropped": [...], "orphans": [...]}``.
+
+    ``min_age_s`` is the time-based retention floor (Delta/Iceberg's
+    VACUUM RETAIN): a committed version younger than this (by its
+    directory mtime) is kept even past ``keep_last``, and a young
+    uncommitted directory is not yet presumed crashed — both protect
+    readers that resolved a version moments ago and writers between
+    data write and manifest swap. The default keeps the historical
+    behavior (no floor).
 
     Order matters for crash safety — the inverse of commit: first
     publish the SHRUNK manifest (atomic ``os.replace``, so no reader
@@ -720,12 +730,24 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> dict:
     import json
     import re
     import shutil
+    import time
+
+    def _too_young(v: int) -> bool:
+        if min_age_s <= 0:
+            return False
+        try:
+            return time.time() - os.path.getmtime(os.path.join(root, f"v={v}")) < (
+                min_age_s
+            )
+        except OSError:
+            return False  # directory gone → nothing to protect
 
     mf = _versions_manifest(root)
     with _manifest_lock(root):
         versions = list_versions(root)
         keep = versions[-keep_last:] if keep_last > 0 else []
-        dropped = [v for v in versions if v not in keep]
+        dropped = [v for v in versions if v not in keep and not _too_young(v)]
+        keep = [v for v in versions if v not in dropped]
         if dropped:
             tmp = mf + ".tmp"
             with open(tmp, "w") as fh:
@@ -762,6 +784,8 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> dict:
         # uncommitted directory: an in-flight publish holds a LIVE claim
         # for it — only sweep when there is no claim (graceful failure
         # already removed it) or the claim holder is provably dead
+        if _too_young(v):  # retention floor: not yet presumed crashed
+            continue
         claim = os.path.join(root, f"v={v}.claim")
         if os.path.exists(claim) and not _break_dead_holder_lock(claim):
             continue

@@ -537,3 +537,33 @@ def test_vacuum_races_concurrent_publishers_without_losing_commits(spark, tmp_pa
         int(n.split("=")[1]) for n in os.listdir(root) if n.startswith("v=")
     )
     assert dirs == vs
+
+
+def test_vacuum_retention_floor_protects_young_versions(spark, tmp_path):
+    """min_age_s (Delta/Iceberg VACUUM RETAIN): committed versions
+    younger than the floor survive past keep_last, and a young
+    uncommitted directory is not yet presumed crashed. With the floor
+    off, both are reclaimed as before."""
+    from mapreduce_google_spark.io import vacuum_snapshots, versioned_write
+
+    root = str(tmp_path / "store")
+    for n in (3, 5, 8):
+        versioned_write(spark.range(n).selectExpr("id AS n"), root)
+    os.makedirs(os.path.join(root, "v=9"))  # young uncommitted dir
+
+    out = vacuum_snapshots(root, keep_last=1, min_age_s=3600)
+    assert out == {"dropped": [], "orphans": []}  # everything too young
+    assert list_versions(root) == [1, 2, 3]
+    assert os.path.isdir(os.path.join(root, "v=9"))
+
+    # age v=1 and the orphan past the floor; v=2/v=3 stay young
+    old = __import__("time").time() - 7200
+    os.utime(os.path.join(root, "v=1"), (old, old))
+    os.utime(os.path.join(root, "v=9"), (old, old))
+    out = vacuum_snapshots(root, keep_last=1, min_age_s=3600)
+    assert out == {"dropped": [1], "orphans": [9]}
+    assert list_versions(root) == [2, 3]  # v=2 kept past keep_last: young
+
+    out = vacuum_snapshots(root, keep_last=1)  # floor off: old behavior
+    assert out == {"dropped": [2], "orphans": []}
+    assert list_versions(root) == [3]
