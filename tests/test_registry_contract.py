@@ -501,3 +501,40 @@ def test_claimed_test_references_exist():
                     f"{src}: cites {m.group(1)}::{m.group(3)} which is not defined"
                 )
     assert not problems, "\n".join(problems)
+
+
+def test_bench_inlines_latest_host_reference():
+    """VERDICT r11 item 7: BENCH_rNN.json must carry the newest ABBA
+    same-host control inline, so one artifact separates code delta from
+    host drift. Pins bench._latest_host_reference against the committed
+    artifacts without running the bench."""
+    import glob
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    got = bench._latest_host_reference()
+    files = glob.glob(os.path.join(repo, "BENCH_host_reference_r*.json"))
+    assert files, "host-reference artifacts missing"
+    latest = max(
+        files,
+        key=lambda f: int(
+            re.search(r"r(\d+)", os.path.basename(f)).group(1)
+        ),
+    )
+    with open(latest) as fh:
+        ref = json.load(fh)
+    assert got["artifact"] == os.path.basename(latest)
+    assert got["prev_tip_slot_values"] == ref["prev_tip_slot_values"]
+    assert got["current_tree_slot_values"] == ref["current_tree_slot_values"]
+    assert (
+        got["prev_tip_total_on_that_host"] == ref["prev_tip_total_on_this_host"]
+    )
+    assert got["prev_tip_commit"] == ref["prev_tip_commit"]
