@@ -567,3 +567,71 @@ def test_vacuum_retention_floor_protects_young_versions(spark, tmp_path):
     out = vacuum_snapshots(root, keep_last=1)  # floor off: old behavior
     assert out == {"dropped": [2], "orphans": []}
     assert list_versions(root) == [3]
+
+
+def test_snapshot_store_crash_vacuum_publish_fuzz(spark, tmp_path):
+    """Deterministic seeded fuzz over the store's failure alphabet —
+    publish, crash-before-data (dead claim only), crash-before-commit
+    (dead claim + partial dir), crash-after-commit (leftover claim),
+    vacuum (with and without retention floor). Invariants after every
+    step: committed versions are ascending with data dirs present, a
+    publish ALWAYS succeeds (no bricked store, the r10/r11 failure
+    class), and committed data is never deleted except by retention."""
+    import random
+
+    from mapreduce_google_spark.io import (
+        vacuum_snapshots,
+        versioned_write,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    root = str(tmp_path / "store")
+
+    def publish() -> None:
+        v = versioned_write(spark.range(2).selectExpr("id AS n"), root)
+        assert v not in published, "allocator reused a committed number"
+        published.add(v)
+
+    def crash_before_data() -> None:
+        vs = set(list_versions(root))
+        n = (max(vs) if vs else 0) + rng.randint(1, 2)
+        with open(os.path.join(root, f"v={n}.claim"), "w") as fh:
+            fh.write(_dead_claim_payload())
+
+    def crash_before_commit() -> None:
+        vs = set(list_versions(root))
+        n = (max(vs) if vs else 0) + rng.randint(1, 2)
+        d = os.path.join(root, f"v={n}")
+        if not os.path.exists(d):
+            os.makedirs(d)  # partial data, no _SUCCESS
+        with open(os.path.join(root, f"v={n}.claim"), "w") as fh:
+            fh.write(_dead_claim_payload())
+
+    def crash_after_commit() -> None:
+        vs = list_versions(root)
+        if not vs:
+            return
+        with open(os.path.join(root, f"v={vs[-1]}.claim"), "w") as fh:
+            fh.write(_dead_claim_payload())
+
+    def vacuum() -> None:
+        keep = rng.choice([1, 2, 3])
+        floor = rng.choice([0.0, 3600.0])
+        out = vacuum_snapshots(root, keep_last=keep, min_age_s=floor)
+        for v in out["dropped"]:
+            published.discard(v)
+
+    ops = [publish, crash_before_data, crash_before_commit,
+           crash_after_commit, vacuum]
+    published: set[int] = set()
+    publish()  # seed the store
+    for _step in range(30):
+        rng.choice(ops)()
+        vs = list_versions(root)
+        assert vs == sorted(set(vs)), "manifest not strictly ascending"
+        assert set(vs) == published, (
+            f"committed set drifted: manifest {vs} vs survived {published}"
+        )
+        for v in vs:  # every committed version still has its data
+            assert os.path.exists(os.path.join(root, f"v={v}", "_SUCCESS")), v
+    publish()  # the store must never end bricked
