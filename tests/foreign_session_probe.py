@@ -72,20 +72,23 @@ def main() -> int:
     for name in names:
         spec = REGISTRY[name]
         df = spec.builder(spark, sf_dir)
-        if spec.oracle is None:
-            assert df.count() >= 0, name
-        else:
-            assert_matches_oracle(df, duck, spec.oracle, name=name)
         if name == "t40_bucketed_segment_revenue":
             # the PLAN property must hold on the driver-shaped session
             # too (bucketing pruning/reading are defaults, not get_spark
             # magic): co-located sort-merge join, exchanges only for the
-            # final agg + order-by — tests/test_plans.py's gate, foreign
+            # final agg + order-by — tests/test_plans.py's gate, foreign.
+            # Checked BEFORE execution, like the engine gate: collecting
+            # first would show the AQE-finalized plan, whose node list
+            # renders differently
             from mapreduce_google_spark.plans.explain import formatted_plan
 
             plan = formatted_plan(df)
             assert "SortMergeJoin" in plan, plan
             assert plan.count("Exchange (") <= 2, plan
+        if spec.oracle is None:
+            assert df.count() >= 0, name
+        else:
+            assert_matches_oracle(df, duck, spec.oracle, name=name)
 
     print(json.dumps({"ok": True, "warehouse": wh, "checked": names}))
     return 0
