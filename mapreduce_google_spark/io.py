@@ -674,7 +674,13 @@ def versioned_write(df: DataFrame, root: str) -> int:
             os.replace(tmp, mf)
         return n
     finally:
-        os.remove(claim)
+        try:
+            os.remove(claim)
+        except FileNotFoundError:
+            # a concurrent vacuum saw the version committed and removed
+            # the marker for us — the claim's job ended at the commit,
+            # and a successful publish must not raise over its absence
+            pass
 
 
 def read_snapshot(
@@ -755,31 +761,56 @@ def vacuum_snapshots(
             os.replace(tmp, mf)
     committed = set(versions)
 
-    def _claim_is_stale(claim: str, v: int) -> bool:
+    def _reclaim_stale_claim(claim: str, v: int) -> None:
         # committed → the publisher crashed between manifest swap and
         # claim cleanup; the number is permanently taken, marker is junk
+        # (racing the publisher's own cleanup is fine — both tolerate
+        # the already-gone case)
         if v in committed:
             try:
                 os.remove(claim)
             except OSError:
-                return False
-            return True
-        # uncommitted → reclaim only a provably-dead holder; a live or
-        # unknown holder may be mid-publish
-        return _break_dead_holder_lock(claim)
+                pass
+            return
+        # uncommitted + provably-dead same-host holder → reclaim
+        if _break_dead_holder_lock(claim):
+            return
+        # uncommitted + UNPARSEABLE payload: a pre-payload legacy claim
+        # or a crash between the O_EXCL create and the payload write —
+        # no holder to probe, so reclaim by AGE (claim mtime) instead.
+        # The floor never drops below 60s even at min_age_s=0: a live
+        # publisher sits in the create→write window for microseconds,
+        # and sweeping it there would re-open the allocation collision
+        # the claim protocol exists to prevent.
+        try:
+            payload = open(claim).read().strip()
+        except OSError:
+            return  # vanished/unreadable: nothing provable, leave it
+        _host, _, pid_s = payload.partition(":")
+        if pid_s.isdigit():
+            return  # well-formed: a live same-host or a foreign holder
+        try:
+            if time.time() - os.path.getmtime(claim) >= max(min_age_s, 60.0):
+                os.remove(claim)
+        except OSError:
+            pass
 
-    orphans = []
-    for name in sorted(os.listdir(root)):
+    # claims FIRST, then directories: a reclaimed legacy claim frees its
+    # partial data dir for the orphan sweep within the SAME vacuum
+    listing = sorted(os.listdir(root))
+    for name in listing:
         c = re.fullmatch(r"v=(\d+)\.claim", name)
         if c:
-            _claim_is_stale(os.path.join(root, name), int(c.group(1)))
-            continue
+            _reclaim_stale_claim(os.path.join(root, name), int(c.group(1)))
+    orphans = []
+    for name in listing:
         m = re.fullmatch(r"v=(\d+)", name)
         if not m or int(m.group(1)) in keep:
             continue
         v = int(m.group(1))
         if v in dropped:  # retention: committed, already delisted above
-            shutil.rmtree(os.path.join(root, name))
+            # ignore_errors: a concurrent vacuum may have won the race
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
             continue
         # uncommitted directory: an in-flight publish holds a LIVE claim
         # for it — only sweep when there is no claim (graceful failure
@@ -797,7 +828,7 @@ def vacuum_snapshots(
         if v in set(list_versions(root)):
             continue
         orphans.append(v)
-        shutil.rmtree(os.path.join(root, name))
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return {"dropped": dropped, "orphans": orphans}
 
 

@@ -65,11 +65,19 @@ def _warehouse_dir(spark: SparkSession) -> str:
     the wrong warehouse lets an orphaned table directory brick every
     managed ``saveAsTable`` with ``LOCATION_ALREADY_EXISTS`` (the t40
     r11 driver-red; VERDICT r11 item 1)."""
-    from urllib.parse import urlparse
+    return _warehouse_path_from_uri(spark.conf.get("spark.sql.warehouse.dir"))
 
-    raw = spark.conf.get("spark.sql.warehouse.dir")
+
+def _warehouse_path_from_uri(raw: str) -> str:
+    """``spark.sql.warehouse.dir`` (a URI for local filesystems) as a
+    plain local path — scheme stripped AND percent-decoding applied
+    (Spark reports ``/data/my project`` as ``file:/data/my%20project``;
+    keeping the ``%20`` would make the orphan-location check miss the
+    real directory, re-opening the exact bug this parsing fixes)."""
+    from urllib.parse import unquote, urlparse
+
     parsed = urlparse(raw)
-    return parsed.path if parsed.scheme in ("file", "") else raw
+    return unquote(parsed.path) if parsed.scheme in ("file", "") else raw
 
 
 def bucketed_revenue_per_segment(

@@ -55,9 +55,9 @@ def main() -> int:
     # replant the exact r11 failure: an orphan managed-table directory
     # (a previous session's leftover) sitting in THIS session's default
     # warehouse, where a warehouse-blind cleanup will never look
-    from urllib.parse import urlparse
+    from mapreduce_google_spark.operators.scale import _warehouse_path_from_uri
 
-    wh_path = urlparse(wh).path
+    wh_path = _warehouse_path_from_uri(wh)
     tag = cache_tag(sf_dir, "orders", "customer")
     orphan = os.path.join(wh_path, f"mgs_b_orders_{tag}")
     os.makedirs(orphan, exist_ok=True)

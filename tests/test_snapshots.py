@@ -635,3 +635,52 @@ def test_snapshot_store_crash_vacuum_publish_fuzz(spark, tmp_path):
         for v in vs:  # every committed version still has its data
             assert os.path.exists(os.path.join(root, f"v={v}", "_SUCCESS")), v
     publish()  # the store must never end bricked
+
+
+def test_vacuum_reclaims_unparseable_legacy_claims_by_age(spark, tmp_path):
+    """A claim with no parseable host:pid payload (pre-payload stores,
+    or a crash between the O_EXCL create and the payload write) cannot
+    be liveness-probed — vacuum reclaims it by AGE instead: kept while
+    younger than max(min_age_s, 60s), then removed along with its
+    partial data dir in ONE vacuum (claims sweep before dirs)."""
+    import time
+
+    from mapreduce_google_spark.io import vacuum_snapshots, versioned_write
+
+    root = str(tmp_path / "store")
+    versioned_write(spark.range(3).selectExpr("id AS n"), root)
+    claim = os.path.join(root, "v=2.claim")
+    open(claim, "w").close()  # empty payload — legacy/torn
+    os.makedirs(os.path.join(root, "v=2"))  # its partial data
+
+    # young: protected (a live publisher's create->write window)
+    out = vacuum_snapshots(root, keep_last=10)
+    assert out["orphans"] == [] and os.path.exists(claim)
+
+    old = time.time() - 120  # past the 60s hard floor
+    os.utime(claim, (old, old))
+    os.utime(os.path.join(root, "v=2"), (old, old))
+    out = vacuum_snapshots(root, keep_last=10)
+    assert not os.path.exists(claim)
+    assert out["orphans"] == [2]
+    assert not os.path.exists(os.path.join(root, "v=2"))
+    # the freed number is allocatable again
+    assert versioned_write(spark.range(1).selectExpr("id AS n"), root) == 2
+
+
+def test_warehouse_path_from_uri_decodes_and_strips_scheme():
+    """Percent-encoded warehouse URIs (paths with spaces) must decode,
+    or the orphan-location cleanup misses the real directory — the t40
+    failure class re-opened for encoded paths."""
+    from mapreduce_google_spark.operators.scale import _warehouse_path_from_uri
+
+    assert (
+        _warehouse_path_from_uri("file:/data/my%20project/spark-warehouse")
+        == "/data/my project/spark-warehouse"
+    )
+    assert (
+        _warehouse_path_from_uri("file:///tmp/mgs-warehouse")
+        == "/tmp/mgs-warehouse"
+    )
+    assert _warehouse_path_from_uri("/plain/path") == "/plain/path"
+    assert _warehouse_path_from_uri("s3a://bucket/wh") == "s3a://bucket/wh"
