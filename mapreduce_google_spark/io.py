@@ -560,32 +560,43 @@ class _manifest_lock:
     """O_EXCL critical section around the versions-manifest
     read-modify-replace — held for microseconds (pure metadata), shared
     by publish and vacuum so neither can swap away the other's commit
-    (ADVICE r11). A holder that crashes inside the section leaves the
-    lock behind; the next taker fails after ~5s naming the file."""
+    (ADVICE r11). The lock records ``host:pid``; a holder that crashed
+    on THIS host is broken automatically (same dead-holder protocol as
+    the point-index refresh lock), so only a live or foreign-host
+    holder can make the next taker fail after ~5s naming the file."""
 
     def __init__(self, root: str):
         self._lock = _versions_manifest(root) + ".lock"
         self._fd: int | None = None
 
     def __enter__(self):
+        import socket
         import time
 
+        me = f"{socket.gethostname()}:{os.getpid()}"
         for _ in range(500):
             try:
                 self._fd = os.open(
                     self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
+                os.write(self._fd, me.encode())
                 return self
             except FileExistsError:
+                if _break_dead_holder_lock(self._lock):
+                    continue  # crashed same-host holder — retry now
                 time.sleep(0.01)
         raise RuntimeError(
             f"snapshot manifest lock {self._lock} held for >5s — a crashed "
-            "publisher left it behind; delete the file and retry"
+            "publisher on another host left it behind; delete the file "
+            "and retry"
         )
 
     def __exit__(self, *exc):
         os.close(self._fd)
-        os.remove(self._lock)
+        try:
+            os.remove(self._lock)
+        except FileNotFoundError:  # pragma: no cover - defensive
+            pass
         return False
 
 

@@ -684,3 +684,21 @@ def test_warehouse_path_from_uri_decodes_and_strips_scheme():
     )
     assert _warehouse_path_from_uri("/plain/path") == "/plain/path"
     assert _warehouse_path_from_uri("s3a://bucket/wh") == "s3a://bucket/wh"
+
+
+def test_dead_manifest_lock_is_broken_automatically(spark, tmp_path):
+    """A publisher that crashes INSIDE the manifest swap leaves
+    _versions.json.lock behind; the next taker breaks it when the
+    recorded holder is a provably dead same-host process (the same
+    protocol as the refresh lock and the claim sweep) instead of
+    failing after 5s and demanding manual deletion."""
+    from mapreduce_google_spark.io import versioned_write
+
+    root = str(tmp_path / "store")
+    versioned_write(spark.range(3).selectExpr("id AS n"), root)
+    lock = os.path.join(root, "_versions.json.lock")
+    with open(lock, "w") as fh:
+        fh.write(_dead_claim_payload())
+    assert versioned_write(spark.range(5).selectExpr("id AS n"), root) == 2
+    assert not os.path.exists(lock)
+    assert list_versions(root) == [1, 2]
