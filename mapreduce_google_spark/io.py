@@ -275,8 +275,14 @@ def adopt_or_build_bucketed_table(
     import os
     import shutil
 
-    name = f"{name}_k{num_buckets}"
-    path = f"{path.rstrip('/')}_k{num_buckets}"
+    # the FULL bucket spec — count AND columns — is part of the
+    # table/path identity: files bucketed by old columns adopted under
+    # CLUSTERED BY (new columns) would silently mis-route co-located
+    # joins, and the on-disk bucket ids cannot reveal which column
+    # hashed them (review r12)
+    suffix = f"_k{num_buckets}_" + "_".join(bucket_cols)
+    name = f"{name}{suffix}"
+    path = f"{path.rstrip('/')}{suffix}"
     if spark.catalog.tableExists(name):
         return name
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -401,6 +407,30 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def _part_membership(col: str, values: list):
+    """Null-safe partition membership predicate. Plain ``isin`` is a
+    data-loss trap here TWICE over: a NULL cell (the
+    ``__HIVE_DEFAULT_PARTITION__`` rows) makes ``isin`` evaluate to SQL
+    NULL — never true, and never true under ``~`` either — and a None
+    ELEMENT in ``values`` (a delta that touches the null partition)
+    nulls the comparison for every non-matching row. Either way rows
+    silently fall out of both the carry-over filter and its complement,
+    and the dynamic overwrite then drops the base's null-partition rows
+    on the floor. Built as a disjunction of ``eqNullSafe``/``isNull``
+    terms — each is three-valued-logic-free (TRUE/FALSE for every row,
+    so negation is total) AND a Catalyst-translatable partition filter,
+    keeping the touched-partition scan pruned (a ``coalesce`` wrapper
+    would be null-safe but unpushable)."""
+    from functools import reduce
+    from operator import or_
+
+    terms = [
+        F.col(col).isNull() if v is None else F.col(col).eqNullSafe(F.lit(v))
+        for v in values
+    ]
+    return reduce(or_, terms) if terms else F.lit(False)
+
+
 def partition_upsert(
     spark: SparkSession,
     base_path: str,
@@ -451,7 +481,7 @@ def partition_upsert(
     if check_moved_keys:
         moved = (
             read_with_deletes(spark, base_path)
-            .where(~F.col(partition_col).isin(touched))
+            .where(~_part_membership(partition_col, touched))
             .select(*key_cols, F.col(partition_col).alias("__old_part"))
             .join(F.broadcast(delta.select(*key_cols).distinct()), key_cols)
             .limit(10)
@@ -471,7 +501,7 @@ def partition_upsert(
     # cover). Dangling sidecar entries for the files this overwrite
     # replaces are harmless — they reference paths no future scan lists.
     base = read_with_deletes(spark, base_path).where(
-        F.col(partition_col).isin(touched)
+        _part_membership(partition_col, touched)
     )
     merged = (
         base.join(delta.select(*key_cols), key_cols, "left_anti")
@@ -505,33 +535,76 @@ def _versions_manifest(root: str) -> str:
     return os.path.join(root, "_versions.json")
 
 
-def _break_dead_holder_lock(lock: str) -> bool:
-    """Remove ``lock`` iff its recorded ``host:pid`` holder is a
-    same-host process that no longer exists. Unreadable/torn payloads,
-    other hosts, and alive-under-another-uid holders are all left alone
+def _break_dead_holder_lock(lock: str, empty_age_s: float | None = None) -> bool:
+    """Remove ``lock`` iff it is provably stale: its recorded
+    ``host:pid`` holder is a same-host process that no longer exists,
+    or — when ``empty_age_s`` is given — its payload is unparseable
+    (a crash between the O_EXCL create and the payload write, or a
+    pre-payload legacy file) and the file is at least that old. Foreign
+    hosts and alive-under-another-uid holders are always left alone
     (False). Shared by the point-index refresh lock
-    (``operators/scale.py``) and the snapshot claim sweep below —
-    lives here because ``io`` is the dependency root."""
-    import socket
+    (``operators/scale.py``), the manifest lock and the snapshot claim
+    sweep — lives here because ``io`` is the dependency root.
 
-    try:
-        host, _, pid_s = open(lock).read().strip().partition(":")
-        pid = int(pid_s)
-    except (OSError, ValueError):
+    The check-then-remove runs under a sibling ``.breaker`` O_EXCL
+    mutex with a RE-READ inside: without it two waiters can both
+    observe the dead holder, the first breaks the lock and re-acquires,
+    and the second's ``os.remove`` then unlinks the new holder's LIVE
+    lock — two processes inside the critical section (review r12). A
+    breaker leaked by a crash mid-break is itself swept by age (>10s;
+    the break is a microseconds-scale operation)."""
+    import socket
+    import time
+
+    def _stale() -> bool:
+        try:
+            payload = open(lock).read().strip()
+        except OSError:
+            return False  # vanished → nothing to break
+        host, _, pid_s = payload.partition(":")
+        if pid_s.isdigit():
+            if host != socket.gethostname():
+                return False
+            try:
+                os.kill(int(pid_s), 0)
+            except ProcessLookupError:
+                return True
+            except PermissionError:
+                return False  # alive under another uid
+            return False  # alive
+        if empty_age_s is None:
+            return False
+        try:
+            return time.time() - os.path.getmtime(lock) >= empty_age_s
+        except OSError:
+            return False
+
+    if not _stale():
         return False
-    if host != socket.gethostname():
-        return False
+    breaker = lock + ".breaker"
     try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
+        bfd = os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:  # a breaker crashed mid-break: sweep its mutex by age
+            if time.time() - os.path.getmtime(breaker) > 10:
+                os.remove(breaker)
+        except OSError:
+            pass
+        return False  # someone else is breaking — let the caller retry
+    try:
+        os.close(bfd)
+        if not _stale():  # re-verify: the lock may have changed hands
+            return False
         try:
             os.remove(lock)
         except OSError:
             return False
         return True
-    except PermissionError:
-        return False  # alive under another uid
-    return False  # alive
+    finally:
+        try:
+            os.remove(breaker)
+        except OSError:
+            pass
 
 
 def _sweep_dead_claims(root: str) -> list[int]:
@@ -582,8 +655,12 @@ class _manifest_lock:
                 os.write(self._fd, me.encode())
                 return self
             except FileExistsError:
-                if _break_dead_holder_lock(self._lock):
-                    continue  # crashed same-host holder — retry now
+                # break a provably-dead same-host holder immediately; a
+                # zero-byte lock (crash between create and payload
+                # write) falls back to age — live holders hold this for
+                # microseconds, so >10s empty means crashed
+                if _break_dead_holder_lock(self._lock, empty_age_s=10.0):
+                    continue
                 time.sleep(0.01)
         raise RuntimeError(
             f"snapshot manifest lock {self._lock} held for >5s — a crashed "
@@ -749,6 +826,9 @@ def vacuum_snapshots(
     import shutil
     import time
 
+    if not os.path.isdir(root):  # pre-first-publish / removed store:
+        return {"dropped": [], "orphans": []}  # nothing to reclaim
+
     def _too_young(v: int) -> bool:
         if min_age_s <= 0:
             return False
@@ -783,28 +863,15 @@ def vacuum_snapshots(
             except OSError:
                 pass
             return
-        # uncommitted + provably-dead same-host holder → reclaim
-        if _break_dead_holder_lock(claim):
-            return
-        # uncommitted + UNPARSEABLE payload: a pre-payload legacy claim
-        # or a crash between the O_EXCL create and the payload write —
-        # no holder to probe, so reclaim by AGE (claim mtime) instead.
-        # The floor never drops below 60s even at min_age_s=0: a live
+        # uncommitted: reclaim a provably-dead same-host holder, or an
+        # UNPARSEABLE payload (pre-payload legacy claim, or a crash
+        # between the O_EXCL create and the payload write) by AGE. The
+        # age floor never drops below 60s even at min_age_s=0: a live
         # publisher sits in the create→write window for microseconds,
         # and sweeping it there would re-open the allocation collision
-        # the claim protocol exists to prevent.
-        try:
-            payload = open(claim).read().strip()
-        except OSError:
-            return  # vanished/unreadable: nothing provable, leave it
-        _host, _, pid_s = payload.partition(":")
-        if pid_s.isdigit():
-            return  # well-formed: a live same-host or a foreign holder
-        try:
-            if time.time() - os.path.getmtime(claim) >= max(min_age_s, 60.0):
-                os.remove(claim)
-        except OSError:
-            pass
+        # the claim protocol exists to prevent. Both cases run under
+        # the breaker mutex with a re-read (no double-break).
+        _break_dead_holder_lock(claim, empty_age_s=max(min_age_s, 60.0))
 
     # claims FIRST, then directories: a reclaimed legacy claim frees its
     # partial data dir for the orphan sweep within the SAME vacuum
@@ -897,6 +964,39 @@ def _dir_bytes(d: str) -> int:
     )
 
 
+def _with_coords(df: DataFrame) -> DataFrame:
+    """Project the (file, row_index) DV coordinates — must be applied
+    ON THE SCAN RELATION: ``_metadata`` resolves only there, and
+    projecting it after a join is unresolvable (the r11 batched-lookup
+    bug class). The single definition all three merge-on-read readers
+    and the compaction share."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.row_index").alias("_row_index"),
+    )
+
+
+def _sidecar_has_files(dv_dir: str) -> bool:
+    """A ``_deletes`` sidecar counts only when it holds actual parquet
+    files: a dir with nothing but committer debris (an append job that
+    died after creating the directory) must read as "no deletes" —
+    ``spark.read.parquet`` on it would raise UNABLE_TO_INFER_SCHEMA and
+    brick every read of a perfectly intact table (review r12)."""
+    return os.path.isdir(dv_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(dv_dir)
+    )
+
+
+def _local_path(uri: str) -> str:
+    """A ``_metadata.file_path`` URI as a plain local path (scheme and
+    percent-encoding stripped); non-file schemes pass through."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme in ("file", "") else uri
+
+
 def dv_anti_join(df: DataFrame, dv_dir: str) -> DataFrame:
     """Size-guarded deletion-vector anti-join, shared by every
     merge-on-read path (:func:`read_with_deletes` and the point-index
@@ -931,13 +1031,9 @@ def read_with_deletes(
     applied: rows whose (file, row_index) coordinates appear in the
     ``_deletes`` sidecar are filtered out by :func:`dv_anti_join`
     (merge-on-read)."""
-    df = spark.read.parquet(path).select(
-        "*",
-        F.col("_metadata.file_path").alias("_file"),
-        F.col("_metadata.row_index").alias("_row_index"),
-    )
+    df = _with_coords(spark.read.parquet(path))
     dv_dir = _deletes_dir(path)
-    if os.path.exists(dv_dir):
+    if _sidecar_has_files(dv_dir):
         df = dv_anti_join(df, dv_dir)
     return df if _keep_coords else df.drop("_file", "_row_index")
 
@@ -957,15 +1053,14 @@ def read_files_with_deletes(
     whole-table scan)."""
     if not files:
         return spark.read.parquet(path).where(F.lit(False))
-    df = spark.read.parquet(*files)
+    # basePath keeps hive partition columns in the schema: a bare
+    # leaf-file read does no partition discovery, so on a partitioned
+    # table the partition columns would silently vanish — and disagree
+    # with the empty-files branch above, which has them (review r12)
+    df = spark.read.option("basePath", path).parquet(*files)
     dv_dir = _deletes_dir(path)
-    if os.path.exists(dv_dir):
-        df = df.select(
-            "*",
-            F.col("_metadata.file_path").alias("_file"),
-            F.col("_metadata.row_index").alias("_row_index"),
-        )
-        df = dv_anti_join(df, dv_dir).drop("_file", "_row_index")
+    if _sidecar_has_files(dv_dir):
+        df = dv_anti_join(_with_coords(df), dv_dir).drop("_file", "_row_index")
     return df
 
 
@@ -987,23 +1082,24 @@ def apply_deletes(spark: SparkSession, path: str) -> dict:
     dv_dir = _deletes_dir(path)
     if not os.path.exists(dv_dir):
         return {"rewritten_files": 0, "dropped_rows": 0}
+    if not _sidecar_has_files(dv_dir):  # committer debris only
+        shutil.rmtree(dv_dir)
+        return {"rewritten_files": 0, "dropped_rows": 0}
     dv = spark.read.parquet(dv_dir).select("_file", "_row_index").distinct()
     doomed_files = [r["_file"] for r in dv.select("_file").distinct().collect()]
     if not doomed_files:
         shutil.rmtree(dv_dir)
         return {"rewritten_files": 0, "dropped_rows": 0}
     live_df = spark.createDataFrame([(f,) for f in doomed_files], "_file string")
-    affected = (
-        spark.read.parquet(path)
-        .select(
-            "*",
-            F.col("_metadata.file_path").alias("_file"),
-            F.col("_metadata.row_index").alias("_row_index"),
-        )
-        .join(F.broadcast(live_df), ["_file"], "left_semi")
+    affected = _with_coords(spark.read.parquet(path)).join(
+        F.broadcast(live_df), ["_file"], "left_semi"
     )
+    # the coordinates join honors the same size guard as dv_anti_join:
+    # broadcasting a multi-GB sidecar would OOM the very maintenance job
+    # meant to shrink it (review r12)
+    dv_side = F.broadcast(dv) if _dir_bytes(dv_dir) <= DV_BROADCAST_MAX_BYTES else dv
     survivors = (
-        affected.join(F.broadcast(dv), ["_file", "_row_index"], "left_anti")
+        affected.join(dv_side, ["_file", "_row_index"], "left_anti")
         .drop("_file", "_row_index")
         .localCheckpoint()  # materialize BEFORE writing into the dir we read
     )
@@ -1012,19 +1108,21 @@ def apply_deletes(spark: SparkSession, path: str) -> dict:
     # preserve the hive layout: on a partitioned table a flat append
     # would land root-level files carrying the partition column as data,
     # corrupting partition discovery for every later read. The partition
-    # columns are inferred from the doomed files' own directory chain
-    # (…/p=a/part-….parquet → ["p"]).
+    # columns are inferred from the doomed files' directory chain BELOW
+    # the table root only — '=' in a parent dir (a snapshot's v=3, an
+    # /exp=1/ namespace) is not a partition column (review r12).
+    below = os.path.relpath(
+        os.path.dirname(_local_path(doomed_files[0])), os.path.abspath(path)
+    )
     part_cols = [
-        seg.split("=", 1)[0]
-        for seg in doomed_files[0].split("/")[:-1]
-        if "=" in seg
+        seg.split("=", 1)[0] for seg in below.split(os.sep) if "=" in seg
     ]
     writer = survivors.write.mode("append")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(path)
     for f in doomed_files:
-        local = f.removeprefix("file:")
+        local = _local_path(f)
         if os.path.exists(local):
             os.remove(local)
     shutil.rmtree(dv_dir)

@@ -109,3 +109,62 @@ def test_oversized_sidecar_skips_broadcast(spark, tmp_path, monkeypatch):
         assert big.count() == 90
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_empty_sidecar_dir_reads_as_no_deletes(spark, tmp_path):
+    """A _deletes dir with no parquet files (an append job that died
+    after creating the directory) must not brick reads of an intact
+    table — spark.read.parquet on it raises UNABLE_TO_INFER_SCHEMA.
+    apply_deletes clears the debris (review r12)."""
+    path = _mk(spark, tmp_path, n=100, files=2)
+    dv_dir = os.path.join(path, "_deletes")
+    os.makedirs(dv_dir)
+    open(os.path.join(dv_dir, "_SUCCESS"), "w").close()  # committer debris
+    assert read_with_deletes(spark, path).count() == 100
+    assert apply_deletes(spark, path) == {"rewritten_files": 0, "dropped_rows": 0}
+    assert not os.path.exists(dv_dir)
+
+
+def test_pruned_read_keeps_partition_columns(spark, tmp_path):
+    """read_files_with_deletes on a hive-partitioned table: a bare
+    leaf-file read does no partition discovery, so the partition column
+    silently vanished from the schema (and disagreed with the
+    empty-files branch, which has it). basePath restores it
+    (review r12)."""
+    from mapreduce_google_spark.io import read_files_with_deletes
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, p string, v double"
+    ).write.partitionBy("p").parquet(path)
+    files = glob.glob(os.path.join(path, "p=a", "*.parquet"))
+    got = read_files_with_deletes(spark, path, files)
+    assert "p" in got.columns  # partition column survives the leaf read
+    assert set(got.columns) == set(
+        read_files_with_deletes(spark, path, []).columns
+    )  # both branches agree on the schema
+    rows = got.collect()
+    assert [(r.k, r.p) for r in rows] == [(1, "a")]
+    # ...and DV composition still applies on the pruned partitioned read
+    delete_where(spark, path, F.col("k") == 1)
+    assert read_files_with_deletes(spark, path, files).count() == 0
+
+
+def test_apply_deletes_ignores_equals_in_parent_dirs(spark, tmp_path):
+    """Partition inference must only inspect path segments BELOW the
+    table root: a table living under .../v=3/ (the snapshot-store
+    layout this module itself suggests composing with) previously made
+    'v' a phantom partition column and the compaction write failed
+    (review r12)."""
+    root = tmp_path / "store" / "v=3"
+    root.parent.mkdir()
+    path = str(root)
+    spark.range(100).selectExpr("id AS k", "id % 10 AS g").repartition(
+        2
+    ).write.parquet(path)
+    delete_where(spark, path, F.col("g") == 3)
+    out = apply_deletes(spark, path)
+    assert out["dropped_rows"] == 10
+    got = spark.read.parquet(path)
+    assert got.count() == 90
+    assert set(got.columns) == {"k", "g"}  # no phantom 'v' column

@@ -233,3 +233,33 @@ def test_targeted_user_purge_rewrite(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == total - n_purged_rows
     assert back.where(F.col("user_id") % 7 == 0).count() == 0
+
+
+def test_bucketed_table_identity_includes_bucket_cols(spark, tmp_path):
+    """adopt_or_build_bucketed_table: the FULL bucket spec — count AND
+    columns — is part of the table/path identity, so files bucketed by
+    old columns are never adopted under CLUSTERED BY (new columns) —
+    bucket ids on disk cannot reveal which column hashed them, and a
+    wrong adoption silently mis-routes co-located joins (review r12)."""
+    from mapreduce_google_spark.io import adopt_or_build_bucketed_table
+
+    base = str(tmp_path / "bt")
+
+    def build():
+        return spark.range(100).selectExpr("id AS a", "id % 7 AS b")
+
+    name_a = adopt_or_build_bucketed_table(
+        spark, "mgs_test_ident", base, ["a"], 4, build
+    )
+    name_b = adopt_or_build_bucketed_table(
+        spark, "mgs_test_ident", base, ["b"], 4, build
+    )
+    assert name_a != name_b  # different cols → different identity
+    assert name_a.endswith("_k4_a") and name_b.endswith("_k4_b")
+    # both are genuinely bucketed by their own column (no cross-adoption)
+    for name, col in ((name_a, "a"), (name_b, "b")):
+        row = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        desc = {r.col_name: r.data_type for r in row}
+        assert desc.get("Bucket Columns") == f"[`{col}`]", (name, desc)
+    for name in (name_a, name_b):
+        spark.sql(f"DROP TABLE {name}")

@@ -702,3 +702,43 @@ def test_dead_manifest_lock_is_broken_automatically(spark, tmp_path):
     assert versioned_write(spark.range(5).selectExpr("id AS n"), root) == 2
     assert not os.path.exists(lock)
     assert list_versions(root) == [1, 2]
+
+
+def test_lock_breaking_is_single_breaker(tmp_path):
+    """The check-then-remove in _break_dead_holder_lock runs under a
+    sibling .breaker mutex with a re-read inside: two waiters may both
+    observe a dead holder, but only the breaker-mutex winner removes
+    the lock — the loser returning False could otherwise unlink the
+    NEXT holder's live lock after the winner re-acquired (review r12).
+    A breaker leaked by a crash mid-break is swept by age."""
+    import time
+
+    from mapreduce_google_spark.io import _break_dead_holder_lock
+
+    lock = str(tmp_path / "x.lock")
+    with open(lock, "w") as fh:
+        fh.write(_dead_claim_payload())
+
+    # a FRESH breaker is someone else mid-break: hands off, lock intact
+    breaker = lock + ".breaker"
+    open(breaker, "w").close()
+    assert _break_dead_holder_lock(lock) is False
+    assert os.path.exists(lock) and os.path.exists(breaker)
+
+    # an OLD breaker is a crashed breaker: swept, then the next call wins
+    old = time.time() - 30
+    os.utime(breaker, (old, old))
+    assert _break_dead_holder_lock(lock) is False  # sweeps the mutex only
+    assert not os.path.exists(breaker)
+    assert _break_dead_holder_lock(lock) is True
+    assert not os.path.exists(lock) and not os.path.exists(breaker)
+
+    # re-read inside the mutex: a LIVE holder observed at entry is never
+    # removed even when the caller raced a stale observation
+    import socket
+
+    with open(lock, "w") as fh:
+        fh.write(f"{socket.gethostname()}:{os.getpid()}")
+    assert _break_dead_holder_lock(lock) is False
+    assert os.path.exists(lock)
+    os.remove(lock)

@@ -140,3 +140,42 @@ def test_moved_key_guard(spark, tmp_path):
                             check_moved_keys=True) == ["b"]
     rows = {(r.k, r.p): r.v for r in spark.read.parquet(path).collect()}
     assert rows == {(1, "a"): 10.0, (2, "b"): 99.0}
+
+
+def test_partition_upsert_null_partition_carries_base_rows(spark, tmp_path):
+    """Null-partition MERGE (io.py review r12): a delta touching the
+    NULL partition must carry over the base's unmatched null-partition
+    rows — plain isin() with a None element evaluates to SQL NULL for
+    them, silently dropping every pre-existing null-partition row from
+    the dynamic overwrite. Untouched partitions stay byte-identical,
+    and the moved-key guard's complement must also SEE null-partition
+    rows (its isin complement was equally null-blind)."""
+    import pytest
+
+    from mapreduce_google_spark.io import partition_upsert
+
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "b", 30.0)],
+        "k long, p string, v double",
+    )
+    path = str(tmp_path / "tbl")
+    base.repartition(1).write.partitionBy("p").parquet(path)
+    before_b = _mtimes(path, "p=b")
+
+    delta = spark.createDataFrame([(2, None, 999.0)], "k long, p string, v double")
+    touched = partition_upsert(spark, path, delta, "p", ["k"])
+    assert touched == [None]
+
+    rows = {(r.k, r.p): r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {
+        (1, None): 10.0,  # carried over — the row plain isin() dropped
+        (2, None): 999.0,  # corrected
+        (3, "b"): 30.0,  # untouched partition
+    }
+    assert _mtimes(path, "p=b") == before_b
+
+    # moved-key guard sees null-partition rows in the complement: key 1
+    # lives under p=NULL, a delta placing it under p='b' must raise
+    moving = spark.createDataFrame([(1, "b", 1.0)], "k long, p string, v double")
+    with pytest.raises(ValueError, match="other\\s+partition"):
+        partition_upsert(spark, path, moving, "p", ["k"], check_moved_keys=True)
