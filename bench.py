@@ -55,7 +55,14 @@ def _latest_host_reference() -> dict | None:
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    files = glob.glob(os.path.join(repo, "BENCH_host_reference_r*.json"))
+    # keep only names with digits after the 'r' — a stray digit-less
+    # artifact would make the int(...) key raise and crash the whole
+    # bench run (ADVICE r12)
+    files = [
+        f
+        for f in glob.glob(os.path.join(repo, "BENCH_host_reference_r*.json"))
+        if re.search(r"r(\d+)", os.path.basename(f))
+    ]
     if not files:
         return None
     latest = max(

@@ -653,7 +653,14 @@ def main(argv: list[str] | None = None) -> int:
                         rec["rows"] = point_lookup_df(
                             spark, args.input, args.key, keys_df, stats_out=stats
                         ).count()
+                        # SEMANTIC NOTE (ADVICE r12): since r12 this is
+                        # the coerced non-null count, duplicates
+                        # included — uncastable/null keys no longer
+                        # count, unlike the pre-r12 keys_df.count().
+                        # lookup_key_count_semantics pins that for
+                        # consumers comparing the field across rounds.
                         rec["lookup_key_count"] = stats["n"]
+                        rec["lookup_key_count_semantics"] = "coerced_non_null"
                         print(json.dumps(rec))
                         return 0
                 else:

@@ -151,7 +151,9 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
     )
 
 
-def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def revenue_rollup(
+    spark: SparkSession, sf_dir: str, use_bucketed_store: bool = True
+) -> DataFrame:
     """T12 — revenue by (region, nation) with ROLLUP subtotals.
 
     lineitem is pre-aggregated to order grain BEFORE the fact-fact join,
@@ -164,9 +166,29 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses). customer is mid-size (broadcast at test sf, bucketed join at
     scale); nation/region broadcast. Rollup adds grouping-set expansion
     after aggregation — no extra scan.
+
+    ``use_bucketed_store`` (default on, VERDICT r12 item 6) reads
+    lineitem and orders from :func:`io.bucketed_fact_table` copies
+    bucketed on orderkey: the per-order pre-aggregation AND both sides
+    of the fact-fact join then run with ZERO exchange of either fact
+    table (plan-gated in ``tests/test_plans.py``) — at 100 TB the
+    orderkey-bucketed layout is written once and every query in the
+    orderkey join family reuses it; only CUSTOMER-grain partials (rows
+    ÷ lines-per-order ÷ orders-per-customer) ever cross the wire here.
+    Result-identical to the direct path (same plan past the scans).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    if use_bucketed_store:
+        from mapreduce_google_spark.io import bucketed_fact_table
+
+        li = spark.table(
+            bucketed_fact_table(spark, sf_dir, "lineitem", "l_orderkey")
+        )
+        orders = spark.table(
+            bucketed_fact_table(spark, sf_dir, "orders", "o_orderkey")
+        )
+    else:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))

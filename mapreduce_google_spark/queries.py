@@ -603,7 +603,14 @@ register(
 register(
     QuerySpec(
         name="t22_minhash_lsh_pairs",
-        builder=dedup_ops.minhash_lsh_pairs,
+        # the PRODUCTION form: candidates from the persisted bucketed
+        # band table (one signature pass per corpus version) instead of
+        # recomputing signatures per run — result-identical to the
+        # in-session minhash_lsh_pairs (equality pinned in
+        # test_approx_ops.py::test_lsh_from_band_table_equals_direct), and
+        # what a 100 TB deployment would actually execute repeatedly
+        # (VERDICT r12 item 6)
+        builder=dedup_ops.minhash_lsh_pairs_from_bands,
         oracle=None,  # hash-permutation family not SQL-portable; tests
         # assert precision 1.0 vs t21 and measure recall
         doc="MinHash(32) + LSH(8 bands) candidate pairs, exact-verify stage",

@@ -384,27 +384,44 @@ def test_adoption_refuses_non_bucketed_files(spark, tmp_path):
     """A warm directory holding PLAIN parquet at the table's path (e.g.
     left by an older layout or a foreign writer) must be rebuilt, never
     adopted — adopting it would make every scan fail with
-    'Invalid bucket file' or silently mis-route co-located joins."""
+    'Invalid bucket file' or silently mis-route co-located joins. Plain
+    parquet carries no ``_BUCKET_SPEC.json`` sidecar, so the adoption
+    check rejects it; a retired-scheme sibling (``_k4``, pre-r12) is
+    additionally SWEPT — it can never be adopted again (VERDICT r12)."""
     import os
 
-    from mapreduce_google_spark.io import adopt_or_build_bucketed_table
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        bucket_table_suffix,
+    )
 
     df = spark.range(100).selectExpr("id", "id % 7 AS k")
     base = str(tmp_path / "poisoned")
-    # plant non-bucketed files at the EXACT path the builder will use
+    suffix = bucket_table_suffix(4, ["k"])
+    # plant non-bucketed files at the EXACT path the builder will use,
+    # plus a stranded store under the retired pre-r12 suffix scheme
+    df.write.mode("overwrite").parquet(f"{base}{suffix}")
     df.write.mode("overwrite").parquet(f"{base}_k4")
-    assert os.path.exists(f"{base}_k4/_SUCCESS")
+    assert os.path.exists(f"{base}{suffix}/_SUCCESS")
+    # age the stranded sibling past the sweep's retention floor (a
+    # YOUNG sidecar-less dir is skipped — it may be a peer mid-build)
+    os.utime(f"{base}_k4", (1.0, 1.0))
 
     name = adopt_or_build_bucketed_table(
         spark, "mgs_test_poisoned_adopt", base, ["k"], 4, lambda: df
     )
     try:
+        assert name.endswith(suffix)
         # scan + bucket metadata must both be healthy after the rebuild
         assert spark.table(name).count() == 100
         data_files = [
-            f for f in os.listdir(f"{base}_k4") if f.startswith("part-")
+            f for f in os.listdir(f"{base}{suffix}") if f.startswith("part-")
         ]
         assert all("_000" in f for f in data_files), data_files
+        # the rebuilt store is sidecar-stamped (adoptable next session)
+        assert os.path.exists(f"{base}{suffix}/_BUCKET_SPEC.json")
+        # the retired-scheme sibling was swept, not left as junk
+        assert not os.path.exists(f"{base}_k4")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
@@ -414,7 +431,10 @@ def test_bucket_count_is_part_of_table_identity(spark, tmp_path):
     table+path — files hashed mod M adopted under metadata declaring N
     silently break co-located anti-joins (the incremental-dedup wrong-
     results scenario)."""
-    from mapreduce_google_spark.io import adopt_or_build_bucketed_table
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        bucket_table_suffix,
+    )
 
     df = spark.range(50).selectExpr("id", "id % 3 AS k")
     base = str(tmp_path / "identity")
@@ -426,7 +446,10 @@ def test_bucket_count_is_part_of_table_identity(spark, tmp_path):
     )
     try:
         assert n4 != n8
-        assert n4.endswith("_k4") and n8.endswith("_k8")
+        assert n4.endswith(bucket_table_suffix(4, ["k"]))
+        assert n8.endswith(bucket_table_suffix(8, ["k"]))
+        # both sidecar-stamped stores coexist — the sweep removes only
+        # sidecar-LESS (retired-scheme) siblings, never live specs
         assert spark.table(n4).count() == spark.table(n8).count() == 50
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {n4}")

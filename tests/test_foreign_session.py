@@ -18,12 +18,14 @@ from tests.conftest import SF_DIR
 #: t40 writes MANAGED bucketed tables (the r11 driver-red), t120/t22's
 #: band table and t223's fingerprint store go through
 #: io.adopt_or_build_bucketed_table (external LOCATION under /tmp +
-#: CREATE TABLE / saveAsTable). Grep audit for completeness lives in
-#: test_probe_list_covers_catalog_touchers below.
+#: CREATE TABLE / saveAsTable), and t12's default path reads
+#: io.bucketed_fact_table stores (same machinery; r13). Grep audit for
+#: completeness lives in test_probe_list_covers_catalog_touchers below.
 CATALOG_TOUCHING = (
     "t40_bucketed_segment_revenue",
     "t120_lsh_precision_invariants",
     "t223_incremental_dedup_from_store",
+    "t12_revenue_rollup",
 )
 
 #: entries whose correctness depends on session confs the engine must
@@ -83,12 +85,14 @@ def test_probe_list_covers_catalog_touchers():
             if re.search(r"\bsaveAsTable\(|\bspark\.table\(|\btableExists\(", text):
                 hits.add(os.path.relpath(path, pkg))
     # modules whose catalog use is exercised by the probe list (scale→
-    # t40, dedup→t120/t223, io→adopt_or_build under both) or explicitly
-    # session-scoped (streaming memory sink: spark.table on a temp view
-    # of the SAME session, no warehouse involvement)
+    # t40, dedup→t120/t223, io→adopt_or_build under both, relational→
+    # t12's bucketed fact stores) or explicitly session-scoped
+    # (streaming memory sink: spark.table on a temp view of the SAME
+    # session, no warehouse involvement)
     accounted = {
         "operators/scale.py",
         "operators/dedup.py",
+        "operators/relational.py",
         "io.py",
         "streaming/jobs.py",
     }

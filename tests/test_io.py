@@ -241,7 +241,10 @@ def test_bucketed_table_identity_includes_bucket_cols(spark, tmp_path):
     old columns are never adopted under CLUSTERED BY (new columns) —
     bucket ids on disk cannot reveal which column hashed them, and a
     wrong adoption silently mis-routes co-located joins (review r12)."""
-    from mapreduce_google_spark.io import adopt_or_build_bucketed_table
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        bucket_table_suffix,
+    )
 
     base = str(tmp_path / "bt")
 
@@ -255,7 +258,13 @@ def test_bucketed_table_identity_includes_bucket_cols(spark, tmp_path):
         spark, "mgs_test_ident", base, ["b"], 4, build
     )
     assert name_a != name_b  # different cols → different identity
-    assert name_a.endswith("_k4_a") and name_b.endswith("_k4_b")
+    assert name_a.endswith(bucket_table_suffix(4, ["a"]))
+    assert name_b.endswith(bucket_table_suffix(4, ["b"]))
+    # ADVICE r12: specs colliding under plain '_'.join must NOT collide
+    # — '_' is legal inside identifiers, the spec hash disambiguates
+    assert bucket_table_suffix(8, ["a", "b_c"]) != bucket_table_suffix(
+        8, ["a_b", "c"]
+    )
     # both are genuinely bucketed by their own column (no cross-adoption)
     for name, col in ((name_a, "a"), (name_b, "b")):
         row = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
@@ -263,3 +272,42 @@ def test_bucketed_table_identity_includes_bucket_cols(spark, tmp_path):
         assert desc.get("Bucket Columns") == f"[`{col}`]", (name, desc)
     for name in (name_a, name_b):
         spark.sql(f"DROP TABLE {name}")
+
+
+def test_bucketed_fact_table_adopts_and_serves_colocated_join(spark, sf_dir):
+    """io.bucketed_fact_table: full-width orderkey-bucketed copy, built
+    once per corpus version and ADOPTED (not rebuilt) on re-request; a
+    self-family join on the bucket key runs with zero exchange of the
+    stores (the t12 default path's substrate)."""
+    import glob
+    import os
+
+    from mapreduce_google_spark.io import bucketed_fact_table, load_table
+    from mapreduce_google_spark.plans import formatted_plan
+
+    name = bucketed_fact_table(spark, sf_dir, "orders", "o_orderkey")
+    store = spark.table(name)
+    src = load_table(spark, sf_dir, "orders")
+    # full-width: every source column survives into the store
+    assert set(store.columns) == set(src.columns)
+    assert store.count() == src.count()
+
+    loc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    path = next(
+        r.data_type for r in loc if r.col_name == "Location"
+    ).removeprefix("file:")
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/part-*")}
+    spark.sql(f"DROP TABLE {name}")  # metadata only — files survive
+    assert bucketed_fact_table(spark, sf_dir, "orders", "o_orderkey") == name
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/part-*")}
+    assert after == before, "re-request rewrote the store"
+
+    li = spark.table(
+        bucketed_fact_table(spark, sf_dir, "lineitem", "l_orderkey")
+    )
+    plan = formatted_plan(
+        li.hint("merge").join(
+            spark.table(name), li.l_orderkey == F.col("o_orderkey")
+        )
+    )
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan

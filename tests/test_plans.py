@@ -253,6 +253,23 @@ def test_t12_preaggregates_below_join(spark, sf_dir):
     assert re.search(r"Keys \[1\]: \[l_orderkey", plan), plan
 
 
+def test_t12_bucketed_store_removes_fact_exchanges(spark, sf_dir):
+    """t12's default path reads lineitem/orders from orderkey-bucketed
+    stores (io.bucketed_fact_table): both fact scans must report the
+    bucketed layout and the plan must carry strictly fewer exchanges
+    than the direct path — the per-order pre-agg and the fact-fact join
+    consume bucket co-location instead of shuffling (VERDICT r12 item
+    6). Results are identical by construction (same plan past the
+    scans); the oracle pins them every round."""
+    direct = formatted_plan(revenue_rollup(spark, sf_dir, use_bucketed_store=False))
+    bucketed = formatted_plan(revenue_rollup(spark, sf_dir))
+    assert bucketed.count("Bucketed: true") >= 2, bucketed
+    assert bucketed.count("Exchange") < direct.count("Exchange"), (
+        bucketed.count("Exchange"),
+        direct.count("Exchange"),
+    )
+
+
 def test_t65_incremental_dedup_is_anti_join(spark, sf_dir):
     """t65's history check must be a hash-family LEFT ANTI join on the
     fingerprint — not a nested loop, and never a join that drags text."""

@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_google_spark.io import list_versions, read_snapshot, versioned_write
@@ -702,6 +703,34 @@ def test_dead_manifest_lock_is_broken_automatically(spark, tmp_path):
     assert versioned_write(spark.range(5).selectExpr("id AS n"), root) == 2
     assert not os.path.exists(lock)
     assert list_versions(root) == [1, 2]
+
+
+def test_failed_lock_payload_write_leaves_no_lock(tmp_path, monkeypatch):
+    """If the holder-payload write fails right after the O_EXCL create
+    (e.g. ENOSPC), the fd must be closed and the lock unlinked before
+    the exception propagates — an orphaned EMPTY lock would stall every
+    taker for the 10s empty-age floor (ADVICE r12)."""
+    import mapreduce_google_spark.io as mio
+
+    lock_path = str(tmp_path / "_versions.json.lock")
+    monkeypatch.setattr(
+        mio, "_versions_manifest", lambda root: str(tmp_path / "_versions.json")
+    )
+    real_write = os.write
+
+    def boom(fd, data):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(mio.os, "write", boom)
+    with pytest.raises(OSError):
+        with mio._manifest_lock(str(tmp_path)):
+            pass  # pragma: no cover - must not be reached
+    monkeypatch.setattr(mio.os, "write", real_write)
+    assert not os.path.exists(lock_path), "empty lock left behind"
+    # and the path is immediately usable by the next taker
+    with mio._manifest_lock(str(tmp_path)):
+        assert os.path.exists(lock_path)
+    assert not os.path.exists(lock_path)
 
 
 def test_lock_breaking_is_single_breaker(tmp_path):
