@@ -76,7 +76,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def revenue_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+def revenue_per_region(
+    spark: SparkSession, sf_dir: str, use_bucketed_store: bool = True
+) -> DataFrame:
     """T09 — orders ⋈ customer ⋈ nation ⋈ region, revenue per region.
 
     nation/region are broadcast (tiny, fixed-size); customer⋈orders is the
@@ -85,9 +87,24 @@ def revenue_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the join is safe and shrinks the exchange to one row per active
     customer). At 100 TB customer may outgrow broadcast — that join keys
     both sides on custkey, so bucketing customer and orders on custkey at
-    write time (io.write_parquet) removes the exchange too.
+    write time removes the exchange too.
+
+    ``use_bucketed_store`` (default on, r13) reads orders from the
+    custkey-bucketed :func:`io.bucketed_fact_table` copy: the per-
+    customer pre-aggregation — the query's only fact shuffle — then
+    consumes bucket co-location instead of exchanging (0.98→0.60 s
+    median at sf0.1, result-identical; plan-gated in
+    ``tests/test_plans.py``). The same store serves every custkey join
+    family member (t10 semi/anti, t11 window, t40's join).
     """
-    orders = load_table(spark, sf_dir, "orders")
+    if use_bucketed_store:
+        from mapreduce_google_spark.io import bucketed_fact_table
+
+        orders = spark.table(
+            bucketed_fact_table(spark, sf_dir, "orders", "o_custkey")
+        )
+    else:
+        orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))

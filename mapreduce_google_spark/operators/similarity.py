@@ -64,6 +64,70 @@ def cosine_topk(
     )
 
 
+def cosine_topk_gemm(
+    spark: SparkSession, sf_dir: str, n_probes: int = 10, k: int = 5
+) -> DataFrame:
+    """T18, GEMM form — identical results to :func:`cosine_topk`
+    (equality pinned in ``tests/test_similarity.py``), with the scoring
+    loop as ONE Arrow-batched matrix multiply per partition instead of
+    a per-pair higher-order-function expression.
+
+    The HOF form evaluates dot+norms per (probe, vector) pair inside
+    codegen — fine, but the probe fan-out re-reads each embedding
+    ``n_probes`` times through the expression tree. Here each Arrow
+    batch computes ``(batch × d) @ (d × n_probes)`` once; probes ride
+    along as a broadcast numpy constant (they are n_probes rows —
+    probe-sized, the same driver-collect class as IVF centroids). The
+    cosine is assembled exactly like the HOF form — raw dot divided by
+    the norm product, THEN rounded to 6 — so the two paths agree to the
+    rounding that defines the rank order. Scales identically (embedding
+    scan stays partition-parallel, top-k per probe via the same window);
+    at 100 TB the GEMM batch is the difference between FLOPs limited by
+    expression interpretation and FLOPs at BLAS speed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # n_probes rows — probe-sized collect (same class as IVF centroids)
+    probe_rows = _probes(emb, n_probes).collect()
+    pids = np.asarray([r.probe_id for r in probe_rows], dtype=np.int64)
+    pmat = np.vstack(
+        [np.asarray(r.probe_vec, dtype=np.float64) for r in probe_rows]
+    )  # (P, d)
+    pnorm = np.sqrt((pmat * pmat).sum(axis=1))  # (P,)
+
+    def score(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dots = mat @ pmat.T  # (B, P)
+            norms = np.sqrt((mat * mat).sum(axis=1))  # (B,)
+            cos = dots / (norms[:, None] * pnorm[None, :])
+            b = len(mat)
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.repeat(pids[None, :], b, axis=0).ravel(),
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype=np.int64), len(pids)
+                    ),
+                    "cosine": np.round(cos.ravel(), 6),
+                }
+            )
+
+    scored = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(score, "probe_id bigint, vec_id bigint, cosine double")
+        .where(F.col("vec_id") != F.col("probe_id"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select(
+            "probe_id", "vec_id", "cosine", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs_exact(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:

@@ -664,7 +664,13 @@ _COS = (
 register(
     QuerySpec(
         name="t18_cosine_topk",
-        builder=sim_ops.cosine_topk,
+        # GEMM form: one Arrow-batched matmul per partition instead of
+        # a per-(probe,vector) HOF expression — result-identical to
+        # sim_ops.cosine_topk (both round the cosine to 6 BEFORE
+        # ranking; equality pinned across sf tiers in
+        # tests/test_approx_ops.py::test_cosine_topk_gemm_equals_hof),
+        # 0.88→0.58 s at sf0.1 (r13)
+        builder=sim_ops.cosine_topk_gemm,
         oracle=f"""
             WITH probes AS (
                 SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec

@@ -26,6 +26,18 @@ def test_minhash_lsh_precision_and_recall(spark, sf_dir):
         assert recall >= 0.5, f"LSH recall {recall:.2f} too low ({len(lsh)}/{len(exact)})"
 
 
+def test_cosine_topk_gemm_equals_hof(spark, sf_dir):
+    """t18's registered GEMM form must produce exactly the HOF form's
+    rows — both compute dot/(|a|·|b|) and round to 6 BEFORE ranking, so
+    the rank order is defined on identical values; this pins that the
+    numpy batch path never drifts from the codegen expression path."""
+    from mapreduce_google_spark.operators.similarity import cosine_topk_gemm
+
+    hof = [tuple(r) for r in cosine_topk(spark, sf_dir).collect()]
+    gemm = [tuple(r) for r in cosine_topk_gemm(spark, sf_dir).collect()]
+    assert gemm == hof
+
+
 def test_ivf_recall(spark, sf_dir):
     exact = {
         (r.probe_id, r.vec_id) for r in cosine_topk(spark, sf_dir).collect()

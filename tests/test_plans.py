@@ -270,6 +270,24 @@ def test_t12_bucketed_store_removes_fact_exchanges(spark, sf_dir):
     )
 
 
+def test_t09_bucketed_store_removes_fact_exchange(spark, sf_dir):
+    """t09's default path reads orders from the custkey-bucketed store:
+    the per-customer pre-agg (the query's only fact shuffle) must
+    consume bucket co-location — bucketed scan in the plan, strictly
+    fewer exchanges than the direct path (r13)."""
+    from mapreduce_google_spark.operators.relational import revenue_per_region
+
+    direct = formatted_plan(
+        revenue_per_region(spark, sf_dir, use_bucketed_store=False)
+    )
+    bucketed = formatted_plan(revenue_per_region(spark, sf_dir))
+    assert "Bucketed: true" in bucketed, bucketed
+    assert bucketed.count("Exchange") < direct.count("Exchange"), (
+        bucketed.count("Exchange"),
+        direct.count("Exchange"),
+    )
+
+
 def test_t65_incremental_dedup_is_anti_join(spark, sf_dir):
     """t65's history check must be a hash-family LEFT ANTI join on the
     fingerprint — not a nested loop, and never a join that drags text."""
