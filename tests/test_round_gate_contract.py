@@ -93,7 +93,7 @@ def test_gate_script_writes_and_asserts_receipt():
     """The receipt steps stay wired into the gate script."""
     with open(os.path.join(REPO, "tools", "round_gate.sh")) as fh:
         gate = fh.read()
-    assert "gate_fingerprint.py > ROUND_GATE.json" in gate
+    assert "gate_fingerprint.py --suite-ran > ROUND_GATE.json" in gate
     assert "gate_fingerprint.py --assert" in gate
     # pytest runs unpiped (a pipe would mask its exit status — the r12
     # gotcha that let a red test commit through)

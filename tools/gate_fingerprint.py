@@ -109,6 +109,16 @@ def main() -> int:
         action="store_true",
         help="compare worktree against ROUND_GATE.json; exit 1 on drift",
     )
+    ap.add_argument(
+        "--suite-ran",
+        action="store_true",
+        help=(
+            "record that the full pytest suite ran green on this tree — "
+            "ONLY round_gate.sh passes this (it runs pytest first); a "
+            "receipt written mid-round certifies fingerprint consistency "
+            "only"
+        ),
+    )
     args = ap.parse_args()
 
     if args.check:
@@ -148,6 +158,7 @@ def main() -> int:
                 "source_fingerprint": fingerprint(entries),
                 "n_files": len(entries),
                 "head_at_gate": head,
+                "suite_ran": bool(args.suite_ran),
                 "source_entries": entries,
             }
         )

@@ -44,7 +44,7 @@ python tools/plan_audit.py 2>/dev/null > "PLANS_r${ROUND}.md"
 echo "wrote PLANS_r${ROUND}.md"
 
 echo "== 6/6 gate receipt =="
-python tools/gate_fingerprint.py > ROUND_GATE.json
+python tools/gate_fingerprint.py --suite-ran > ROUND_GATE.json
 python tools/gate_fingerprint.py --assert
 
 echo "ROUND GATE: all green"
