@@ -68,7 +68,7 @@ def cosine_topk_gemm(
     spark: SparkSession, sf_dir: str, n_probes: int = 10, k: int = 5
 ) -> DataFrame:
     """T18, GEMM form — identical results to :func:`cosine_topk`
-    (equality pinned in ``tests/test_similarity.py``), with the scoring
+    (equality pinned in ``tests/test_approx_ops.py``), with the scoring
     loop as ONE Arrow-batched matrix multiply per partition instead of
     a per-pair higher-order-function expression.
 
@@ -283,6 +283,98 @@ def ivf_topk(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     centroids, assigned = ivf_assignments(emb, n_cells)
+    probes = F.broadcast(_probes(emb, n_probes))
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("c_cos").desc(), F.col("cell_id").asc()
+    )
+    probe_cells = (
+        probes.crossJoin(centroids)
+        .select(
+            "probe_id",
+            "probe_vec",
+            "cell_id",
+            F.round(cosine_similarity("probe_vec", "centroid"), 6).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= n_probe_cells)
+        .select("probe_id", "probe_vec", "cell_id")
+    )
+    scored = (
+        probe_cells.join(assigned, "cell_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("probe_vec", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select(
+            "probe_id", "vec_id", "cosine", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )
+
+
+def ivf_index_table(
+    spark: SparkSession, sf_dir: str, n_cells: int = 8
+) -> str:
+    """Materialized IVF assignment index: ``(vec_id, embedding,
+    cell_id)`` bucketed on ``cell_id``, built once per corpus version
+    (the band-table pattern, ``io.adopt_or_build_bucketed_table``) and
+    adopted by later sessions.
+
+    This IS the regime the ivf_topk docstring's crossover analysis
+    points at: the full-corpus centroid-assignment pass is the fixed
+    cost that made 10-probe IVF lose to brute force — paying it once
+    per corpus version instead of once per query moves every
+    query-time probe to the bucketed candidate scan only. At 100 TB
+    ``n_cells`` scales with the corpus and the bucketed layout routes
+    each probe to its cells' buckets without an exchange."""
+    from mapreduce_google_spark.io import adopt_or_build_bucketed_table, cache_tag
+
+    tag = cache_tag(sf_dir, "embeddings")
+    name = f"mgs_ivf_idx_{tag}_c{n_cells}"
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return ivf_assignments(emb, n_cells)[1]
+
+    return adopt_or_build_bucketed_table(
+        spark, name, f"/tmp/{name}", ["cell_id"], n_cells, build
+    )
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe_cells: int = 3,
+) -> DataFrame:
+    """T25, production form — identical results to :func:`ivf_topk`
+    (equality pinned in ``tests/test_approx_ops.py``), with the
+    assignment pass served from the materialized
+    :func:`ivf_index_table` instead of recomputed per query.
+
+    Query-time work is ONLY: route each probe to its ``n_probe_cells``
+    closest centroids (n_probes × n_cells — probe-sized), then score
+    candidates read from the probed cells' buckets. Centroids are
+    re-derived from the same deterministic seed rule (the ``n_cells``
+    lowest vec_ids), so routing agrees with the stored assignment by
+    construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = spark.table(ivf_index_table(spark, sf_dir, n_cells))
+    centroids = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+    )
     probes = F.broadcast(_probes(emb, n_probes))
     wc = Window.partitionBy("probe_id").orderBy(
         F.col("c_cos").desc(), F.col("cell_id").asc()

@@ -721,7 +721,13 @@ register(
 register(
     QuerySpec(
         name="t25_ivf_topk",
-        builder=sim_ops.ivf_topk,
+        # production form: assignment pass served from the materialized
+        # cell-bucketed ivf_index_table (one pass per corpus version,
+        # the band-table pattern) — result-identical to the in-session
+        # ivf_topk (equality pinned across sf tiers in
+        # tests/test_approx_ops.py::test_ivf_from_index_equals_in_session;
+        # 1.10→0.75 s at sf0.1, r13)
+        builder=sim_ops.ivf_topk_from_index,
         oracle=None,  # approximate by construction; tests measure recall
         # against t18's exact result
         doc="IVF-bucketed approximate cosine top-k (scale path for T18)",
@@ -7149,6 +7155,10 @@ EAGER_BUILD: frozenset[str] = frozenset(
         # (ensure) first-touch materialization of a cached layout/store
         "t40_bucketed_segment_revenue",
         "t42_partition_pruned_daily",
+        "t09_revenue_per_region",  # custkey-bucketed orders store (r13)
+        "t12_revenue_rollup",  # orderkey-bucketed lineitem+orders stores (r13)
+        "t18_cosine_topk",  # probe-set collect (probe-sized, GEMM constant)
+        "t25_ivf_topk",  # cell-bucketed IVF assignment index (r13)
         "t65_incremental_dedup",
         "t66_jsonl_ingest",
         "t116_dead_letter_ingest",

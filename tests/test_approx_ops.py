@@ -50,6 +50,18 @@ def test_ivf_recall(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
 
 
+def test_ivf_from_index_equals_in_session(spark, sf_dir):
+    """t25's registered from-index form must produce exactly the
+    in-session operator's rows: the store holds the same deterministic
+    assignment (seed centroids = lowest vec_ids), so the only difference
+    is WHERE the assignment pass ran — build time, not query time."""
+    from mapreduce_google_spark.operators.similarity import ivf_topk_from_index
+
+    a = [tuple(r) for r in ivf_topk(spark, sf_dir).collect()]
+    b = [tuple(r) for r in ivf_topk_from_index(spark, sf_dir).collect()]
+    assert a == b
+
+
 def test_ivf_scans_fraction_of_vectors(spark, sf_dir):
     """The point of IVF: the candidate set is a strict subset of the
     corpus (here ≤ n_probe_cells/n_cells plus skew)."""

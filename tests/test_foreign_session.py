@@ -26,6 +26,7 @@ CATALOG_TOUCHING = (
     "t120_lsh_precision_invariants",
     "t223_incremental_dedup_from_store",
     "t12_revenue_rollup",
+    "t25_ivf_topk",
 )
 
 #: entries whose correctness depends on session confs the engine must
@@ -93,6 +94,7 @@ def test_probe_list_covers_catalog_touchers():
         "operators/scale.py",
         "operators/dedup.py",
         "operators/relational.py",
+        "operators/similarity.py",
         "io.py",
         "streaming/jobs.py",
     }
