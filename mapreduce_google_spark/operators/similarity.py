@@ -96,6 +96,8 @@ def cosine_topk_gemm(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch — vstack would raise
+                continue
             mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             dots = mat @ pmat.T  # (B, P)
             norms = np.sqrt((mat * mat).sum(axis=1))  # (B,)
