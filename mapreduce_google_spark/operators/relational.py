@@ -345,9 +345,58 @@ def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: combined (events + orders) row count above which :func:`asof_latest_order`
+#: dispatches to the cogrouped merge_asof form. The measured crossover
+#: (tools/impl_shootout.py, docstrings below) sits between sf0.1
+#: (~270k rows: union-merge 1.47 s vs cogroup 2.37 s) and sf1 (~2.7M
+#: rows: 8.82 s vs 5.42 s); 1M is the geometric midpoint. Overridable
+#: for tests and for corpora whose per-key group sizes defy the default.
+ASOF_UNION_MERGE_MAX_ROWS = 1_000_000
+
+
+def _parquet_rows(sf_dir: str, *tables: str) -> int | None:
+    """Combined row count from parquet FOOTER metadata — a driver-side
+    file-metadata read (the same cost class as schema inference), never
+    a Spark job; None when any table is missing (caller falls back to
+    the small-data form, the safe default for unknown inputs)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            if os.path.isdir(p):
+                total += sum(
+                    pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+            else:
+                total += pq.ParquetFile(p).metadata.num_rows
+        except OSError:
+            return None
+    return total
+
+
+def asof_latest_order(
+    spark: SparkSession, sf_dir: str, form: str | None = None
+) -> DataFrame:
     """T33 — as-of join: for each event, the most recent order of the same
     customer with o_orderdate ≤ event time.
+
+    SIZE-ADAPTIVE (r13): ``form=None`` reads the combined input row
+    count from parquet footers (:func:`_parquet_rows` — metadata only,
+    no job) and dispatches to the cogrouped ``merge_asof`` form
+    (:func:`asof_latest_order_pandas`, t50's hash-equal twin) above
+    :data:`ASOF_UNION_MERGE_MAX_ROWS` — the measured crossover where
+    the union-merge's global per-customer n·log n sort overtakes the
+    fixed 64-bucket merge cost. ``form="union_merge"``/``"cogroup"``
+    forces a path (tests pin both equal on boundary corpora in
+    tests/test_property_fuzz.py). The engine picking the physical
+    strategy from measured crossovers is exactly what the 100 TB
+    deployment needs to not hand-tune per corpus.
 
     Union-merge formulation — the JOIN-FREE as-of: tag orders and events
     into ONE stream, sort per customer by (time, kind) with order rows
@@ -368,11 +417,18 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-batch Python overhead dominates small groups); at sf1 (10×)
     t50 wins — 5.42 s vs 8.82 s here (the global per-customer sort's
     n·log n growth overtakes the fixed 64-bucket merge cost). The
-    crossover sits between sf0.1 and sf1, so t50 is the
-    SCALE-RECOMMENDED form (tagged in its registration): at 100 TB ship
-    the cogrouped merge; this all-JVM form stays the default at the
+    dispatcher encodes that crossover, so at 100 TB the cogrouped merge
+    ships automatically; this all-JVM form stays the default at the
     correctness-gate tiers where it is both faster and oracle-minimal.
     """
+    if form not in (None, "union_merge", "cogroup"):
+        raise ValueError(f"unknown as-of form {form!r}")
+    if form == "cogroup" or (
+        form is None
+        and (_parquet_rows(sf_dir, "events", "orders") or 0)
+        > ASOF_UNION_MERGE_MAX_ROWS
+    ):
+        return asof_latest_order_pandas(spark, sf_dir)
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     ev = events.select(

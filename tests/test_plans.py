@@ -85,6 +85,25 @@ def test_t33_asof_is_join_free(spark, sf_dir):
     assert "Union" in plan, plan
 
 
+def test_t33_dispatches_to_cogroup_above_crossover(spark, sf_dir, monkeypatch):
+    """The as-of dispatcher must switch to the cogrouped merge_asof form
+    when the footer-metadata row count exceeds the measured crossover —
+    and stay on the all-JVM union-merge below it (r13; both forms are
+    result-equal, pinned in tests/test_property_fuzz.py)."""
+    import mapreduce_google_spark.operators.relational as rel
+
+    small = formatted_plan(rel.asof_latest_order(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" not in small, small
+    assert "Window" in small and "Union" in small, small
+
+    monkeypatch.setattr(rel, "ASOF_UNION_MERGE_MAX_ROWS", 0)
+    big = formatted_plan(rel.asof_latest_order(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in big, big
+
+    forced = formatted_plan(rel.asof_latest_order(spark, sf_dir, form="cogroup"))
+    assert "FlatMapCoGroupsInPandas" in forced, forced
+
+
 def test_t40_bucketed_join_has_no_join_exchange(spark, sf_dir):
     """Bucketed orders⋈customer: the only exchanges are the final agg +
     order-by — the join itself reads co-located buckets."""
