@@ -104,6 +104,32 @@ def test_t33_dispatches_to_cogroup_above_crossover(spark, sf_dir, monkeypatch):
     assert "FlatMapCoGroupsInPandas" in forced, forced
 
 
+def test_t11_window_reads_store_above_crossover(spark, sf_dir, monkeypatch):
+    """t11's window dispatches to the custkey-bucketed store above the
+    measured row-count crossover: the bucketed scan must appear and the
+    window must run without an orders exchange; below it, the raw scan
+    stays (r13)."""
+    import mapreduce_google_spark.operators.relational as rel
+
+    small = formatted_plan(rel.top_orders_per_customer(spark, sf_dir))
+    assert "Bucketed: true" not in small, small
+
+    small_rows = [tuple(r) for r in rel.top_orders_per_customer(spark, sf_dir).collect()]
+
+    monkeypatch.setattr(rel, "TOPK_WINDOW_STORE_MIN_ROWS", 0)
+    big = formatted_plan(rel.top_orders_per_customer(spark, sf_dir))
+    assert "Bucketed: true" in big, big
+    # the only exchange left is the final global orderBy — the window
+    # itself consumes bucket co-location
+    assert big.count("Exchange") < small.count("Exchange"), (
+        big.count("Exchange"),
+        small.count("Exchange"),
+    )
+    # and the store path returns exactly the raw path's rows
+    big_rows = [tuple(r) for r in rel.top_orders_per_customer(spark, sf_dir).collect()]
+    assert big_rows == small_rows
+
+
 def test_t40_bucketed_join_has_no_join_exchange(spark, sf_dir):
     """Bucketed orders⋈customer: the only exchanges are the final agg +
     order-by — the join itself reads co-located buckets."""
