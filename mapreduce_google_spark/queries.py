@@ -7157,6 +7157,7 @@ EAGER_BUILD: frozenset[str] = frozenset(
         "t42_partition_pruned_daily",
         "t09_revenue_per_region",  # custkey-bucketed orders store (r13)
         "t12_revenue_rollup",  # orderkey-bucketed lineitem+orders stores (r13)
+        "t16_session_window",  # user_id-bucketed events store (r13)
         "t18_cosine_topk",  # probe-set collect (probe-sized, GEMM constant)
         "t25_ivf_topk",  # cell-bucketed IVF assignment index (r13)
         "t65_incremental_dedup",

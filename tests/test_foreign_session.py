@@ -27,6 +27,7 @@ CATALOG_TOUCHING = (
     "t223_incremental_dedup_from_store",
     "t12_revenue_rollup",
     "t25_ivf_topk",
+    "t16_session_window",
 )
 
 #: entries whose correctness depends on session confs the engine must
@@ -95,6 +96,7 @@ def test_probe_list_covers_catalog_touchers():
         "operators/dedup.py",
         "operators/relational.py",
         "operators/similarity.py",
+        "operators/events.py",
         "io.py",
         "streaming/jobs.py",
     }

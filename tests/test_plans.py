@@ -130,6 +130,33 @@ def test_t11_window_reads_store_above_crossover(spark, sf_dir, monkeypatch):
     assert big_rows == small_rows
 
 
+def test_t16_session_window_reads_bucketed_events(spark, sf_dir):
+    """t16's default path reads the user_id-bucketed events store: the
+    session window and both rollup groupBys consume bucket co-location
+    (fewer exchanges than the raw scan; result equality asserted here
+    and by the oracle every round). Unlike t11/t33 there is no size
+    dispatch — the store measured faster at every tier (r13)."""
+    from mapreduce_google_spark.operators.events import session_window_stats
+
+    direct = formatted_plan(
+        session_window_stats(spark, sf_dir, use_bucketed_store=False)
+    )
+    bucketed = formatted_plan(session_window_stats(spark, sf_dir))
+    assert "Bucketed: true" in bucketed, bucketed
+    assert bucketed.count("Exchange") < direct.count("Exchange"), (
+        bucketed.count("Exchange"),
+        direct.count("Exchange"),
+    )
+    a = [tuple(r) for r in session_window_stats(spark, sf_dir).collect()]
+    b = [
+        tuple(r)
+        for r in session_window_stats(
+            spark, sf_dir, use_bucketed_store=False
+        ).collect()
+    ]
+    assert a == b
+
+
 def test_t40_bucketed_join_has_no_join_exchange(spark, sf_dir):
     """Bucketed orders⋈customer: the only exchanges are the final agg +
     order-by — the join itself reads co-located buckets."""
