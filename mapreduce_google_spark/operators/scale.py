@@ -302,7 +302,10 @@ def above_segment_average_customers(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def event_pairs_within_minute(
-    spark: SparkSession, sf_dir: str, window_s: int = 60
+    spark: SparkSession,
+    sf_dir: str,
+    window_s: int = 60,
+    use_bucketed_store: bool = True,
 ) -> DataFrame:
     """T45 — bucketed range self-join: pairs of events by the same user
     within ``window_s`` seconds, counted per (earlier, later) event-type.
@@ -316,10 +319,20 @@ def event_pairs_within_minute(
     adjacent buckets), then refine with the exact timestamp predicate.
     Everything is hash-equi-join + filter: shuffles on (user, bucket),
     never a cross product.
+
+    ``use_bucketed_store`` (default on, r13): both self-join sides scan
+    the user_id-bucketed events store (shared with t16) — measured
+    faster at both tiers (1.20→0.84 s sf0.1, 2.79→1.63 s sf1; the
+    (user, bucket) exchange remains but reads a pre-clustered, sorted
+    scan). Result-identical; plan-gated in tests/test_plans.py.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type"
-    )
+    if use_bucketed_store:
+        from mapreduce_google_spark.io import bucketed_fact_table
+
+        ev_src = spark.table(bucketed_fact_table(spark, sf_dir, "events", "user_id"))
+    else:
+        ev_src = load_table(spark, sf_dir, "events")
+    ev = ev_src.select("event_id", "user_id", "ts", "event_type")
     bucket = F.floor(F.unix_micros("ts") / F.lit(window_s * 1_000_000))
     earlier = ev.select(
         F.col("user_id").alias("u_a"),

@@ -7158,6 +7158,7 @@ EAGER_BUILD: frozenset[str] = frozenset(
         "t09_revenue_per_region",  # custkey-bucketed orders store (r13)
         "t12_revenue_rollup",  # orderkey-bucketed lineitem+orders stores (r13)
         "t16_session_window",  # user_id-bucketed events store (r13)
+        "t45_event_pairs_within_minute",  # same events store as t16 (r13)
         "t18_cosine_topk",  # probe-set collect (probe-sized, GEMM constant)
         "t25_ivf_topk",  # cell-bucketed IVF assignment index (r13)
         "t65_incremental_dedup",

@@ -28,6 +28,7 @@ CATALOG_TOUCHING = (
     "t12_revenue_rollup",
     "t25_ivf_topk",
     "t16_session_window",
+    "t45_event_pairs_within_minute",
 )
 
 #: entries whose correctness depends on session confs the engine must

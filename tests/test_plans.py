@@ -157,6 +157,24 @@ def test_t16_session_window_reads_bucketed_events(spark, sf_dir):
     assert a == b
 
 
+def test_t45_range_self_join_reads_bucketed_events(spark, sf_dir):
+    """t45's default path scans the user_id-bucketed events store on
+    both self-join sides (shared with t16) — bucketed scans in the
+    plan, results identical to the raw-scan form (r13)."""
+    from mapreduce_google_spark.operators.scale import event_pairs_within_minute
+
+    bucketed = formatted_plan(event_pairs_within_minute(spark, sf_dir))
+    assert "Bucketed: true" in bucketed, bucketed
+    a = [tuple(r) for r in event_pairs_within_minute(spark, sf_dir).collect()]
+    b = [
+        tuple(r)
+        for r in event_pairs_within_minute(
+            spark, sf_dir, use_bucketed_store=False
+        ).collect()
+    ]
+    assert a == b
+
+
 def test_t40_bucketed_join_has_no_join_exchange(spark, sf_dir):
     """Bucketed orders⋈customer: the only exchanges are the final agg +
     order-by — the join itself reads co-located buckets."""
