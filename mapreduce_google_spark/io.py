@@ -319,6 +319,7 @@ def adopt_or_build_bucketed_table(
     bucket_cols: list[str],
     num_buckets: int,
     build,
+    build_wait_s: float = 900.0,
 ) -> str:
     """Ensure a bucketed catalog table exists; returns the EFFECTIVE
     table name — ``{name}{bucket_table_suffix(...)}``, i.e.
@@ -348,6 +349,11 @@ def adopt_or_build_bucketed_table(
        write; it is bucketed+sorted via :func:`write_parquet` and the
        sidecar is stamped last (a crash mid-build leaves no sidecar →
        the next caller rebuilds instead of adopting a torn store).
+       Builds are SERIALIZED by an O_EXCL ``{path}.build.lock`` (r13;
+       the r8 shared-cache lesson — one writer per _SUCCESS-gated
+       store): concurrent losers wait up to ``build_wait_s`` and adopt
+       the winner's files; dead same-host holders are broken via the
+       manifest-lock protocol.
 
     Stores stranded under a RETIRED suffix scheme next to ``path`` are
     swept (:func:`_sweep_stranded_bucket_stores`). This function is what
@@ -358,15 +364,20 @@ def adopt_or_build_bucketed_table(
     import json
     import os
     import shutil
+    import socket
+    import time
 
     suffix = bucket_table_suffix(num_buckets, bucket_cols)
     name = f"{name}{suffix}"
     path = f"{path.rstrip('/')}{suffix}"
     _sweep_stranded_bucket_stores(path)
-    if spark.catalog.tableExists(name):
-        return name
     want_spec = {"num_buckets": num_buckets, "bucket_cols": list(bucket_cols)}
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _try_adopt() -> bool:
+        if spark.catalog.tableExists(name):
+            return True
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
         on_disk = _read_bucket_spec(path)
         if (
             on_disk is not None
@@ -378,25 +389,71 @@ def adopt_or_build_bucketed_table(
                 f"{f.name} {f.dataType.simpleString()}" for f in schema
             )
             bc = ", ".join(bucket_cols)
+            # IF NOT EXISTS: two threads of one session can both reach
+            # here (adoption runs outside the build lock); the second
+            # CREATE must be a no-op, not an AnalysisException
             spark.sql(
-                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING PARQUET "
                 f"CLUSTERED BY ({bc}) SORTED BY ({bc}) INTO {num_buckets} BUCKETS "
                 f"LOCATION '{path}'"
             )
+            return True
+        return False
+
+    if _try_adopt():
+        return name
+
+    # Build path — SINGLE WRITER enforced by an O_EXCL build lock (the
+    # r8 shared-cache lesson: any _SUCCESS-gated shared store needs
+    # exactly one writer; two sessions racing write_parquet at one path
+    # corrupt each other's commit). Losers wait and ADOPT the winner's
+    # files; a dead same-host holder is broken automatically; a crash
+    # after write but before the sidecar stamp leaves an unadoptable dir
+    # that the next locked builder clears and rebuilds.
+    lock = path + ".build.lock"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    me = f"{socket.gethostname()}:{os.getpid()}"
+    deadline = time.time() + build_wait_s
+    while True:
+        if _try_adopt():
             return name
-        shutil.rmtree(path, ignore_errors=True)
-    write_parquet(
-        build().repartition(num_buckets, *bucket_cols),
-        path,
-        bucket_table=name,
-        bucket_cols=bucket_cols,
-        num_buckets=num_buckets,
-    )
-    tmp = os.path.join(path, _BUCKET_SPEC_FILE + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump({**want_spec, "version": 2}, fh)
-    os.replace(tmp, os.path.join(path, _BUCKET_SPEC_FILE))
-    return name
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if not _break_dead_holder_lock(lock, empty_age_s=10.0):
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        f"bucketed-store build lock {lock} held by a live "
+                        f"or foreign-host builder for >{build_wait_s:.0f}s"
+                    )
+                time.sleep(0.1)
+            continue
+        try:
+            # any failure from here on — including the payload write —
+            # releases fd AND unlinks the lock in the finally (ADVICE r12)
+            os.write(fd, me.encode())
+            if _try_adopt():  # winner finished in the open() race window
+                return name
+            if os.path.exists(path):  # unadoptable leftovers (torn build)
+                shutil.rmtree(path, ignore_errors=True)
+            write_parquet(
+                build().repartition(num_buckets, *bucket_cols),
+                path,
+                bucket_table=name,
+                bucket_cols=bucket_cols,
+                num_buckets=num_buckets,
+            )
+            tmp = os.path.join(path, _BUCKET_SPEC_FILE + ".tmp")
+            with open(tmp, "w") as fh:
+                json.dump({**want_spec, "version": 2}, fh)
+            os.replace(tmp, os.path.join(path, _BUCKET_SPEC_FILE))
+            return name
+        finally:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except FileNotFoundError:  # pragma: no cover - defensive
+                pass
 
 
 def bucketed_fact_table(

@@ -274,6 +274,79 @@ def test_bucketed_table_identity_includes_bucket_cols(spark, tmp_path):
         spark.sql(f"DROP TABLE {name}")
 
 
+def test_bucketed_build_lock_serializes_and_breaks_dead_holders(spark, tmp_path):
+    """adopt_or_build_bucketed_table builds under an O_EXCL lock (r13;
+    the r8 shared-cache rule: one writer per _SUCCESS-gated store). A
+    provably-dead same-host holder is broken automatically; a LIVE/
+    foreign-host holder makes the call fail after build_wait_s instead
+    of corrupting the winner's commit; concurrent threads produce
+    exactly one build that everyone adopts."""
+    import socket
+    import subprocess
+    import sys
+    import threading
+
+    import pytest
+
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        bucket_table_suffix,
+    )
+
+    df = spark.range(60).selectExpr("id", "id % 5 AS k")
+
+    # 1. dead same-host holder → broken, build proceeds
+    base = str(tmp_path / "locked")
+    path = base + bucket_table_suffix(4, ["k"])
+    dead = subprocess.run([sys.executable, "-c", "import os; print(os.getpid())"],
+                          capture_output=True, text=True).stdout.strip()
+    with open(path + ".build.lock", "w") as fh:
+        fh.write(f"{socket.gethostname()}:{dead}")
+    n1 = adopt_or_build_bucketed_table(
+        spark, "mgs_test_lock_a", base, ["k"], 4, lambda: df
+    )
+    assert spark.table(n1).count() == 60
+    assert not os.path.exists(path + ".build.lock")
+
+    # 2. live foreign-host holder → bounded failure, never a torn write
+    base2 = str(tmp_path / "foreign")
+    path2 = base2 + bucket_table_suffix(4, ["k"])
+    os.makedirs(os.path.dirname(path2), exist_ok=True)
+    with open(path2 + ".build.lock", "w") as fh:
+        fh.write("some-other-host:12345")
+    with pytest.raises(RuntimeError, match="build lock"):
+        adopt_or_build_bucketed_table(
+            spark, "mgs_test_lock_b", base2, ["k"], 4, lambda: df,
+            build_wait_s=0.5,
+        )
+    os.remove(path2 + ".build.lock")
+
+    # 3. concurrent callers: one build, every caller adopts the same table
+    base3 = str(tmp_path / "race")
+    results, errors = [], []
+
+    def worker():
+        try:
+            results.append(
+                adopt_or_build_bucketed_table(
+                    spark, "mgs_test_lock_c", base3, ["k"], 4, lambda: df
+                )
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(set(results)) == 1 and len(results) == 4
+    assert spark.table(results[0]).count() == 60
+    for n in {n1, results[0]}:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
 def test_bucketed_fact_table_adopts_and_serves_colocated_join(spark, sf_dir):
     """io.bucketed_fact_table: full-width orderkey-bucketed copy, built
     once per corpus version and ADOPTED (not rebuilt) on re-request; a
