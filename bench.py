@@ -104,9 +104,17 @@ def main() -> int:
 
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
+    # per-query warm-up wall — recorded as warmup_s so the first-touch
+    # ensure costs (bucketed fact stores, band table, IVF index — the
+    # EAGER_BUILD 'ensure' class) are VISIBLE in the artifact instead of
+    # hidden by steady-state medians (r13; a cold /tmp pays these once
+    # per corpus version, a warm one pays adoption only)
+    warmup: dict[str, float] = {}
     for name, spec in headline.items():
+        t0 = time.perf_counter()
         df = spec.builder(spark, SF_DIR)
         _ = df.count() if name == "t14_scalar_functions" else len(df.toPandas())
+        warmup[name] = round(time.perf_counter() - t0, 3)
 
     # n repetitions per query; per-query time = MEDIAN of n runs, with the
     # min/max spread recorded alongside. Sub-second timings on local[32]
@@ -174,6 +182,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "spread_min_max": spread,
+                "warmup_s": warmup,
                 "n_reps": n_reps,
                 "sf": sf_of(SF_DIR),
                 "text_corpus_mb": round(text_mb, 3),
