@@ -246,6 +246,53 @@ def _bucket_layout_ok(path: str, num_buckets: int) -> bool:
 _BUCKET_SPEC_FILE = "_BUCKET_SPEC.json"
 
 
+def shared_store_root() -> str:
+    """Per-user 0700 root for every shared materialized store this
+    module adopts into DEFAULT query results (fact stores, LSH band
+    table, fingerprint store, IVF assignment index).
+
+    The pre-r14 layout put adoptable stores at the predictable
+    world-writable path ``/tmp/{name}`` — another local user could
+    pre-plant a directory with a valid ``_BUCKET_SPEC.json`` and
+    bucket-stamped files that t09/t11/t12/t16/t45 would then silently
+    adopt into their results (ADVICE r13). Rooting stores under
+    ``$TMPDIR/mgs-{uid}`` (mode 0700, ownership verified on every call)
+    makes a foreign plant impossible without already owning the uid; a
+    pre-existing entry that is a symlink, a non-directory, or owned by
+    someone else is refused loudly rather than traversed. On a real
+    cluster this root is a per-tenant prefix on shared storage and the
+    same ownership check is the object-store ACL."""
+    import stat
+    import tempfile
+
+    uid = os.getuid()
+    root = os.path.join(tempfile.gettempdir(), f"mgs-{uid}")
+    try:
+        os.mkdir(root, 0o700)
+    except FileExistsError:
+        st = os.lstat(root)
+        if not stat.S_ISDIR(st.st_mode) or stat.S_ISLNK(st.st_mode):
+            raise RuntimeError(
+                f"shared store root {root} exists but is not a directory"
+            )
+        if st.st_uid != uid:
+            raise RuntimeError(
+                f"shared store root {root} is owned by uid {st.st_uid}, "
+                f"not the current uid {uid} — refusing to adopt stores "
+                "from a foreign-owned directory"
+            )
+        if st.st_mode & 0o077:
+            os.chmod(root, 0o700)  # tighten a legacy/loosened root
+    return root
+
+
+def shared_store_path(name: str) -> str:
+    """Canonical on-disk location for a shared store named ``name``
+    (under :func:`shared_store_root`). Every ``adopt_or_build``-class
+    caller routes through this so the ownership guarantee is uniform."""
+    return os.path.join(shared_store_root(), name)
+
+
 def bucket_table_suffix(num_buckets: int, bucket_cols: list[str]) -> str:
     """Path/table suffix encoding the FULL bucket spec. The trailing 6
     hex chars hash the column TUPLE with a NUL separator, so specs that
@@ -285,7 +332,17 @@ def _sweep_stranded_bucket_stores(path: str, min_age_s: float = 600.0) -> None:
     skipped — a concurrent peer building a different spec stamps its
     sidecar LAST, and sweeping its half-written files out from under it
     would fail that build (same TOCTOU family as vacuum, io vacuum
-    retention floor)."""
+    retention floor).
+
+    The age floor alone is NOT enough for long builds (ADVICE r13):
+    Spark stages output under ``_temporary/`` subtrees, so a sibling's
+    TOP-LEVEL mtime goes stale minutes into a still-running job and the
+    sweep would rmtree the live build out from under its writer. So a
+    sidecar-less sibling whose ``{sibling}.build.lock`` has a holder
+    not provably dead (live same-host pid, foreign host, or a fresh
+    empty lock) is always skipped; :func:`_break_dead_holder_lock`
+    doubles as the liveness probe and reclaims truly dead locks on the
+    way through."""
     import os
     import re
     import shutil
@@ -309,6 +366,11 @@ def _sweep_stranded_bucket_stores(path: str, min_age_s: float = 600.0) -> None:
             and os.path.isdir(full)
             and _read_bucket_spec(full) is None
         ):
+            sibling_lock = full + ".build.lock"
+            if os.path.exists(sibling_lock) and not _break_dead_holder_lock(
+                sibling_lock, empty_age_s=min_age_s
+            ):
+                continue  # a live/foreign builder owns this sibling
             shutil.rmtree(full, ignore_errors=True)
 
 
@@ -349,11 +411,13 @@ def adopt_or_build_bucketed_table(
        write; it is bucketed+sorted via :func:`write_parquet` and the
        sidecar is stamped last (a crash mid-build leaves no sidecar →
        the next caller rebuilds instead of adopting a torn store).
-       Builds are SERIALIZED by an O_EXCL ``{path}.build.lock`` (r13;
-       the r8 shared-cache lesson — one writer per _SUCCESS-gated
+       Builds are SERIALIZED by a ``{path}.build.lock`` acquired by
+       atomic hard-link with the ``host:pid`` payload already in place
+       (r14; the r8 shared-cache lesson — one writer per _SUCCESS-gated
        store): concurrent losers wait up to ``build_wait_s`` and adopt
        the winner's files; dead same-host holders are broken via the
-       manifest-lock protocol.
+       manifest-lock protocol, and a held lock is never observably
+       empty, so the empty-age breaker cannot displace a slow winner.
 
     Stores stranded under a RETIRED suffix scheme next to ``path`` are
     swept (:func:`_sweep_stranded_bucket_stores`). This function is what
@@ -366,6 +430,7 @@ def adopt_or_build_bucketed_table(
     import shutil
     import socket
     import time
+    import uuid
 
     suffix = bucket_table_suffix(num_buckets, bucket_cols)
     name = f"{name}{suffix}"
@@ -377,6 +442,14 @@ def adopt_or_build_bucketed_table(
         if spark.catalog.tableExists(name):
             return True
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
+        try:
+            # never adopt a foreign-owned directory into query results
+            # (ADVICE r13) — belt-and-braces on top of the 0700
+            # shared_store_root the default callers build under
+            if os.stat(path).st_uid != os.getuid():
+                return False
+        except OSError:
             return False
         on_disk = _read_bucket_spec(path)
         if (
@@ -403,8 +476,8 @@ def adopt_or_build_bucketed_table(
     if _try_adopt():
         return name
 
-    # Build path — SINGLE WRITER enforced by an O_EXCL build lock (the
-    # r8 shared-cache lesson: any _SUCCESS-gated shared store needs
+    # Build path — SINGLE WRITER enforced by a link-atomic build lock
+    # (the r8 shared-cache lesson: any _SUCCESS-gated shared store needs
     # exactly one writer; two sessions racing write_parquet at one path
     # corrupt each other's commit). Losers wait and ADOPT the winner's
     # files; a dead same-host holder is broken automatically; a crash
@@ -417,9 +490,27 @@ def adopt_or_build_bucketed_table(
     while True:
         if _try_adopt():
             return name
+        # Acquire by HARD LINK, not O_EXCL+write: the payload is staged
+        # into a private temp file first and linked to the lock path in
+        # one atomic step, so a held lock is NEVER observably empty.
+        # Under the old two-step protocol a winner stalled >10s between
+        # the O_EXCL create and the payload write looked like a crash
+        # leftover to the empty-age breaker — the lock was broken, a
+        # second writer entered, and the displaced winner's finally then
+        # unlinked the NEW holder's lock, cascading to a third writer
+        # (ADVICE r13). Empty-age breaking below now only ever fires on
+        # true pre-r14 crash leftovers.
+        staged = f"{lock}.{uuid.uuid4().hex[:12]}.tmp"
+        with open(staged, "w") as fh:
+            fh.write(me)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(staged, lock)
+            acquired = True
         except FileExistsError:
+            acquired = False
+        finally:
+            os.remove(staged)
+        if not acquired:
             if not _break_dead_holder_lock(lock, empty_age_s=10.0):
                 if time.time() > deadline:
                     raise RuntimeError(
@@ -429,10 +520,7 @@ def adopt_or_build_bucketed_table(
                 time.sleep(0.1)
             continue
         try:
-            # any failure from here on — including the payload write —
-            # releases fd AND unlinks the lock in the finally (ADVICE r12)
-            os.write(fd, me.encode())
-            if _try_adopt():  # winner finished in the open() race window
+            if _try_adopt():  # winner finished in the link() race window
                 return name
             if os.path.exists(path):  # unadoptable leftovers (torn build)
                 shutil.rmtree(path, ignore_errors=True)
@@ -449,7 +537,6 @@ def adopt_or_build_bucketed_table(
             os.replace(tmp, os.path.join(path, _BUCKET_SPEC_FILE))
             return name
         finally:
-            os.close(fd)
             try:
                 os.remove(lock)
             except FileNotFoundError:  # pragma: no cover - defensive
@@ -484,7 +571,7 @@ def bucketed_fact_table(
     return adopt_or_build_bucketed_table(
         spark,
         name,
-        f"/tmp/{name}",
+        shared_store_path(name),
         [key],
         num_buckets,
         lambda: load_table(spark, sf_dir, table),

@@ -470,7 +470,11 @@ def minhash_band_table(
     ``repartition("band","bucket").cache()``, held durably on disk.
     At 100 TB, raise ``num_buckets`` to match cluster parallelism.
     """
-    from mapreduce_google_spark.io import adopt_or_build_bucketed_table, cache_tag
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        cache_tag,
+        shared_store_path,
+    )
 
     tag = cache_tag(sf_dir, "documents")
     name = f"mgs_lsh_bands_{tag}_n{n}_h{num_hashes}_b{bands}_df{max_df}"
@@ -482,7 +486,7 @@ def minhash_band_table(
         return _band_buckets(sig, num_hashes, bands)
 
     return adopt_or_build_bucketed_table(
-        spark, name, f"/tmp/{name}", ["band", "bucket"], num_buckets, build
+        spark, name, shared_store_path(name), ["band", "bucket"], num_buckets, build
     )
 
 
@@ -619,7 +623,11 @@ def fingerprint_store_table(
     band table (:func:`minhash_band_table`) and t40. Returns the
     catalog table name; idempotent until the corpus changes.
     """
-    from mapreduce_google_spark.io import adopt_or_build_bucketed_table, cache_tag
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        cache_tag,
+        shared_store_path,
+    )
 
     tag = cache_tag(sf_dir, "documents")
     name = f"mgs_fp_store_{tag}_b{batch_start}"
@@ -633,7 +641,7 @@ def fingerprint_store_table(
         )
 
     return adopt_or_build_bucketed_table(
-        spark, name, f"/tmp/{name}", ["fingerprint"], num_buckets, build
+        spark, name, shared_store_path(name), ["fingerprint"], num_buckets, build
     )
 
 

@@ -402,7 +402,11 @@ def _parquet_rows(sf_dir: str, *tables: str) -> int | None:
                 )
             else:
                 total += pq.ParquetFile(p).metadata.num_rows
-        except OSError:
+        except (OSError, ValueError):
+            # ValueError covers pyarrow's ArrowInvalid (its subclass) on
+            # a corrupt/truncated footer — unknown input must mean "fall
+            # back to the safe small-data form", never a crash
+            # (ADVICE r13)
             return None
     return total
 

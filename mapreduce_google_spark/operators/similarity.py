@@ -337,7 +337,11 @@ def ivf_index_table(
     query-time probe to the bucketed candidate scan only. At 100 TB
     ``n_cells`` scales with the corpus and the bucketed layout routes
     each probe to its cells' buckets without an exchange."""
-    from mapreduce_google_spark.io import adopt_or_build_bucketed_table, cache_tag
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        cache_tag,
+        shared_store_path,
+    )
 
     tag = cache_tag(sf_dir, "embeddings")
     name = f"mgs_ivf_idx_{tag}_c{n_cells}"
@@ -347,7 +351,7 @@ def ivf_index_table(
         return ivf_assignments(emb, n_cells)[1]
 
     return adopt_or_build_bucketed_table(
-        spark, name, f"/tmp/{name}", ["cell_id"], n_cells, build
+        spark, name, shared_store_path(name), ["cell_id"], n_cells, build
     )
 
 

@@ -3,6 +3,7 @@ with pruning, bucketed join without exchange, reference text-dir surface."""
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import functions as F
@@ -384,3 +385,189 @@ def test_bucketed_fact_table_adopts_and_serves_colocated_join(spark, sf_dir):
         )
     )
     assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+
+
+def test_sweep_skips_sibling_with_live_build_lock(spark, tmp_path):
+    """_sweep_stranded_bucket_stores must not rmtree a sidecar-less
+    sibling whose builder is still ALIVE (ADVICE r13): Spark stages a
+    long build's output under _temporary/, so the sibling's top-level
+    mtime goes stale minutes into a running job and the age floor alone
+    would let the sweep delete the live build out from under its
+    writer. The sibling's .build.lock with a live holder is the skip
+    signal; once the holder is provably dead the same sibling IS swept
+    (and the dead lock reclaimed on the way through)."""
+    import socket
+    import subprocess
+    import sys
+
+    from mapreduce_google_spark.io import _sweep_stranded_bucket_stores
+
+    base = str(tmp_path / "st")
+    current = base + "_k4_k_abc123"  # the store whose build triggers sweeps
+    sibling = base + "_k8"  # retired-scheme shape, no sidecar
+    os.makedirs(sibling)
+    with open(os.path.join(sibling, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    os.utime(sibling, (1.0, 1.0))  # far past the age floor
+
+    # live same-host holder → skipped
+    with open(sibling + ".build.lock", "w") as fh:
+        fh.write(f"{socket.gethostname()}:{os.getpid()}")
+    _sweep_stranded_bucket_stores(current)
+    assert os.path.isdir(sibling), "sweep deleted a live builder's store"
+
+    # provably-dead same-host holder → lock reclaimed, sibling swept
+    dead = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    with open(sibling + ".build.lock", "w") as fh:
+        fh.write(f"{socket.gethostname()}:{dead}")
+    _sweep_stranded_bucket_stores(current)
+    assert not os.path.exists(sibling)
+    assert not os.path.exists(sibling + ".build.lock")
+
+
+def test_build_lock_is_never_observably_empty(spark, tmp_path):
+    """The build lock is acquired by hard-linking a payload-complete
+    temp file (r14): at no point while a builder holds the lock can a
+    reader observe an empty file. Under the old O_EXCL-then-write
+    protocol a winner stalled >10s between create and write looked like
+    a crash leftover, the empty-age breaker displaced it, and the
+    displaced writer's cleanup then unlinked the NEW holder's lock —
+    two live writers at one path (ADVICE r13). Observed here by
+    blocking the builder INSIDE build() and reading the lock from the
+    outside; a planted legacy empty lock older than the age floor is
+    still broken."""
+    import socket
+    import threading
+    import time
+
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        bucket_table_suffix,
+    )
+
+    df = spark.range(20).selectExpr("id", "id % 3 AS k")
+    base = str(tmp_path / "atomic")
+    lock = base + bucket_table_suffix(2, ["k"]) + ".build.lock"
+    entered, release = threading.Event(), threading.Event()
+
+    def build():
+        entered.set()
+        release.wait(timeout=30)
+        return df
+
+    out: list[str] = []
+    t = threading.Thread(
+        target=lambda: out.append(
+            adopt_or_build_bucketed_table(
+                spark, "mgs_test_lock_atomic", base, ["k"], 2, build
+            )
+        )
+    )
+    t.start()
+    try:
+        assert entered.wait(timeout=30)
+        # builder is mid-build: the lock exists and already carries the
+        # full host:pid payload — never an empty window
+        payload = open(lock).read()
+        assert payload == f"{socket.gethostname()}:{os.getpid()}", payload
+        # no staged temp files leak next to the lock
+        assert glob.glob(lock + ".*.tmp") == []
+    finally:
+        release.set()
+        t.join(timeout=120)
+    assert out and spark.table(out[0]).count() == 20
+    assert not os.path.exists(lock)
+
+    # legacy empty lock (pre-r14 crash leftover), aged past the floor →
+    # broken, build proceeds
+    base2 = str(tmp_path / "legacy")
+    lock2 = base2 + bucket_table_suffix(2, ["k"]) + ".build.lock"
+    os.makedirs(os.path.dirname(lock2), exist_ok=True)
+    open(lock2, "w").close()
+    old = time.time() - 60
+    os.utime(lock2, (old, old))
+    n2 = adopt_or_build_bucketed_table(
+        spark, "mgs_test_lock_legacy", base2, ["k"], 2, lambda: df
+    )
+    assert spark.table(n2).count() == 20
+    for n in out + [n2]:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_shared_store_root_is_per_user_0700(tmp_path, monkeypatch):
+    """shared_store_root (ADVICE r13): stores adopted into DEFAULT query
+    results live under a per-user 0700 directory — a predictable
+    world-writable /tmp/{name} let any local user pre-plant an
+    adoptable store into t09/t11/t12/t16/t45 results. The root is
+    created 0700, a loosened mode is retightened, and a foreign-owned
+    or symlinked entry is refused loudly."""
+    import stat
+    import tempfile
+
+    import pytest
+
+    from mapreduce_google_spark.io import shared_store_path, shared_store_root
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    root = shared_store_root()
+    assert root == str(tmp_path / f"mgs-{os.getuid()}")
+    assert stat.S_IMODE(os.stat(root).st_mode) == 0o700
+    assert shared_store_path("x").startswith(root)
+
+    os.chmod(root, 0o777)  # a loosened legacy root is retightened
+    shared_store_root()
+    assert stat.S_IMODE(os.stat(root).st_mode) == 0o700
+
+    if os.getuid() == 0:  # foreign-owned root → refused
+        os.chown(root, 12345, 12345)
+        try:
+            with pytest.raises(RuntimeError, match="owned by uid 12345"):
+                shared_store_root()
+        finally:
+            os.chown(root, 0, 0)
+
+    os.rmdir(root)  # a symlink planted at the root path → refused
+    os.symlink(str(tmp_path), root)
+    with pytest.raises(RuntimeError, match="not a directory"):
+        shared_store_root()
+
+
+def test_adopt_refuses_foreign_owned_store(spark, tmp_path):
+    """adopt_or_build_bucketed_table never adopts a store directory
+    owned by another uid (ADVICE r13): even with a valid sidecar and
+    bucket-stamped files, a foreign-owned directory is cleared and
+    rebuilt, not trusted into query results."""
+    import pytest
+
+    if os.getuid() != 0:
+        pytest.skip("needs root to chown the planted store")
+
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        bucket_table_suffix,
+    )
+
+    df = spark.range(30).selectExpr("id", "id % 4 AS k")
+    base = str(tmp_path / "owned")
+    path = base + bucket_table_suffix(4, ["k"])
+    name = adopt_or_build_bucketed_table(
+        spark, "mgs_test_foreign_uid", base, ["k"], 4, lambda: df
+    )
+    spark.sql(f"DROP TABLE {name}")  # fresh-session analog
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/part-*")}
+    os.chown(path, 12345, 12345)  # files stay root-owned; dir uid flips
+    assert (
+        adopt_or_build_bucketed_table(
+            spark, "mgs_test_foreign_uid", base, ["k"], 4, lambda: df
+        )
+        == name
+    )
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/part-*")}
+    assert after != before, "foreign-owned store was adopted, not rebuilt"
+    assert os.stat(path).st_uid == 0
+    assert spark.table(name).count() == 30
+    spark.sql(f"DROP TABLE {name}")

@@ -34,6 +34,12 @@ _SPECS = [
     (4, ["k"]),
     (4, ["k", "v"]),
     (2, ["v"]),
+    # a bucket COLUMN whose name itself matches the retired-scheme
+    # ``_k\d`` shape (VERDICT r13 item 6): the sweep's sibling regex
+    # anchors on the LAST ``_k<digits>`` of the CURRENT store's name, so
+    # a live sidecar-bearing store like ``st_k2_f_k2_<hash>`` must never
+    # be mistaken for a retired-scheme sibling and swept
+    (2, ["f_k2"]),
 ]
 
 #: per-step action: build spec i, or plant junk of a given flavor
@@ -67,7 +73,9 @@ def test_adopt_build_sequences_never_misroute_or_delete_live(
 
     tmp = tmp_path_factory.mktemp("storefuzz")
     base = str(tmp / "st")
-    df = spark.range(40).selectExpr("id", "id % 7 AS k", "id % 3 AS v")
+    df = spark.range(40).selectExpr(
+        "id", "id % 7 AS k", "id % 3 AS v", "id % 4 AS f_k2"
+    )
     built: dict[int, tuple[str, dict]] = {}  # spec idx -> (name, mtimes)
 
     def mtimes(path: str) -> dict:

@@ -23,7 +23,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from mapreduce_google_spark.io import bucketed_fact_table, cache_tag  # noqa: E402
+from mapreduce_google_spark.io import (  # noqa: E402
+    bucketed_fact_table,
+    cache_tag,
+    shared_store_path,
+)
 from mapreduce_google_spark.operators.relational import revenue_rollup  # noqa: E402
 from mapreduce_google_spark.session import get_spark  # noqa: E402
 
@@ -31,7 +35,7 @@ from mapreduce_google_spark.session import get_spark  # noqa: E402
 def _drop_stores(spark, sf_dir: str) -> None:
     for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tag = cache_tag(sf_dir, table)
-        base = f"/tmp/mgs_fact_{table}_{key}_{tag}"
+        base = shared_store_path(f"mgs_fact_{table}_{key}_{tag}")
         for d in glob.glob(base + "_k*"):
             shutil.rmtree(d, ignore_errors=True)
     for t in spark.catalog.listTables():
