@@ -7288,6 +7288,37 @@ def _correctness_last_checked() -> dict[str, int]:
     return last
 
 
+#: Queries whose DEFAULT builder implementation changed in the mapped
+#: round — the driver-evidence re-prove hook (VERDICT r13 missing #1).
+#: ``_compose_driver_window`` keys evidence debt on last-GREEN round
+#: alone, so a query whose implementation changed could otherwise coast
+#: on a green earned by the OLD code for up to the full staleness
+#: budget. An entry here is slotted into the window right after the
+#: never-checked tier until the committed history shows a green from a
+#: round >= the mapped round (the first driver run that exercised the
+#: new code); it then clears automatically. Discipline is enforced two
+#: ways in tests/test_registry_contract.py: ``test_reprove_clears``
+#: fails by name if an entry survives a full driver round unproven, and
+#: ``test_builder_fingerprints_pin_reprove`` fails if any registered
+#: builder's implementation fingerprint (tools/reprove.py) changed
+#: without a matching entry here. Rows-only specs (e.g. t25) are
+#: covered by their oracle-bearing invariant twins — the window cannot
+#: buy them a hash row, so listing them here would waste a slot.
+REPROVE: dict[str, int] = {
+    # r13 moved these defaults onto bucketed-store / GEMM / adaptive
+    # paths; only the t09 canary banked an r13 driver green on the new
+    # code (VERDICT r13).
+    "t11_top_orders_per_customer": 13,
+    "t12_revenue_rollup": 13,
+    "t16_session_window": 13,
+    "t45_event_pairs_within_minute": 13,
+    # r14 added per-batch partial top-k to the GEMM kernel and touched
+    # the as-of dispatcher's fallback contract.
+    "t18_cosine_topk": 14,
+    "t33_asof_latest_order": 14,
+}
+
+
 def _compose_driver_window() -> tuple[str, ...]:
     """Derive the round's first-50 driver window from the committed
     correctness history — SELF-ROTATING, never hand-maintained (the r7/r8
@@ -7299,6 +7330,9 @@ def _compose_driver_window() -> tuple[str, ...]:
       * 3 fixed canaries first (:data:`WINDOW_CANARIES`);
       * never-driver-checked oracle-bearing entries next, registration
         order (evidence debt beats staleness);
+      * then :data:`REPROVE` entries whose last green predates their
+        implementation change, registration order (a changed default
+        must never coast on a stale green — VERDICT r13);
       * then the stalest oracle-bearing entries by union last-checked
         round, ties broken by registration order, until the window holds
         :data:`WINDOW_SIZE`;
@@ -7320,11 +7354,18 @@ def _compose_driver_window() -> tuple[str, ...]:
         and n not in WINDOW_CANARIES
     ]
     never = [n for n in oracle_bearing if n not in last]
+    reprove = [
+        n
+        for n in oracle_bearing
+        if n in last and last[n] < REPROVE.get(n, 0)
+    ]
     stale = sorted(
-        (n for n in oracle_bearing if n in last),
+        (n for n in oracle_bearing if n in last and n not in set(reprove)),
         key=lambda n: (last[n], order[n]),
     )
-    return tuple((list(WINDOW_CANARIES) + never + stale)[:WINDOW_SIZE])
+    return tuple(
+        (list(WINDOW_CANARIES) + never + reprove + stale)[:WINDOW_SIZE]
+    )
 
 
 #: first-50 window, in the order the driver will check them — computed at

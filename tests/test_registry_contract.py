@@ -6,7 +6,7 @@ from __future__ import annotations
 import re
 
 from mapreduce_google_spark.io import TABLES
-from mapreduce_google_spark.queries import REGISTRY
+from mapreduce_google_spark.queries import REGISTRY, REPROVE
 
 
 def _tracked_correctness_files(repo: str) -> list[str]:
@@ -236,9 +236,20 @@ def test_window_is_policy_output():
             "never-checked entries left outside while checked entries "
             "hold window slots"
         )
+    # the re-prove tier (r14): an entry whose implementation changed
+    # after its last green outranks staleness — rederive it here from
+    # the raw history + the declared REPROVE map and exempt it from the
+    # stalest-first comparison below
+    uncleared = {
+        n for n in eligible if n in last and last[n] < REPROVE.get(n, 0)
+    }
+    assert uncleared <= set(inside), (
+        "uncleared REPROVE entries left outside the window: "
+        f"{sorted(uncleared - set(inside))}"
+    )
     # stalest-first: every checked entry inside must be at least as
-    # stale as every checked entry left outside
-    checked_in = [last[n] for n in inside if n in last]
+    # stale as every checked entry left outside (re-prove tier exempt)
+    checked_in = [last[n] for n in inside if n in last and n not in uncleared]
     checked_out = [last[n] for n in outside if n in last]
     if checked_in and checked_out:
         assert max(checked_in) <= min(checked_out), (
@@ -538,3 +549,120 @@ def test_bench_inlines_latest_host_reference():
         got["prev_tip_total_on_that_host"] == ref["prev_tip_total_on_this_host"]
     )
     assert got["prev_tip_commit"] == ref["prev_tip_commit"]
+
+
+def test_reprove_clears_within_one_round():
+    """The REPROVE re-prove hook (VERDICT r13 missing #1): an entry
+    whose default implementation changed must earn a driver green from
+    a round >= the change round within ONE driver round of the change
+    becoming windowable — it is slotted right after the never-checked
+    tier, so surviving a full round unproven means the window composer,
+    the driver, or the query itself is broken, and this test names it.
+    Also pins the map's hygiene: only active oracle-bearing entries
+    (rows-only specs can never earn the hash row a REPROVE slot exists
+    to buy), rounds within the history's horizon."""
+    import os
+
+    from mapreduce_google_spark.queries import DRIVER_WINDOW
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    rounds = [0]
+    for f in _tracked_correctness_files(root):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(rnd)
+        for name in _green_names(f):
+            last[name] = max(last.get(name, 0), rnd)
+    max_round = max(rounds)
+
+    for name, rnd in REPROVE.items():
+        spec = REGISTRY.get(name)
+        assert spec is not None, f"REPROVE names unknown entry {name}"
+        assert spec.oracle is not None and not spec.retired, (
+            f"REPROVE entry {name} is rows-only or retired — a window "
+            "slot cannot buy it a hash row; re-prove its invariant twin"
+        )
+        assert 1 <= rnd <= max_round + 1, (name, rnd, max_round)
+        if last.get(name, 0) < rnd:  # uncleared → must hold a slot NOW
+            assert name in DRIVER_WINDOW, (
+                f"uncleared REPROVE entry {name} missing from the window"
+            )
+        if max_round >= rnd + 1:  # a full driver round has passed
+            assert last.get(name, 0) >= rnd, (
+                f"REPROVE entry {name} (changed r{rnd}) survived the "
+                f"r{rnd + 1} driver round without a green on the new "
+                "implementation — investigate before it coasts further"
+            )
+
+
+def test_builder_fingerprints_pin_reprove():
+    """Any diff that changes a registered builder's implementation must
+    repopulate REPROVE (VERDICT r13 missing #1): every active
+    oracle-bearing entry's implementation-closure fingerprint
+    (tools/reprove.py — builder source + transitively referenced
+    package functions/classes + dispatch constants + oracle SQL) must
+    match the committed pin in tools/builder_fingerprints.json.
+    Refreshing a pin goes through `python tools/reprove.py --pin NAME`,
+    which refuses to overwrite a changed pin unless queries.REPROVE
+    schedules the entry for the upcoming driver round — so the only
+    green path from 'edited a builder' to 'suite passes' runs through a
+    REPROVE entry (or an explicit, ledger-diff-visible --force)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import reprove
+    finally:
+        sys.path.pop(0)
+
+    ledger = reprove.load_ledger()
+    active = reprove.active_specs()
+    assert set(ledger) == set(active), (
+        "fingerprint ledger out of sync with the active registry — run "
+        f"python tools/reprove.py --pin-all; missing="
+        f"{sorted(set(active) - set(ledger))[:5]} stale="
+        f"{sorted(set(ledger) - set(active))[:5]}"
+    )
+    drifted = reprove.drift()
+    assert not drifted, (
+        "builder implementations changed without refreshing their pins "
+        "(add the entry to queries.REPROVE for the upcoming round, then "
+        "python tools/reprove.py --pin "
+        f"{','.join(sorted(drifted))})"
+    )
+
+
+def test_builder_fingerprint_closure_is_deep():
+    """The fingerprint is only as good as its closure resolution: pin
+    that t33's fingerprint covers the dispatcher, BOTH dispatch targets,
+    the transitive _parquet_rows helper, and the crossover constant —
+    i.e. that an edit to any of them drifts the pin. (A regression here
+    would quietly shrink every fingerprint's coverage.)"""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import reprove
+    finally:
+        sys.path.pop(0)
+
+    parts = reprove.fingerprint_parts(REGISTRY["t33_asof_latest_order"])
+    rel = "mapreduce_google_spark.operators.relational"
+    for key in (
+        f"{rel}.asof_latest_order",
+        f"{rel}.asof_latest_order_pandas",
+        f"{rel}._parquet_rows",
+        "const ASOF_UNION_MERGE_MAX_ROWS",
+        "__oracle__",
+    ):
+        assert key in parts, (key, sorted(parts)[:20])
+    # determinism: two computations agree (repr-fallback objects with
+    # memory addresses in their repr would break pinning)
+    spec = REGISTRY["t33_asof_latest_order"]
+    assert reprove.builder_fingerprint(spec) == reprove.builder_fingerprint(
+        spec
+    )

@@ -1,0 +1,253 @@
+"""Builder implementation fingerprints — the enforcement arm of the
+``queries.REPROVE`` re-prove discipline (VERDICT r13 missing #1).
+
+The driver window composer keys evidence debt on last-GREEN round, so a
+query whose DEFAULT implementation changed could otherwise coast on a
+green earned by the OLD code for the full 5-round staleness budget.
+``REPROVE`` is the declared fix; this module makes forgetting it a
+named test failure: every active oracle-bearing registry entry has a
+pinned implementation fingerprint in ``tools/builder_fingerprints.json``
+and ``tests/test_registry_contract.py::test_builder_fingerprints_pin_reprove``
+fails any entry whose live fingerprint differs from its pin without a
+REPROVE entry scheduled for the upcoming driver round.
+
+A fingerprint is the md5 over:
+
+* the builder callable's own source;
+* the source of every function/class it references, transitively,
+  restricted to the ``mapreduce_google_spark`` package (names are
+  resolved through the referencing function's globals, through
+  referenced package modules' attributes, through default-argument
+  values and through closure cells — the registration patterns the
+  registry actually uses);
+* the repr of every module-level plain-data constant those functions
+  read (dispatch thresholds like ``ASOF_UNION_MERGE_MAX_ROWS`` change
+  the default path without touching any function body);
+* the entry's oracle SQL (an oracle edit changes what "green" means).
+
+Limitations, by design: methods resolved off instances at runtime and
+data-driven dispatch through dicts of callables are invisible — the
+registry's builders are plain functions/lambdas over module-level
+operator functions, and the pin exists to catch the common case, not to
+be a bytecode verifier.
+
+CLI::
+
+    python tools/reprove.py --check           # exit 1 + diff on drift
+    python tools/reprove.py --pin t33_asof_latest_order,t18_cosine_topk
+    python tools/reprove.py --pin-all         # (re)write every pin
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import sys
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # runnable from any cwd, like driver_sim.py
+    sys.path.insert(0, REPO)
+LEDGER = os.path.join(REPO, "tools", "builder_fingerprints.json")
+PKG = "mapreduce_google_spark"
+
+_PLAIN = (int, float, str, bool, bytes, tuple, list, dict, set, frozenset)
+
+
+def _in_pkg(obj: object) -> bool:
+    mod = getattr(obj, "__module__", None)
+    return isinstance(mod, str) and mod.split(".")[0] == PKG
+
+
+def _iter_codes(code: types.CodeType):
+    yield code
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            yield from _iter_codes(c)
+
+
+def _referenced(fn: types.FunctionType) -> list[tuple[str, object]]:
+    """(name, object) pairs a function references: global names (from
+    its code object and every nested lambda/comprehension), names
+    resolved as attributes of referenced package modules, callable
+    default-argument values, and closure-cell contents."""
+    g = getattr(fn, "__globals__", {})
+    names: set[str] = set()
+    for code in _iter_codes(fn.__code__):
+        names.update(code.co_names)
+    direct = {n: g[n] for n in names if n in g}
+    pkg_mods = [
+        v
+        for v in direct.values()
+        if isinstance(v, types.ModuleType) and v.__name__.split(".")[0] == PKG
+    ]
+    out: list[tuple[str, object]] = list(direct.items())
+    for n in sorted(names - set(direct)):
+        for m in pkg_mods:  # attribute calls: rel_ops.revenue_rollup(...)
+            if hasattr(m, n):
+                out.append((f"{m.__name__}.{n}", getattr(m, n)))
+                break
+    for d in fn.__defaults__ or ():
+        if callable(d):
+            out.append((getattr(d, "__qualname__", "default"), d))
+    for cell in fn.__closure__ or ():
+        try:
+            v = cell.cell_contents
+        except ValueError:  # pragma: no cover - still-building cell
+            continue
+        if callable(v):
+            out.append((getattr(v, "__qualname__", "cell"), v))
+    return out
+
+
+def _source_of(obj: object) -> str:
+    try:
+        return inspect.getsource(obj)
+    except (OSError, TypeError):  # builtins, C extensions
+        return repr(obj)
+
+
+def builder_fingerprint(spec) -> str:
+    """md5 hex of the spec's resolved implementation closure (module
+    docstring above defines the closure)."""
+    parts = fingerprint_parts(spec)
+    blob = "\x00".join(f"{k}\x01{v}" for k, v in sorted(parts.items()))
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def fingerprint_parts(spec) -> dict[str, str]:
+    """The labelled sources/constants feeding the fingerprint — exposed
+    so tests can pin WHAT the closure resolution finds (e.g. that t33's
+    fingerprint covers the transitive ``_parquet_rows`` helper and the
+    ``ASOF_UNION_MERGE_MAX_ROWS`` dispatch threshold), which is the
+    property that makes a drift test meaningful."""
+    parts: dict[str, str] = {"__oracle__": spec.oracle or ""}
+    stack: list[types.FunctionType] = [spec.builder]
+    seen: set[int] = set()
+    while stack:
+        fn = stack.pop()
+        if id(fn) in seen or not isinstance(fn, types.FunctionType):
+            continue
+        seen.add(id(fn))
+        key = f"{getattr(fn, '__module__', '?')}.{fn.__qualname__}"
+        parts[key] = _source_of(fn)
+        for name, obj in _referenced(fn):
+            if isinstance(obj, types.FunctionType) and _in_pkg(obj):
+                stack.append(obj)
+            elif isinstance(obj, type) and _in_pkg(obj):
+                parts[f"class {obj.__module__}.{obj.__qualname__}"] = (
+                    _source_of(obj)
+                )
+            elif isinstance(obj, _PLAIN) or obj is None:
+                parts[f"const {name}"] = repr(obj)
+    return parts
+
+
+def active_specs() -> dict[str, object]:
+    """The fingerprint-pinned population: active oracle-bearing entries
+    (rows-only specs never earn a hash row, so a stale pin cannot hide
+    evidence debt for them; their invariant twins are pinned)."""
+    from mapreduce_google_spark.queries import REGISTRY
+
+    return {
+        n: s
+        for n, s in REGISTRY.items()
+        if s.oracle is not None and not s.retired
+    }
+
+
+def load_ledger() -> dict[str, str]:
+    try:
+        with open(LEDGER) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def drift() -> dict[str, tuple[str | None, str]]:
+    """name -> (pinned_or_None, live) for every active entry whose live
+    fingerprint differs from its pin (or that has no pin)."""
+    ledger = load_ledger()
+    out: dict[str, tuple[str | None, str]] = {}
+    for n, s in active_specs().items():
+        live = builder_fingerprint(s)
+        if ledger.get(n) != live:
+            out[n] = (ledger.get(n), live)
+    return out
+
+
+def upcoming_round() -> int:
+    """The round the NEXT committed CORRECTNESS artifact will carry —
+    max committed round + 1 (the round currently being built)."""
+    import re
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "ls-files", "--", "CORRECTNESS_r*.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    rounds = [int(m.group(1)) for m in re.finditer(r"r(\d+)", out.stdout)]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def pin(names: list[str] | None = None, force: bool = False) -> None:
+    """Refresh pins. Overwriting an EXISTING different pin is refused
+    unless the entry is scheduled in ``queries.REPROVE`` for the
+    upcoming driver round — re-pinning is how an implementation change
+    becomes invisible, so the tool is where the discipline bites.
+    ``force`` bypasses for provably-cosmetic edits (the committed ledger
+    diff still records that the bypass happened)."""
+    from mapreduce_google_spark.queries import REPROVE
+
+    ledger = load_ledger()
+    specs = active_specs()
+    targets = names if names is not None else sorted(specs)
+    nxt = upcoming_round()
+    for n in targets:
+        if n not in specs:
+            raise SystemExit(f"not an active oracle-bearing entry: {n}")
+        live = builder_fingerprint(specs[n])
+        old = ledger.get(n)
+        if old is not None and old != live and not force:
+            if REPROVE.get(n, 0) < nxt:
+                raise SystemExit(
+                    f"{n}: implementation fingerprint changed but "
+                    f"queries.REPROVE does not schedule it for the "
+                    f"upcoming round r{nxt} — add REPROVE[{n!r}] = {nxt} "
+                    "first (or --force for a provably cosmetic edit)"
+                )
+        ledger[n] = live
+    ledger = {n: ledger[n] for n in sorted(ledger) if n in specs}
+    with open(LEDGER, "w") as fh:
+        json.dump(ledger, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def main(argv: list[str]) -> int:
+    if argv[:1] == ["--check"]:
+        d = drift()
+        for n, (pinned, live) in sorted(d.items()):
+            print(f"DRIFT {n}: pinned={pinned} live={live}")
+        print(f"{len(d)} drifted of {len(active_specs())} active entries")
+        return 1 if d else 0
+    force = "--force" in argv
+    argv = [a for a in argv if a != "--force"]
+    if argv[:1] == ["--pin-all"]:
+        pin(None, force=force)
+        print(f"pinned {len(active_specs())} entries -> {LEDGER}")
+        return 0
+    if argv[:1] == ["--pin"] and len(argv) == 2:
+        names = [n for n in argv[1].split(",") if n]
+        pin(names, force=force)
+        print(f"pinned {len(names)} entries -> {LEDGER}")
+        return 0
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
