@@ -173,18 +173,18 @@ def main() -> int:
                 len(exact_pairs & approx_pairs) / len(exact_pairs), 3
             )
 
-    print(
-        json.dumps(
+    # FIELD ORDER IS LOAD-BEARING (VERDICT r13 item 5): the driver
+    # records only the TAIL of stdout, so BENCH_r13.json lost the
+    # per-query medians and the judge had to reconstruct them from the
+    # ABBA artifact. The verbose provenance fields print FIRST so a
+    # truncated tail always still carries queries/value/metric at the
+    # end; the COMPLETE payload is additionally written to
+    # BENCH_full_latest.json (committed per round) so nothing depends
+    # on the tail at all.
+    payload = (
             {
-                "metric": f"total wall-clock of {len(timings)} headline queries"
-                f" (median of {n_reps} runs each)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread_min_max": spread,
-                "warmup_s": warmup,
-                "n_reps": n_reps,
                 "sf": sf_of(SF_DIR),
+                "n_reps": n_reps,
                 "text_corpus_mb": round(text_mb, 3),
                 "t01_text_mb_per_s": text_mb_per_s,
                 "baseline_floor_mb_per_s": 0.5,
@@ -223,12 +223,29 @@ def main() -> int:
                 # back-to-back on ONE host — read this next to the raw
                 # total to separate code delta from host drift
                 "host_reference": _latest_host_reference(),
+                # tail-critical fields LAST (see comment above payload)
+                "spread_min_max": spread,
+                "warmup_s": warmup,
+                "queries": timings,
                 "value_r5_comparable": round(
                     total - timings.get("t25_ivf_topk", 0.0), 3
                 ),
+                "value": total,
+                "unit": "sec",
+                "metric": f"total wall-clock of {len(timings)} headline queries"
+                f" (median of {n_reps} runs each)",
             }
-        )
     )
+    full = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
+    )
+    try:
+        with open(full, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout — stdout still carries everything
+    print(json.dumps(payload))
     spark.stop()
     return 0
 

@@ -666,3 +666,33 @@ def test_builder_fingerprint_closure_is_deep():
     assert reprove.builder_fingerprint(spec) == reprove.builder_fingerprint(
         spec
     )
+
+
+def test_bench_payload_survives_stdout_tail_truncation():
+    """VERDICT r13 item 5: the driver records only the last ~2000 chars
+    of bench stdout, and BENCH_r13.json lost the per-query medians
+    (only spread survived). Pin the structural fix without running the
+    bench: in bench.py's payload literal the tail-critical keys
+    (queries/value/metric) are declared AFTER the verbose provenance
+    fields (spread/warmup/host_reference), and the full payload is also
+    written to BENCH_full_latest.json."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "bench.py")) as fh:
+        src = fh.read()
+    assert "BENCH_full_latest.json" in src
+    start = src.find("payload = (")  # skip the docstring's example JSON
+    assert start != -1, "bench.py payload literal not found"
+
+    def pos(key: str) -> int:
+        i = src.find(f'"{key}":', start)
+        assert i != -1, f"bench payload lost field {key}"
+        return i
+
+    for verbose in ("spread_min_max", "warmup_s", "host_reference"):
+        for critical in ("queries", "value", "metric"):
+            assert pos(verbose) < pos(critical), (
+                f"tail-critical '{critical}' prints before verbose "
+                f"'{verbose}' — a truncated stdout tail would lose it"
+            )
