@@ -259,7 +259,7 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame,
+    docs: DataFrame | None,
     n: int = 3,
     num_hashes: int = 32,
     shingle_arrays: DataFrame | None = None,
@@ -480,13 +480,60 @@ def minhash_band_table(
     name = f"mgs_lsh_bands_{tag}_n{n}_h{num_hashes}_b{bands}_df{max_df}"
 
     def build():
-        docs = load_table(spark, sf_dir, "documents")
-        sets = _doc_shingle_arrays(docs, n, max_df=max_df)
-        sig = minhash_signatures(docs, n, num_hashes, shingle_arrays=sets)
+        # signatures come from the durable shingle store (r14): the
+        # tokenize + n-gram pass — the expensive expression — then runs
+        # ONCE per corpus version across BOTH LSH assets instead of once
+        # per asset (the store also serves the verify stage directly)
+        sets = spark.table(shingle_store_table(spark, sf_dir, n, max_df))
+        sig = minhash_signatures(None, n, num_hashes, shingle_arrays=sets)
         return _band_buckets(sig, num_hashes, bands)
 
     return adopt_or_build_bucketed_table(
         spark, name, shared_store_path(name), ["band", "bucket"], num_buckets, build
+    )
+
+
+def shingle_store_table(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    max_df: int | None = None,
+    num_buckets: int = 32,
+) -> str:
+    """Materialize per-document shingle ARRAYS as a doc_id-bucketed
+    parquet table, keyed by the corpus fingerprint (``io.cache_tag``) —
+    the second durable asset of the LSH pipeline next to the band table
+    (r14, VERDICT r13 item 4).
+
+    The from-bands verify stage previously re-read and re-TOKENIZED
+    every candidate document per run: tokenize + n-gram assembly is the
+    most expensive expression in the dedup family, and on a steady-state
+    corpus it was being paid on every near-dup pass even though the
+    band table had already amortized the signature pass. This store
+    pays it once per corpus version; every verify join then reads cheap
+    parquet arrays, and bucketing on doc_id co-locates the candidate →
+    shingle joins the same way (band, bucket) co-locates the candidate
+    self-join.
+
+    Identity includes (n, max_df) because a ``max_df``-capped shingle
+    set is a function of the WHOLE corpus (the stop-set), not just the
+    document — two parameterizations can never share files.
+    """
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        cache_tag,
+        shared_store_path,
+    )
+
+    tag = cache_tag(sf_dir, "documents")
+    name = f"mgs_shingles_{tag}_n{n}_df{max_df}"
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return _doc_shingle_arrays(docs, n, max_df=max_df)
+
+    return adopt_or_build_bucketed_table(
+        spark, name, shared_store_path(name), ["doc_id"], num_buckets, build
     )
 
 
@@ -499,6 +546,7 @@ def minhash_lsh_pairs_from_bands(
     threshold: float = 0.5,
     max_df: int | None = None,
     max_bucket: int | None = 1000,
+    use_shingle_store: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs from the MATERIALIZED band table —
     semantically identical to :func:`minhash_lsh_pairs` (equality pinned
@@ -549,10 +597,18 @@ def minhash_lsh_pairs_from_bands(
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    docs = load_table(spark, sf_dir, "documents").join(
-        cand_ids, "doc_id", "left_semi"
-    )
-    sets = _doc_shingle_arrays(docs, n, max_df=max_df)
+    if use_shingle_store:
+        # steady-state verify (r14): shingle arrays come from the
+        # doc_id-bucketed store — one tokenize pass per corpus version —
+        # instead of re-tokenizing every candidate document per run
+        sets = spark.table(shingle_store_table(spark, sf_dir, n, max_df)).join(
+            cand_ids, "doc_id", "left_semi"
+        )
+    else:
+        docs = load_table(spark, sf_dir, "documents").join(
+            cand_ids, "doc_id", "left_semi"
+        )
+        sets = _doc_shingle_arrays(docs, n, max_df=max_df)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -671,6 +671,73 @@ def asof_latest_order_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def asof_latest_order_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33 semantics from the BUCKETED FACT STORES — the zero-exchange
+    as-of join (r14 shootout candidate, VERDICT r13 item 4).
+
+    Both facts come from :func:`io.bucketed_fact_table` copies already
+    built for their join families (orders by o_custkey for t09/t11,
+    events by user_id for t16/t45), bucketed with EQUAL bucket counts —
+    so the equi-join on user_id = o_custkey is co-partitioned on both
+    sides and runs with ZERO exchange of either fact. Order history is
+    first collapsed per customer into ONE sorted array (groupBy on the
+    bucket column: exchange-free too), then each event picks the last
+    array element with t ≤ event time — a per-row JVM expression, no
+    window sort over |events|+|orders| rows and no Python stage.
+
+    Tie-break parity with the union-merge/cogroup forms: the history is
+    sorted ascending by (t, o_orderkey), so the LAST qualifying element
+    is the max (date, orderkey) — the same lexicographic struct-max the
+    oracle's row_number computes. ``try_element_at`` (not element_at)
+    keeps ANSI mode happy when no order precedes the event.
+
+    Cost model: per-event work is O(per-customer history) rather than
+    the union-merge's global n·log n sort or the cogroup's Python
+    per-batch overhead — on TPC-H-shaped data (≈10 orders/customer) the
+    array scan is trivially cheap and the plan's only exchange is the
+    events-side NONE (both sides co-located). A pathological customer
+    with a 10^8-order history would make one fat array row — the
+    cogroup form shares that exact failure mode (one pandas frame per
+    group); for such skew, salt the history into date-range sub-arrays.
+    """
+    from mapreduce_google_spark.io import bucketed_fact_table
+
+    orders = spark.table(bucketed_fact_table(spark, sf_dir, "orders", "o_custkey"))
+    events = spark.table(bucketed_fact_table(spark, sf_dir, "events", "user_id"))
+    hist = orders.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+                    F.col("o_orderkey"),
+                    F.col("o_orderdate"),
+                )
+            )
+        ).alias("hist")
+    )
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_ev"),
+    )
+    best = F.try_element_at(
+        F.filter("hist", lambda o: o["t"] <= F.col("t_ev")), F.lit(-1)
+    )
+    return (
+        ev.join(hist, ev.user_id == hist.o_custkey)
+        .select(
+            "event_id",
+            "user_id",
+            best.getField("o_orderkey").alias("o_orderkey"),
+            F.date_format(best.getField("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "order_ts"
+            ),
+        )
+        .where(F.col("o_orderkey").isNotNull())
+        .orderBy("event_id")
+    )
+
+
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T52 — keep-latest-per-key dedup: each customer's most recent order.
 

@@ -104,6 +104,38 @@ def test_t33_dispatches_to_cogroup_above_crossover(spark, sf_dir, monkeypatch):
     assert "FlatMapCoGroupsInPandas" in forced, forced
 
 
+def test_t33_stores_form_equal_and_coloc(spark, sf_dir):
+    """The bucketed-stores as-of form (r14): result-identical to the
+    union-merge reference, and its fact-fact join is CO-PARTITIONED —
+    both stores are bucketed on their join key with equal counts, so a
+    merge-hinted build of the same join shape shows SortMergeJoin with
+    zero Exchange (at test scale AQE would broadcast the tiny history
+    side, hiding the property this form exists for)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.io import bucketed_fact_table
+    from mapreduce_google_spark.operators.relational import (
+        asof_latest_order,
+        asof_latest_order_stores,
+    )
+
+    ref = [
+        tuple(r)
+        for r in asof_latest_order(spark, sf_dir, form="union_merge").collect()
+    ]
+    got = [tuple(r) for r in asof_latest_order_stores(spark, sf_dir).collect()]
+    assert got == ref and len(ref) > 0
+
+    orders = spark.table(bucketed_fact_table(spark, sf_dir, "orders", "o_custkey"))
+    events = spark.table(bucketed_fact_table(spark, sf_dir, "events", "user_id"))
+    hist = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n")
+    )
+    j = events.join(hist.hint("merge"), events.user_id == hist.o_custkey)
+    plan = formatted_plan(j)
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+
+
 def test_t11_window_reads_store_above_crossover(spark, sf_dir, monkeypatch):
     """t11's window dispatches to the custkey-bucketed store above the
     measured row-count crossover: the bucketed scan must appear and the

@@ -22,6 +22,7 @@ from mapreduce_google_spark.operators.events import (  # noqa: E402
 from mapreduce_google_spark.operators.relational import (  # noqa: E402
     asof_latest_order,
     asof_latest_order_pandas,
+    asof_latest_order_stores,
 )
 from mapreduce_google_spark.session import get_spark  # noqa: E402
 
@@ -29,7 +30,13 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 N_REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
 IMPLS = {
-    "t33_asof_union_merge": asof_latest_order,
+    # force the union-merge form: the t33 dispatcher would otherwise
+    # route large sf dirs to the cogroup path and the shootout would
+    # time the dispatcher, not the candidate
+    "t33_asof_union_merge": lambda spark, sf: asof_latest_order(
+        spark, sf, form="union_merge"
+    ),
+    "t33_asof_bucketed_stores": asof_latest_order_stores,
     "t50_asof_cogrouped_pandas": asof_latest_order_pandas,
     "t16_session_islands": session_window_stats,
     "t16_session_native": session_window_stats_native,
