@@ -372,15 +372,6 @@ def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: combined (events + orders) row count above which :func:`asof_latest_order`
-#: dispatches to the cogrouped merge_asof form. The measured crossover
-#: (tools/impl_shootout.py, docstrings below) sits between sf0.1
-#: (~270k rows: union-merge 1.47 s vs cogroup 2.37 s) and sf1 (~2.7M
-#: rows: 8.82 s vs 5.42 s); 1M is the geometric midpoint. Overridable
-#: for tests and for corpora whose per-key group sizes defy the default.
-ASOF_UNION_MERGE_MAX_ROWS = 1_000_000
-
-
 def _parquet_rows(sf_dir: str, *tables: str) -> int | None:
     """Combined row count from parquet FOOTER metadata — a driver-side
     file-metadata read (the same cost class as schema inference), never
@@ -417,48 +408,39 @@ def asof_latest_order(
     """T33 — as-of join: for each event, the most recent order of the same
     customer with o_orderdate ≤ event time.
 
-    SIZE-ADAPTIVE (r13): ``form=None`` reads the combined input row
-    count from parquet footers (:func:`_parquet_rows` — metadata only,
-    no job) and dispatches to the cogrouped ``merge_asof`` form
-    (:func:`asof_latest_order_pandas`, t50's hash-equal twin) above
-    :data:`ASOF_UNION_MERGE_MAX_ROWS` — the measured crossover where
-    the union-merge's global per-customer n·log n sort overtakes the
-    fixed 64-bucket merge cost. ``form="union_merge"``/``"cogroup"``
-    forces a path (tests pin both equal on boundary corpora in
-    tests/test_property_fuzz.py). The engine picking the physical
-    strategy from measured crossovers is exactly what the 100 TB
-    deployment needs to not hand-tune per corpus.
+    DEFAULT = the bucketed-stores form (r14,
+    :func:`asof_latest_order_stores`): both facts read from their
+    :func:`io.bucketed_fact_table` copies, join co-partitioned with
+    zero exchange, per-customer history collapsed to one sorted array.
+    The r14 shootout (tools/impl_shootout.py, medians of 5) measured it
+    fastest at EVERY scale — sf0.1: 1.11 s vs 1.32 s union-merge vs
+    2.23 s cogroup; sf1: 2.12 s vs 8.62 s vs 5.45 s — which retired
+    the r13 size dispatcher (``ASOF_UNION_MERGE_MAX_ROWS``): there is
+    no crossover left to dispatch on, the store form dominates both
+    branches. ``form="union_merge"``/``"cogroup"``/``"stores"`` forces
+    a path (tests pin all three equal on boundary corpora).
 
-    Union-merge formulation — the JOIN-FREE as-of: tag orders and events
-    into ONE stream, sort per customer by (time, kind) with order rows
-    before event rows at equal timestamps (≤ semantics), and forward-fill
-    the running last order with ``last(..., ignorenulls)``. One shuffle +
-    sort on the customer key and zero fan-out: the old range-join plan
-    produced a row per (event × earlier-order) pair before its argmax
-    collapsed them — quadratic in orders-per-customer, the cost that
-    explodes first at 100 TB — while this plan's row count is exactly
-    |events| + |orders| at every stage (measured ~30% faster at sf0.1,
-    identical results). Ties among same-timestamp orders resolve to the
-    max orderkey via the ascending sort, matching the argmax the oracle
-    computes. The cogrouped-pandas ``merge_asof`` path (t50) remains the
-    alternative when per-customer history outgrows a sort partition.
-
-    Measured crossover (tools/impl_shootout.py, medians, Arrow
-    materialization): at sf0.1 this form wins — 1.47 s vs t50's 2.37 s
-    (per-batch Python overhead dominates small groups); at sf1 (10×)
-    t50 wins — 5.42 s vs 8.82 s here (the global per-customer sort's
-    n·log n growth overtakes the fixed 64-bucket merge cost). The
-    dispatcher encodes that crossover, so at 100 TB the cogrouped merge
-    ships automatically; this all-JVM form stays the default at the
-    correctness-gate tiers where it is both faster and oracle-minimal.
+    Union-merge formulation — the JOIN-FREE, store-free as-of kept as
+    the forced fallback (a corpus read once with no store budget): tag
+    orders and events into ONE stream, sort per customer by (time,
+    kind) with order rows before event rows at equal timestamps
+    (≤ semantics), and forward-fill the running last order with
+    ``last(..., ignorenulls)``. One shuffle + sort on the customer key
+    and zero fan-out: the old range-join plan produced a row per
+    (event × earlier-order) pair before its argmax collapsed them —
+    quadratic in orders-per-customer — while this plan's row count is
+    exactly |events| + |orders| at every stage. Ties among
+    same-timestamp orders resolve to the max orderkey via the ascending
+    sort, matching the argmax the oracle computes. The cogrouped-pandas
+    ``merge_asof`` path (t50) remains the skew alternative when one
+    customer's full history must stream through ``merge_asof`` rather
+    than materialize as an array element.
     """
-    if form not in (None, "union_merge", "cogroup"):
+    if form not in (None, "stores", "union_merge", "cogroup"):
         raise ValueError(f"unknown as-of form {form!r}")
-    if form == "cogroup" or (
-        form is None
-        and (_parquet_rows(sf_dir, "events", "orders") or 0)
-        > ASOF_UNION_MERGE_MAX_ROWS
-    ):
+    if form in (None, "stores"):
+        return asof_latest_order_stores(spark, sf_dir)
+    if form == "cogroup":
         return asof_latest_order_pandas(spark, sf_dir)
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
@@ -599,15 +581,15 @@ def asof_latest_order_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-max.
 
     The trade: a Python stage and full materialization of each group in
-    memory — so T33's all-JVM aggregate stays the default at the
-    correctness-gate tiers and this is the skew-tolerant, SCALE-
-    RECOMMENDED form (one giant customer costs one big pandas frame,
-    not a shuffled pair explosion). Measured (tools/impl_shootout.py):
-    sf0.1 — 2.37 s here vs t33's 1.47 s (per-batch Python overhead
-    dominates small groups); sf1 — 5.42 s here vs t33's 8.82 s (the
-    union-merge's global per-customer n·log n sort overtakes the fixed
-    64-bucket merge). Crossover between sf0.1 and sf1; at 100 TB this
-    is the form to ship.
+    memory. Since r14 the bucketed-stores form
+    (:func:`asof_latest_order_stores`) is t33's default — it beats this
+    path at every measured scale (sf1: 2.12 s vs 5.45 s here vs 8.62 s
+    union-merge, tools/impl_shootout.py medians of 5) because it ships
+    zero fact exchange and no Python stage. This form remains the
+    SKEW-TOLERANT alternative: ``merge_asof`` streams each bucket's
+    rows, so a single customer with a pathological history costs one
+    pandas frame per 64-way bucket rather than one collect_list array
+    element, and it needs no store build on a corpus read exactly once.
 
     Cogroup key: NOT the raw user (that made one Python call per user —
     ~40 ms of interpreter/Arrow overhead each, 58 s at sf0.1) but a fixed
@@ -673,7 +655,8 @@ def asof_latest_order_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def asof_latest_order_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T33 semantics from the BUCKETED FACT STORES — the zero-exchange
-    as-of join (r14 shootout candidate, VERDICT r13 item 4).
+    as-of join, t33's DEFAULT since r14 (shootout-proven fastest at
+    every measured scale; VERDICT r13 item 4).
 
     Both facts come from :func:`io.bucketed_fact_table` copies already
     built for their join families (orders by o_custkey for t09/t11,
@@ -695,10 +678,15 @@ def asof_latest_order_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the union-merge's global n·log n sort or the cogroup's Python
     per-batch overhead — on TPC-H-shaped data (≈10 orders/customer) the
     array scan is trivially cheap and the plan's only exchange is the
-    events-side NONE (both sides co-located). A pathological customer
-    with a 10^8-order history would make one fat array row — the
-    cogroup form shares that exact failure mode (one pandas frame per
-    group); for such skew, salt the history into date-range sub-arrays.
+    events-side NONE (both sides co-located). Measured
+    (tools/impl_shootout.py, medians of 5): sf0.1 — 1.11 s vs 1.32 s
+    union-merge / 2.23 s cogroup; sf1 — 2.12 s vs 8.62 s / 5.45 s, and
+    the gap WIDENS with scale because this is the only form whose plan
+    ships no fact exchange at all. A pathological customer with a
+    10^8-order history would make one fat array row — the cogroup form
+    shares that exact failure mode (one pandas frame per group); for
+    such skew, salt the history into date-range sub-arrays or force
+    ``form="cogroup"``.
     """
     from mapreduce_google_spark.io import bucketed_fact_table
 

@@ -1333,15 +1333,15 @@ register(
             WHERE rn = 1
             ORDER BY event_id
         """,
-        doc="as-of join via cogrouped applyInPandas merge_asof (skew-tolerant, "
-        "scale-recommended form: beats t33's union-merge 5.42s vs 8.82s at "
-        "sf1; t33 wins below the sf0.1-sf1 crossover)",
-        tags=("relational", "join", "asof", "pandas", "scale-recommended"),
+        doc="as-of join via cogrouped applyInPandas merge_asof (skew-tolerant "
+        "alternative; since r14 the bucketed-stores form is t33's default — "
+        "sf1 shootout: stores 2.12s vs 5.45s here vs 8.62s union-merge)",
+        tags=("relational", "join", "asof", "pandas"),
         retired=True,
         # retired in r8 (registry headroom): driver slot ceded to its twin
         # t33_asof_latest_order — same semantics/oracle; t50 stays the
-        # SCALE-RECOMMENDED builder (sf1 shootout winner) and remains
-        # locally certified via tests (test_queries_oracle, test_scale_smoke
+        # skew-tolerant forced form (form="cogroup") and remains locally
+        # certified via tests (test_queries_oracle, test_scale_smoke
         # kernel bound)
     )
 )

@@ -73,35 +73,45 @@ def test_t38_global_topk_avoids_full_sort(spark, sf_dir):
     assert has_take_ordered(df), formatted_plan(df)
 
 
-def test_t33_asof_is_join_free(spark, sf_dir):
-    """The as-of operator is the union-merge formulation: ONE window over
-    the tagged union, no join of any kind — a range join would fan out a
-    row per (event × earlier-order) pair before collapsing."""
+def test_t33_union_merge_form_is_join_free(spark, sf_dir):
+    """The forced union-merge form is the JOIN-FREE as-of: ONE window
+    over the tagged union — a range join would fan out a row per
+    (event × earlier-order) pair before collapsing. (The r14 DEFAULT is
+    the bucketed-stores join form, covered below; this form stays the
+    store-free fallback and must keep its shape.)"""
     from mapreduce_google_spark.operators.relational import asof_latest_order
 
-    plan = formatted_plan(asof_latest_order(spark, sf_dir))
+    plan = formatted_plan(asof_latest_order(spark, sf_dir, form="union_merge"))
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
     assert "Union" in plan, plan
 
 
-def test_t33_dispatches_to_cogroup_above_crossover(spark, sf_dir, monkeypatch):
-    """The as-of dispatcher must switch to the cogrouped merge_asof form
-    when the footer-metadata row count exceeds the measured crossover —
-    and stay on the all-JVM union-merge below it (r13; both forms are
-    result-equal, pinned in tests/test_property_fuzz.py)."""
+def test_t33_default_reads_stores_and_forms_force(spark, sf_dir):
+    """r14: t33's default is the bucketed-stores form at every size (the
+    shootout measured it fastest at sf0.1 AND sf1, which retired the r13
+    row-count dispatcher). The default plan must read bucketed scans with
+    no Python stage and no window over the tagged union; each forced form
+    must still produce its own shape."""
+    import pytest
+
     import mapreduce_google_spark.operators.relational as rel
 
-    small = formatted_plan(rel.asof_latest_order(spark, sf_dir))
-    assert "FlatMapCoGroupsInPandas" not in small, small
-    assert "Window" in small and "Union" in small, small
+    default = formatted_plan(rel.asof_latest_order(spark, sf_dir))
+    assert "Bucketed: true" in default, default
+    assert "FlatMapCoGroupsInPandas" not in default, default
+    assert "Union" not in default, default
 
-    monkeypatch.setattr(rel, "ASOF_UNION_MERGE_MAX_ROWS", 0)
-    big = formatted_plan(rel.asof_latest_order(spark, sf_dir))
-    assert "FlatMapCoGroupsInPandas" in big, big
+    forced_cg = formatted_plan(rel.asof_latest_order(spark, sf_dir, form="cogroup"))
+    assert "FlatMapCoGroupsInPandas" in forced_cg, forced_cg
 
-    forced = formatted_plan(rel.asof_latest_order(spark, sf_dir, form="cogroup"))
-    assert "FlatMapCoGroupsInPandas" in forced, forced
+    forced_um = formatted_plan(
+        rel.asof_latest_order(spark, sf_dir, form="union_merge")
+    )
+    assert "Union" in forced_um and "Bucketed: true" not in forced_um, forced_um
+
+    with pytest.raises(ValueError, match="unknown as-of form"):
+        rel.asof_latest_order(spark, sf_dir, form="nope")
 
 
 def test_t33_stores_form_equal_and_coloc(spark, sf_dir):

@@ -393,7 +393,15 @@ def test_asof_boundary_fuzz(spark, duck, tmp_path_factory, ev, od):
     orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
     events.to_parquet(d / "events.parquet")
     orders.to_parquet(d / "orders.parquet")
-    got = sorted(tuple(r) for r in asof_latest_order(spark, str(d)).collect())
+    # force the store-free union-merge: the r14 default builds two
+    # bucketed stores per corpus, which per hypothesis example would be
+    # all build cost; the stores form's boundary/tie semantics are
+    # pinned on a handcrafted corpus in test_asof_boundary_parity and
+    # equality-pinned against this form on the real sf dirs
+    got = sorted(
+        tuple(r)
+        for r in asof_latest_order(spark, str(d), form="union_merge").collect()
+    )
     duck.register("fz_ev", events)
     duck.register("fz_od", orders)
     want = sorted(
@@ -568,19 +576,20 @@ def test_t16_native_equals_islands(spark, sf_dir):
 
 
 def test_asof_boundary_parity(spark, tmp_path):
-    """The two as-of engine paths (t33 union-merge, t50 cogrouped
-    merge_asof — t50 is the scale-recommended form, so their tie-break
-    parity is load-bearing) must agree with a brute-force reference on
-    a corpus built entirely of boundary cases: an order EXACTLY at an
-    event timestamp (<= semantics keeps it), two orders on the same
-    date (max orderkey wins), events before any order (dropped),
-    customers with orders but no events, customers with events but no
-    orders, and two events sharing a timestamp."""
+    """ALL THREE as-of engine paths (the r14-default bucketed-stores
+    form, the union-merge fallback, the cogrouped merge_asof skew form)
+    must agree with a brute-force reference on a corpus built entirely
+    of boundary cases: an order EXACTLY at an event timestamp
+    (<= semantics keeps it), two orders on the same date (max orderkey
+    wins), events before any order (dropped), customers with orders but
+    no events, customers with events but no orders, and two events
+    sharing a timestamp."""
     from datetime import datetime
 
     from mapreduce_google_spark.operators.relational import (
         asof_latest_order,
         asof_latest_order_pandas,
+        asof_latest_order_stores,
     )
 
     T = datetime
@@ -627,11 +636,16 @@ def test_asof_boundary_parity(spark, tmp_path):
         if best:
             want[e] = (u, best[1], best[0].strftime("%Y-%m-%d %H:%M:%S"))
 
-    for impl in (asof_latest_order, asof_latest_order_pandas):
+    impls = (
+        asof_latest_order_stores,  # the r14 default
+        lambda s, d: asof_latest_order(s, d, form="union_merge"),
+        asof_latest_order_pandas,
+    )
+    for impl in impls:
         got = {
             r[0]: (r[1], r[2], r[3]) for r in impl(spark, sf).collect()
         }
-        assert got == want, impl.__name__
+        assert got == want, getattr(impl, "__name__", "union_merge")
     assert want == {
         1: (1, 11, "1995-06-01 12:00:00"),
         3: (2, 23, "1995-06-30 00:00:00"),

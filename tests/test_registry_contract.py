@@ -636,10 +636,11 @@ def test_builder_fingerprints_pin_reprove():
 
 def test_builder_fingerprint_closure_is_deep():
     """The fingerprint is only as good as its closure resolution: pin
-    that t33's fingerprint covers the dispatcher, BOTH dispatch targets,
-    the transitive _parquet_rows helper, and the crossover constant —
-    i.e. that an edit to any of them drifts the pin. (A regression here
-    would quietly shrink every fingerprint's coverage.)"""
+    that t33's fingerprint covers the dispatcher, ALL THREE dispatch
+    targets, and (transitively through the stores form) the io-layer
+    store builder — i.e. that an edit to any of them drifts the pin.
+    (A regression here would quietly shrink every fingerprint's
+    coverage.)"""
     import os
     import sys
 
@@ -654,9 +655,9 @@ def test_builder_fingerprint_closure_is_deep():
     rel = "mapreduce_google_spark.operators.relational"
     for key in (
         f"{rel}.asof_latest_order",
+        f"{rel}.asof_latest_order_stores",
         f"{rel}.asof_latest_order_pandas",
-        f"{rel}._parquet_rows",
-        "const ASOF_UNION_MERGE_MAX_ROWS",
+        "mapreduce_google_spark.io.bucketed_fact_table",
         "__oracle__",
     ):
         assert key in parts, (key, sorted(parts)[:20])

@@ -21,7 +21,7 @@ A fingerprint is the md5 over:
   values and through closure cells — the registration patterns the
   registry actually uses);
 * the repr of every module-level plain-data constant those functions
-  read (dispatch thresholds like ``ASOF_UNION_MERGE_MAX_ROWS`` change
+  read (dispatch thresholds like ``TOPK_WINDOW_STORE_MIN_ROWS`` change
   the default path without touching any function body);
 * the entry's oracle SQL (an oracle edit changes what "green" means).
 
@@ -71,8 +71,16 @@ def _iter_codes(code: types.CodeType):
 def _referenced(fn: types.FunctionType) -> list[tuple[str, object]]:
     """(name, object) pairs a function references: global names (from
     its code object and every nested lambda/comprehension), names
-    resolved as attributes of referenced package modules, callable
-    default-argument values, and closure-cell contents."""
+    resolved as attributes of referenced package modules — including
+    modules named by FUNCTION-LOCAL ``from pkg.mod import name``
+    statements (the dotted module path appears in co_names; without
+    chasing it, a builder that imports its store helper inside the
+    function body — the io-layer pattern every store-backed default
+    uses — would keep that helper OUT of its fingerprint, so an io.py
+    edit could change default results without drifting any pin) —
+    callable default-argument values, and closure-cell contents."""
+    import importlib
+
     g = getattr(fn, "__globals__", {})
     names: set[str] = set()
     for code in _iter_codes(fn.__code__):
@@ -83,6 +91,14 @@ def _referenced(fn: types.FunctionType) -> list[tuple[str, object]]:
         for v in direct.values()
         if isinstance(v, types.ModuleType) and v.__name__.split(".")[0] == PKG
     ]
+    for n in sorted(names):
+        # dotted co_names entries are IMPORT_NAME operands of in-body
+        # import statements; only package-internal modules are chased
+        if n.split(".")[0] == PKG:
+            try:
+                pkg_mods.append(importlib.import_module(n))
+            except ImportError:  # pragma: no cover - torn import path
+                continue
     out: list[tuple[str, object]] = list(direct.items())
     for n in sorted(names - set(direct)):
         for m in pkg_mods:  # attribute calls: rel_ops.revenue_rollup(...)
@@ -120,8 +136,8 @@ def builder_fingerprint(spec) -> str:
 def fingerprint_parts(spec) -> dict[str, str]:
     """The labelled sources/constants feeding the fingerprint — exposed
     so tests can pin WHAT the closure resolution finds (e.g. that t33's
-    fingerprint covers the transitive ``_parquet_rows`` helper and the
-    ``ASOF_UNION_MERGE_MAX_ROWS`` dispatch threshold), which is the
+    fingerprint covers all three dispatch targets and the io-layer
+    store builder they transitively reference), which is the
     property that makes a drift test meaningful."""
     parts: dict[str, str] = {"__oracle__": spec.oracle or ""}
     stack: list[types.FunctionType] = [spec.builder]
