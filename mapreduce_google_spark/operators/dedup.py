@@ -480,12 +480,13 @@ def minhash_band_table(
     name = f"mgs_lsh_bands_{tag}_n{n}_h{num_hashes}_b{bands}_df{max_df}"
 
     def build():
-        # signatures come from the durable shingle store (r14): the
-        # tokenize + n-gram pass — the expensive expression — then runs
-        # ONCE per corpus version across BOTH LSH assets instead of once
-        # per asset (the store also serves the verify stage directly)
+        # signatures come from the durable shingle-hash store (r14): the
+        # tokenize + n-gram + hash pass — the expensive expression —
+        # then runs ONCE per corpus version across BOTH LSH assets
+        # instead of once per asset (the store also serves the verify
+        # stage directly)
         sets = spark.table(shingle_store_table(spark, sf_dir, n, max_df))
-        sig = minhash_signatures(None, n, num_hashes, shingle_arrays=sets)
+        sig = _signatures_from_hashes(sets, num_hashes)
         return _band_buckets(sig, num_hashes, bands)
 
     return adopt_or_build_bucketed_table(
@@ -500,20 +501,32 @@ def shingle_store_table(
     max_df: int | None = None,
     num_buckets: int = 32,
 ) -> str:
-    """Materialize per-document shingle ARRAYS as a doc_id-bucketed
-    parquet table, keyed by the corpus fingerprint (``io.cache_tag``) —
-    the second durable asset of the LSH pipeline next to the band table
-    (r14, VERDICT r13 item 4).
+    """Materialize per-document shingle sets as ``(doc_id, xh:
+    array<long>, set_size)`` — sorted distinct ``xxhash64`` values of
+    each doc's word n-grams — in a doc_id-bucketed parquet table keyed
+    by the corpus fingerprint (``io.cache_tag``): the second durable
+    asset of the LSH pipeline next to the band table (r14, VERDICT r13
+    item 4).
 
     The from-bands verify stage previously re-read and re-TOKENIZED
     every candidate document per run: tokenize + n-gram assembly is the
-    most expensive expression in the dedup family, and on a steady-state
-    corpus it was being paid on every near-dup pass even though the
-    band table had already amortized the signature pass. This store
-    pays it once per corpus version; every verify join then reads cheap
-    parquet arrays, and bucketing on doc_id co-locates the candidate →
-    shingle joins the same way (band, bucket) co-locates the candidate
-    self-join.
+    most expensive expression in the dedup family, and on a
+    steady-state corpus it was being paid on every near-dup pass even
+    though the band table had already amortized the signature pass.
+    This store pays it once per corpus version.
+
+    HASHES, not strings, by measurement: a first cut stored the shingle
+    strings and LOST to retokenizing at sf1 (1.56 s vs 1.39 s median)
+    because ~20-char shingle strings scan MORE bytes than the raw text
+    they came from; 8-byte hashes flip it — 1.09/1.15 s at sf0.1/sf1 vs
+    1.28/1.39 s for the best alternative at each scale, and the
+    scan-volume advantage only grows with corpus size. Jaccard over
+    hashed sets equals Jaccard over string sets absent an xxhash64
+    collision inside a candidate pair (probability ~2^-64 per distinct
+    shingle pair; equality vs the string-based direct operator is
+    pinned in tests on real corpora). The same hashes seed the MinHash
+    permutation family, so the band-table build consumes this store
+    instead of re-hashing (:func:`_signatures_from_hashes`).
 
     Identity includes (n, max_df) because a ``max_df``-capped shingle
     set is a function of the WHOLE corpus (the stop-set), not just the
@@ -526,15 +539,47 @@ def shingle_store_table(
     )
 
     tag = cache_tag(sf_dir, "documents")
-    name = f"mgs_shingles_{tag}_n{n}_df{max_df}"
+    name = f"mgs_shingle_hashes_{tag}_n{n}_df{max_df}"
 
     def build():
         docs = load_table(spark, sf_dir, "documents")
-        return _doc_shingle_arrays(docs, n, max_df=max_df)
+        sets = _doc_shingle_arrays(docs, n, max_df=max_df)
+        xh = F.array_sort(
+            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        )
+        return sets.select(
+            "doc_id", xh.alias("xh"), F.size(xh).alias("set_size")
+        )
 
     return adopt_or_build_bucketed_table(
         spark, name, shared_store_path(name), ["doc_id"], num_buckets, build
     )
+
+
+def _signatures_from_hashes(sets: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, signature) from the shingle-hash store's ``xh`` column —
+    the SAME permutation family as :func:`minhash_signatures` applied to
+    already-computed ``xxhash64`` values (xs = xh mod p instead of
+    xs = xxhash64(shingle) mod p; min over a set is order-insensitive,
+    so the sorted store array yields identical signatures — equality is
+    pinned transitively by the from-bands == direct pair-set test).
+    Kept as a parallel fold rather than a refactor of
+    ``minhash_signatures`` so the fingerprint-pinned in-session pipeline
+    (t120's closure) stays byte-identical."""
+    xs = sets.where(F.size("xh") > 0).select(
+        "doc_id",
+        F.transform("xh", lambda h: F.pmod(h, F.lit(_PRIME31))).alias("xs"),
+    )
+
+    def _perm(a: int, b: int):
+        return lambda x: (x * a + b) % _PRIME31
+
+    mins = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = (0x9E3779B9 * (i + 1)) % _PRIME31
+        mins.append(F.array_min(F.transform("xs", _perm(a, b))))
+    return xs.select("doc_id", F.array(*mins).alias("signature"))
 
 
 def minhash_lsh_pairs_from_bands(
@@ -556,10 +601,12 @@ def minhash_lsh_pairs_from_bands(
       plan subtree — so the bucket-size guard, both join sides and any
       re-run read cheap parquet instead of recomputing hashes
       (``max_bucket`` therefore defaults ON here);
-    * the verify stage re-derives shingle arrays ONLY for documents that
-      actually appear in a candidate pair (semi-join pruning) — on a
-      corpus with a bounded near-dup rate that is a vanishing fraction
-      of the scan the non-materialized form spends on all documents;
+    * the verify stage reads hashed shingle sets from the doc_id-
+      bucketed :func:`shingle_store_table` (semi-join pruned to
+      candidate documents) — no re-tokenization, 8-byte array elements,
+      and the raw corpus is never scanned at all on the steady state
+      (plan-gated); ``use_shingle_store=False`` forces the store-free
+      retokenizing verify for one-shot corpora;
     * the band table is bucketed+sorted on (band, bucket), so the
       candidate self-join and the guard aggregation need NO exchange of
       the banded set — the cross-run analog of the in-session
@@ -598,22 +645,37 @@ def minhash_lsh_pairs_from_bands(
         .distinct()
     )
     if use_shingle_store:
-        # steady-state verify (r14): shingle arrays come from the
-        # doc_id-bucketed store — one tokenize pass per corpus version —
-        # instead of re-tokenizing every candidate document per run
-        sets = spark.table(shingle_store_table(spark, sf_dir, n, max_df)).join(
-            cand_ids, "doc_id", "left_semi"
+        # steady-state verify (r14): hashed shingle sets come from the
+        # doc_id-bucketed store — one tokenize pass per corpus version,
+        # 8-byte elements instead of re-tokenized ~20-char strings
+        sets = (
+            spark.table(shingle_store_table(spark, sf_dir, n, max_df))
+            .join(cand_ids, "doc_id", "left_semi")
+            .select("doc_id", F.col("xh").alias("sh"), "set_size")
         )
     else:
         docs = load_table(spark, sf_dir, "documents").join(
             cand_ids, "doc_id", "left_semi"
         )
-        sets = _doc_shingle_arrays(docs, n, max_df=max_df)
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        arr = _doc_shingle_arrays(docs, n, max_df=max_df)
+        sets = arr.select(
+            "doc_id",
+            F.col("shingles").alias("sh"),
+            F.size("shingles").alias("set_size"),
+        )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("set_size").alias("size_b"),
+    )
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jaccard = F.round(
-        n_common / (F.size("sh_a") + F.size("sh_b") - n_common), 6
+        n_common / (F.col("size_a") + F.col("size_b") - n_common), 6
     ).alias("jaccard")
     return (
         candidates.join(sa, "doc_a")
