@@ -605,8 +605,10 @@ register(
         name="t22_minhash_lsh_pairs",
         # the PRODUCTION form: candidates from the persisted bucketed
         # band table (one signature pass per corpus version) instead of
-        # recomputing signatures per run — result-identical to the
-        # in-session minhash_lsh_pairs (equality pinned in
+        # recomputing signatures per run, verify from the doc_id-bucketed
+        # shingle-HASH store (r14 — the steady state never scans the raw
+        # corpus, plan-gated) — result-identical to the in-session
+        # minhash_lsh_pairs (equality pinned in
         # test_approx_ops.py::test_lsh_from_band_table_equals_direct), and
         # what a 100 TB deployment would actually execute repeatedly
         # (VERDICT r12 item 6)
