@@ -413,6 +413,41 @@ def test_lsh_from_band_table_equals_direct(spark, sf_dir):
     assert retok == direct
 
 
+def test_signatures_from_hashes_equal_string_pipeline(spark, sf_dir):
+    """The band-table build derives MinHash signatures from the stored
+    xxhash64 values via a PARALLEL fold (``_signatures_from_hashes``),
+    deliberately duplicated so the fingerprint-pinned in-session
+    pipeline stays byte-identical — this test is what keeps the two
+    folds from drifting apart: per-doc signatures must be EQUAL, not
+    merely produce the same candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.io import load_table
+    from mapreduce_google_spark.operators.dedup import (
+        _doc_shingle_arrays,
+        _signatures_from_hashes,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = _doc_shingle_arrays(docs, 3)
+    ref = {
+        r.doc_id: tuple(r.signature)
+        for r in minhash_signatures(docs, 3, 32, shingle_arrays=sets).collect()
+    }
+    hashed = sets.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        ).alias("xh"),
+    )
+    got = {
+        r.doc_id: tuple(r.signature)
+        for r in _signatures_from_hashes(hashed, 32).collect()
+    }
+    assert got == ref and len(ref) > 0
+
+
 def test_lsh_steady_state_never_scans_raw_corpus(spark, sf_dir):
     """With both durable assets in place (band table + shingle store),
     a t22 run must not touch documents.parquet at all: candidates come
