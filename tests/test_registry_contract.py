@@ -669,6 +669,45 @@ def test_builder_fingerprint_closure_is_deep():
     )
 
 
+def test_fingerprint_ignores_runtime_memos_but_keeps_configs():
+    """The r14 gate saw 9 entries 'drift' MID-SUITE with zero source
+    edits: private module-level memo sets (_SKEW_PROFILED, _UPSERTED,
+    _DV_DELETED, _REGISTERED) were fingerprinted as constants and their
+    repr changed as queries executed. Pin both sides of the fix's
+    convention: populating a memo must NOT move the fingerprint, while
+    public mutable configs (LANG_MARKERS) and private immutable
+    constants (_PRIME31) must stay inside the closure so edits to them
+    still drift the pin."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import reprove
+    finally:
+        sys.path.pop(0)
+
+    import mapreduce_google_spark.operators.dedup as dedup_mod
+
+    spec = REGISTRY["t21_ngram_jaccard_pairs"]
+    before = reprove.builder_fingerprint(spec)
+    parts = reprove.fingerprint_parts(spec)
+    assert "const _SKEW_PROFILED" not in parts, sorted(parts)
+    assert "const _PRIME31" in reprove.fingerprint_parts(
+        REGISTRY["t120_lsh_precision_invariants"]
+    )
+    assert "const LANG_MARKERS" in reprove.fingerprint_parts(
+        REGISTRY["t26_language_id"]
+    )
+    sentinel = ("fingerprint-memo-sentinel", 0, None, 0)
+    dedup_mod._SKEW_PROFILED.add(sentinel)
+    try:
+        assert reprove.builder_fingerprint(spec) == before
+    finally:
+        dedup_mod._SKEW_PROFILED.discard(sentinel)
+
+
 def test_bench_payload_survives_stdout_tail_truncation():
     """VERDICT r13 item 5: the driver records only the last ~2000 chars
     of bench stdout, and BENCH_r13.json lost the per-query medians

@@ -54,6 +54,17 @@ LEDGER = os.path.join(REPO, "tools", "builder_fingerprints.json")
 PKG = "mapreduce_google_spark"
 
 _PLAIN = (int, float, str, bool, bytes, tuple, list, dict, set, frozenset)
+#: mutable-container globals with a leading underscore are EXCLUDED
+#: from const parts: by repo convention those are process-lifetime
+#: memos (_SKEW_PROFILED, _UPSERTED, _DV_DELETED, _REGISTERED —
+#: populated as queries run), so including their repr made the
+#: fingerprint depend on what had already EXECUTED in the process —
+#: 9 entries "drifted" mid-suite in the r14 gate with zero source
+#: edits. PUBLIC mutable configs (LANG_MARKERS, STRATUM_RATES, …) and
+#: every immutable constant (dispatch thresholds, _PRIME31) stay
+#: covered; tests/test_registry_contract.py pins both sides of the
+#: convention.
+_MUTABLE = (list, dict, set)
 
 
 def _in_pkg(obj: object) -> bool:
@@ -85,7 +96,10 @@ def _referenced(fn: types.FunctionType) -> list[tuple[str, object]]:
     names: set[str] = set()
     for code in _iter_codes(fn.__code__):
         names.update(code.co_names)
-    direct = {n: g[n] for n in names if n in g}
+    # sorted: set iteration is hash-seed-dependent across processes, and
+    # pkg_mods ORDER decides which module wins an ambiguous attribute
+    # resolution below — the fingerprint must not depend on the seed
+    direct = {n: g[n] for n in sorted(names) if n in g}
     pkg_mods = [
         v
         for v in direct.values()
@@ -157,6 +171,10 @@ def fingerprint_parts(spec) -> dict[str, str]:
                     _source_of(obj)
                 )
             elif isinstance(obj, _PLAIN) or obj is None:
+                if isinstance(obj, _MUTABLE) and name.rsplit(".", 1)[
+                    -1
+                ].startswith("_"):
+                    continue  # private mutable global = runtime memo
                 parts[f"const {name}"] = repr(obj)
     return parts
 
