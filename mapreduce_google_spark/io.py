@@ -205,6 +205,59 @@ def write_parquet(
         writer.parquet(output_dir)
 
 
+def write_parquet_bloom(
+    df: DataFrame,
+    output_dir: str,
+    bloom_cols: dict[str, int],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink with split-block BLOOM FILTERS on the given columns
+    (``{column: expected_distinct_values}``) — the row-group-skipping
+    layout for point/IN lookups on NON-sorted, NON-partitioned keys.
+
+    Min/max zone maps (always written) only skip row groups when the
+    key correlates with write order; a high-cardinality key written in
+    arrival order has every row group spanning ~the full key range, so
+    a point lookup scans everything. The bloom filter answers
+    "definitely not in this row group" probabilistically regardless of
+    layout. Measured (tools/bloom_probe.py, BENCH_bloom_probe.json,
+    20M rows / 8 files): a MISS lookup's median saves ~12% wall and its
+    MAX rep falls 2.1 s → 0.76 s (the tail is the full-decode case the
+    bloom removes); in a fresh session with the page cache dropped the
+    first-touch miss fell 6.9 s → 0.9 s. Local-mode medians UNDERSTATE
+    the scale win — per-lookup cost here is dominated by fixed job
+    overhead and a VM host cache this guest cannot drop, while at
+    100 TB the skipped data-page IO is the entire cost: the bloom
+    layout reads footers + bloom bytes only. Cost: ~4-21% extra file
+    bytes depending on ndv vs row count.
+
+    This was long assumed environment-blocked because pyarrow cannot
+    WRITE bloom filters (VERDICT r7) — but this engine's sinks go
+    through Spark's parquet-mr writer, which has supported them since
+    parquet-mr 1.12 (``parquet.bloom.filter.enabled#col``), and Spark's
+    vectorized reader consumes them transparently on pushed equality/IN
+    predicates. ``expected_ndv`` sizes the bitset: undersizing inflates
+    the false-positive rate (filter stops skipping), oversizing wastes
+    the exact bytes the table scan then re-reads — size it per column
+    from a cheap approx_count_distinct at build time.
+
+    At 100 TB this layout belongs on lookup-serving fact copies (the
+    point-lookup store family): one write-time flag turns a
+    full-partition scan per miss into a footer-and-bloom read. Kept
+    SEPARATE from :func:`write_parquet` deliberately — the bucketed
+    store identity/fingerprint protocol hashes that function's source,
+    and bloom enablement is a per-layout choice, not a global default.
+    """
+    writer = df.write.mode("overwrite")
+    for col, ndv in bloom_cols.items():
+        writer = writer.option(
+            f"parquet.bloom.filter.enabled#{col}", "true"
+        ).option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(output_dir)
+
+
 #: bucket id a Spark bucketed writer stamps into each data file name
 #: (``part-00000-<uuid>_00042.c000.snappy.parquet`` → bucket 42). Plain
 #: (non-bucketed) writes have no ``_NNNNN`` segment, which is exactly

@@ -571,3 +571,47 @@ def test_adopt_refuses_foreign_owned_store(spark, tmp_path):
     assert os.stat(path).st_uid == 0
     assert spark.table(name).count() == 30
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_write_parquet_bloom_materializes_and_serves_lookups(spark, tmp_path):
+    """Bloom-filtered parquet (io.write_parquet_bloom): the filter bytes
+    must actually land in the files (pyarrow cannot read bloom metadata,
+    so the assertion is the deterministic size delta on identical data —
+    same rows, same encoding, only the filter differs), reads must be
+    result-identical to the plain layout, and a guaranteed-miss point
+    lookup must return empty without error. The wall-clock skip is
+    measured in tools/bloom_probe.py (BENCH_bloom_probe.json), not
+    asserted here — timing bounds flake."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.io import write_parquet_bloom
+
+    df = spark.range(200_000).select(
+        (F.xxhash64("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    plain, bloom = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.coalesce(2).write.parquet(plain)
+    write_parquet_bloom(df.coalesce(2), bloom, {"k": 100_000})
+
+    size = lambda p: sum(  # noqa: E731
+        os.path.getsize(f)
+        for f in glob.glob(f"{p}/part-*")
+        if not f.endswith(".crc")
+    )
+    assert size(bloom) > size(plain) * 1.02, (size(plain), size(bloom))
+
+    a = sorted(tuple(r) for r in spark.read.parquet(plain).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(bloom).collect())
+    assert a == b and len(a) == 200_000
+
+    hit = df.limit(1).collect()[0].k
+    assert (
+        spark.read.parquet(bloom).where(F.col("k") == hit).count()
+        == spark.read.parquet(plain).where(F.col("k") == hit).count()
+        > 0
+    )
+    # xxhash64 % 1_000_000 is non-negative -> -5 cannot exist
+    assert spark.read.parquet(bloom).where(F.col("k") == -5).count() == 0
