@@ -2577,6 +2577,62 @@ def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Bloom-filtered sibling of the hash-scattered events copy: same
+    rows and 16-file hash scatter as :func:`_indexed_events_path`, with
+    split-block bloom filters on event_id (``io.write_parquet_bloom``,
+    ndv sized from the actual row count). Built once per corpus
+    version; no refresh protocol — the filter bytes travel inside the
+    data files themselves."""
+    from mapreduce_google_spark.io import write_parquet_bloom
+
+    plain = _indexed_events_path(spark, sf_dir)
+    path = f"{plain}_bloom"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        n = spark.read.parquet(plain).count()
+        write_parquet_bloom(
+            spark.read.parquet(plain).repartition(16, "event_id"),
+            path,
+            {"event_id": max(1000, n)},
+        )
+    return path
+
+
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T237's semantics over the BLOOM-FILTERED layout — the staged r15
+    flip candidate (not the registered default; flipping needs a
+    REPROVE slot the r14 window has no headroom for).
+
+    Where t237 consults a persisted posting index to name the files
+    that can hold each probe, this form just reads the bloom layout
+    with the pushed equality predicate: every row group self-excludes
+    via its bloom filter, so misses decode nothing and hits decode only
+    the groups that might match — with ZERO secondary assets (no
+    refresh protocol, no staleness contract, no probe-time index jobs).
+    Measured (tools/bloom_vs_index_shootout.py,
+    BENCH_bloom_vs_index.json): hits 0.16 s vs 0.70 s via the index and
+    misses 0.14 s vs 0.42 s at both sf0.1 and the 10× replica — the
+    index's multi-job probe only amortizes when per-file scan cost
+    dominates (TB-scale files), which is exactly when the two compose:
+    posting index to pick files, bloom bytes to skip row groups inside
+    them. An r15 flip must also route through
+    ``io.read_with_deletes`` when a ``_deletes`` sidecar exists, like
+    ``point_lookup`` does today.
+    """
+    path = _bloom_events_path(spark, sf_dir)
+    ids = list(POINT_LOOKUP_IDS)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("event_id").isin(ids))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def batched_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T240 — batched secondary-index lookup with a DISTRIBUTED probe
     set: 2,500 event ids (every odd id in [1, 5000)) arrive as a

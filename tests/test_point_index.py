@@ -667,3 +667,23 @@ def test_covered_sidecar_swap_is_atomic_artifact(spark, tmp_path):
     assert not [
         n for n in os.listdir(idx_dir) if n.startswith("_covered_files.json.tmp")
     ]
+
+
+def test_bloom_lookup_equals_indexed_lookup(spark, sf_dir):
+    """The staged r15 flip candidate (bloom-layout point lookup) must
+    answer exactly what the registered posting-index form answers —
+    same probe ids, same rows, same rounding — and its plan must carry
+    the pushed equality predicate into the bloom layout's scan (the
+    mechanism that lets row groups self-exclude)."""
+    from mapreduce_google_spark.operators.scale import (
+        bloom_point_lookup,
+        indexed_point_lookup,
+    )
+    from mapreduce_google_spark.plans import formatted_plan
+
+    ref = [tuple(r) for r in indexed_point_lookup(spark, sf_dir).collect()]
+    got = [tuple(r) for r in bloom_point_lookup(spark, sf_dir).collect()]
+    assert got == ref and len(ref) > 0
+
+    plan = formatted_plan(bloom_point_lookup(spark, sf_dir))
+    assert "PushedFilters" in plan and "event_id" in plan, plan
