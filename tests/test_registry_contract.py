@@ -708,6 +708,43 @@ def test_fingerprint_ignores_runtime_memos_but_keeps_configs():
         dedup_mod._SKEW_PROFILED.discard(sentinel)
 
 
+def test_fingerprint_covers_codecs_submodule_constants():
+    """ADVICE r14: narrowing the memo exclusion to sets is only half
+    the fix — the multimodal builders reach :mod:`operators.codecs`
+    through an IN-BODY ``from mapreduce_google_spark.operators import
+    codecs``, and the r14 resolver only saw that submodule if some
+    earlier code had imported it (a package attribute appears on first
+    import), so the ENTIRE codecs module — kernels and the private
+    dict constant _PNG_CHANNELS — sat outside every multimodal
+    fingerprint. Pin that the closure now covers both, so a codecs
+    edit drifts the pins the way a _PRIME31 edit does."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import reprove
+    finally:
+        sys.path.pop(0)
+
+    parts = reprove.fingerprint_parts(REGISTRY["t185_header_dims"])
+    for key in (
+        "const _PNG_CHANNELS",
+        "mapreduce_google_spark.operators.codecs.parse_image_dims",
+        "mapreduce_google_spark.operators.codecs.sniff_format",
+    ):
+        assert key in parts, (key, sorted(parts))
+    assert "const _PNG_CHANNELS" in reprove.fingerprint_parts(
+        REGISTRY["t121_image_dims"]
+    )
+    # the WAV path rides the same pattern
+    assert (
+        "mapreduce_google_spark.operators.codecs.wav_samples"
+        in reprove.fingerprint_parts(REGISTRY["t128_wav_frame_stats"])
+    )
+
+
 def test_bench_payload_survives_stdout_tail_truncation():
     """VERDICT r13 item 5: the driver records only the last ~2000 chars
     of bench stdout, and BENCH_r13.json lost the per-query medians

@@ -54,17 +54,21 @@ LEDGER = os.path.join(REPO, "tools", "builder_fingerprints.json")
 PKG = "mapreduce_google_spark"
 
 _PLAIN = (int, float, str, bool, bytes, tuple, list, dict, set, frozenset)
-#: mutable-container globals with a leading underscore are EXCLUDED
-#: from const parts: by repo convention those are process-lifetime
-#: memos (_SKEW_PROFILED, _UPSERTED, _DV_DELETED, _REGISTERED —
-#: populated as queries run), so including their repr made the
-#: fingerprint depend on what had already EXECUTED in the process —
-#: 9 entries "drifted" mid-suite in the r14 gate with zero source
-#: edits. PUBLIC mutable configs (LANG_MARKERS, STRATUM_RATES, …) and
-#: every immutable constant (dispatch thresholds, _PRIME31) stay
-#: covered; tests/test_registry_contract.py pins both sides of the
-#: convention.
-_MUTABLE = (list, dict, set)
+#: private SET globals are EXCLUDED from const parts: by repo
+#: convention those are process-lifetime memos (_SKEW_PROFILED,
+#: _UPSERTED, _DV_DELETED, _REGISTERED — populated as queries run), so
+#: including their repr made the fingerprint depend on what had already
+#: EXECUTED in the process — 9 entries "drifted" mid-suite in the r14
+#: gate with zero source edits. The exclusion is deliberately NARROW
+#: (ADVICE r14): every runtime memo in the package is a set, while
+#: private dicts/lists are semantic constants (_PNG_CHANNELS,
+#: _MARKER_SQL) whose edits must drift pins exactly like _PRIME31 and
+#: LANG_MARKERS do — the r14 tuple (list, dict, set) silently dropped
+#: them from coverage. A future dict-shaped memo must either become a
+#: set keyed on a composite, or carry a ``_MEMO`` name suffix and an
+#: entry in the tuple-widening discussion here — not slip in unseen.
+#: tests/test_registry_contract.py pins both sides of the convention.
+_MUTABLE = (set,)
 
 
 def _in_pkg(obj: object) -> bool:
@@ -91,6 +95,7 @@ def _referenced(fn: types.FunctionType) -> list[tuple[str, object]]:
     edit could change default results without drifting any pin) —
     callable default-argument values, and closure-cell contents."""
     import importlib
+    import importlib.util
 
     g = getattr(fn, "__globals__", {})
     names: set[str] = set()
@@ -114,10 +119,56 @@ def _referenced(fn: types.FunctionType) -> list[tuple[str, object]]:
             except ImportError:  # pragma: no cover - torn import path
                 continue
     out: list[tuple[str, object]] = list(direct.items())
-    for n in sorted(names - set(direct)):
-        for m in pkg_mods:  # attribute calls: rel_ops.revenue_rollup(...)
-            if hasattr(m, n):
-                out.append((f"{m.__name__}.{n}", getattr(m, n)))
+    # fixed point: a name can resolve to a package SUBMODULE (the
+    # ``from mapreduce_google_spark.operators import codecs`` in-body
+    # pattern binds ``codecs`` as an attribute of the operators
+    # package) — that submodule must join pkg_mods so the names read
+    # THROUGH it (codecs.parse_image_dims) resolve too. r14's single
+    # pass dropped the module object on the floor, keeping the entire
+    # codecs module out of every multimodal fingerprint (ADVICE r14).
+    unresolved = sorted(names - set(direct))
+    resolved: set[str] = set()
+    _missing = object()
+    changed = True
+    while changed:
+        changed = False
+        for n in unresolved:
+            if n in resolved:
+                continue
+            for m in pkg_mods:  # attribute calls: rel_ops.revenue_rollup(...)
+                obj = getattr(m, n, _missing)
+                if (
+                    obj is _missing
+                    and "." not in n  # dotted names are IMPORT_NAME
+                    # operands, already chased into pkg_mods above
+                    and getattr(m, "__path__", None)
+                ):
+                    # a submodule that nothing has imported yet in this
+                    # process is invisible as a package attribute, so a
+                    # plain hasattr() made the closure depend on IMPORT
+                    # ORDER (the r14 resolver saw operators.codecs only
+                    # if some earlier query had touched it) — probe the
+                    # spec finder instead
+                    try:
+                        spec_found = (
+                            importlib.util.find_spec(f"{m.__name__}.{n}")
+                            is not None
+                        )
+                    except (ImportError, ValueError):
+                        spec_found = False
+                    if spec_found:
+                        obj = importlib.import_module(f"{m.__name__}.{n}")
+                if obj is _missing:
+                    continue
+                resolved.add(n)
+                if isinstance(obj, types.ModuleType):
+                    if obj.__name__.split(".")[0] == PKG and all(
+                        obj is not pm for pm in pkg_mods
+                    ):
+                        pkg_mods.append(obj)
+                        changed = True
+                else:
+                    out.append((f"{m.__name__}.{n}", obj))
                 break
     for d in fn.__defaults__ or ():
         if callable(d):
