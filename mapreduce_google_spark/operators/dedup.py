@@ -654,10 +654,26 @@ def minhash_lsh_pairs_from_bands(
             .select("doc_id", F.col("xh").alias("sh"), "set_size")
         )
     else:
-        docs = load_table(spark, sf_dir, "documents").join(
-            cand_ids, "doc_id", "left_semi"
-        )
-        arr = _doc_shingle_arrays(docs, n, max_df=max_df)
+        docs = load_table(spark, sf_dir, "documents")
+        if max_df is None:
+            # no stop-set to compute → prune BEFORE tokenizing, so the
+            # fallback verify only ever tokenizes candidate documents
+            arr = _doc_shingle_arrays(
+                docs.join(cand_ids, "doc_id", "left_semi"), n
+            )
+        else:
+            # the max_df stop-set is defined over FULL-corpus document
+            # frequencies — the store path and the direct operator both
+            # compute it that way, and deriving it from the candidate-
+            # pruned subset instead skews every df count and can flip
+            # which shingles survive, silently changing Jaccard values
+            # between the two verify paths (ADVICE r14). Tokenize-then-
+            # prune costs one corpus pass, exactly what the direct
+            # operator pays; one-shot callers wanting the cheap prune
+            # use max_df=None.
+            arr = _doc_shingle_arrays(docs, n, max_df=max_df).join(
+                cand_ids, "doc_id", "left_semi"
+            )
         sets = arr.select(
             "doc_id",
             F.col("shingles").alias("sh"),

@@ -413,6 +413,53 @@ def test_lsh_from_band_table_equals_direct(spark, sf_dir):
     assert retok == direct
 
 
+def test_lsh_retok_fallback_matches_direct_with_max_df(spark, sf_dir):
+    """ADVICE r14: with max_df set, the store-less fallback verify used
+    to compute the stop-set over only the CANDIDATE-pruned documents —
+    document frequencies from a tiny subset — while the direct operator
+    and the store path both derive it from the full corpus, so the two
+    verify paths could disagree on Jaccard values. Pin all three forms
+    equal at a max_df low enough that the stop-set is non-empty (so the
+    test actually exercises the divergent computation)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.operators.dedup import (
+        _doc_shingle_arrays,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_bands,
+    )
+    from mapreduce_google_spark.io import load_table
+
+    max_df = 3
+    stop_n = (
+        _doc_shingle_arrays(load_table(spark, sf_dir, "documents"))
+        .select(F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .count()
+        .where(F.col("count") > max_df)
+        .count()
+    )
+    assert stop_n > 0, "max_df too high to exercise the stop-set"
+    direct = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(spark, sf_dir, max_df=max_df).collect()
+    }
+    stored = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_from_bands(
+            spark, sf_dir, max_df=max_df
+        ).collect()
+    }
+    retok = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_from_bands(
+            spark, sf_dir, max_df=max_df, use_shingle_store=False
+        ).collect()
+    }
+    assert stored == direct
+    assert retok == direct
+
+
 def test_signatures_from_hashes_equal_string_pipeline(spark, sf_dir):
     """The band-table build derives MinHash signatures from the stored
     xxhash64 values via a PARALLEL fold (``_signatures_from_hashes``),
