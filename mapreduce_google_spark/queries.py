@@ -6971,7 +6971,7 @@ register(
 register(
     QuerySpec(
         name="t237_indexed_point_lookup",
-        builder=scale_ops.indexed_point_lookup,
+        builder=scale_ops.bloom_point_lookup,
         oracle="""
             SELECT event_id, event_type,
                    round(CAST(value AS DOUBLE), 6) AS value
@@ -6979,16 +6979,19 @@ register(
             WHERE event_id IN (17, 230, 452, 671, 888, 903)
             ORDER BY event_id
         """,
-        doc="secondary-index point lookup: 6 fixed event ids fetched from "
-        "a 16-file hash-scattered layout reading ONLY the files the "
-        "persisted (key, file) posting table names — the needle-query "
-        "complement of t227's zone maps (which cannot prune a "
-        "hash-scattered key); index refresh is LSM-shaped (appends write "
-        "only their own sorted delta segment; full merge once per "
-        "INDEX_COMPACT_SEGMENTS refreshes or on vanished source files) "
-        "and exactness never rests on it (looked-up files "
-        "are re-filtered; oracle answers from the raw table)",
-        tags=("lakehouse", "index", "point-lookup"),
+        doc="point lookup over the bloom-filtered lookup layout (default "
+        "since r15 by measurement, BENCH_bloom_vs_index.json: 3-4x the "
+        "posting index at both tiers with zero secondary assets): 6 "
+        "fixed event ids answered by one pushed IN predicate over a "
+        "16-file hash-scattered copy whose row groups self-exclude via "
+        "split-block bloom filters — the needle-query complement of "
+        "t227's zone maps (which cannot prune a hash-scattered key); "
+        "the LSM posting index remains on the SAME consolidated copy as "
+        "the pinned equality reference and t240's distributed-probe "
+        "path, and deletes route through read_with_deletes; exactness "
+        "never rests on the filter (bloom is a physical row-group skip "
+        "under the same predicate; oracle answers from the raw table)",
+        tags=("lakehouse", "bloom", "point-lookup"),
     )
 )
 
@@ -7179,8 +7182,8 @@ EAGER_BUILD: frozenset[str] = frozenset(
         "t228_snapshot_version_totals",
         "t231_events_after_dv_delete",
         "t232_rolling_distinct_users_hll",
-        "t237_indexed_point_lookup",  # hashed events copy + posting index
-        "t240_batched_point_lookup",  # same hashed copy + index as t237;
+        "t237_indexed_point_lookup",  # bloom-enabled events lookup copy
+        "t240_batched_point_lookup",  # same lookup copy + posting index;
         # the builder also runs the keys-stats aggregate + posting probe
         "t239_chain_maintained_daily_revenue",  # snapshot chain + view/CDC dirs
         # (stream) bounded streaming run inside the builder
@@ -7318,6 +7321,12 @@ REPROVE: dict[str, int] = {
     # the as-of dispatcher's fallback contract.
     "t18_cosine_topk": 14,
     "t33_asof_latest_order": 14,
+    # r15 flipped t237's default to the bloom-filtered layout and
+    # consolidated BOTH lookup strategies onto one bloom-enabled events
+    # copy — t240's posting index now reads that copy too, so both
+    # defaults changed paths.
+    "t237_indexed_point_lookup": 15,
+    "t240_batched_point_lookup": 15,
 }
 
 

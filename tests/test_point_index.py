@@ -670,11 +670,12 @@ def test_covered_sidecar_swap_is_atomic_artifact(spark, tmp_path):
 
 
 def test_bloom_lookup_equals_indexed_lookup(spark, sf_dir):
-    """The staged r15 flip candidate (bloom-layout point lookup) must
-    answer exactly what the registered posting-index form answers —
-    same probe ids, same rows, same rounding — and its plan must carry
-    the pushed equality predicate into the bloom layout's scan (the
-    mechanism that lets row groups self-exclude)."""
+    """The registered t237 default (bloom-layout lookup, flipped r15)
+    must answer exactly what the posting-index form answers — same
+    probe ids, same rows, same rounding — and its plan must carry the
+    pushed equality predicate into the bloom layout's scan (the
+    mechanism that lets row groups self-exclude). Both forms read the
+    ONE consolidated lookup copy."""
     from mapreduce_google_spark.operators.scale import (
         bloom_point_lookup,
         indexed_point_lookup,
@@ -687,3 +688,37 @@ def test_bloom_lookup_equals_indexed_lookup(spark, sf_dir):
 
     plan = formatted_plan(bloom_point_lookup(spark, sf_dir))
     assert "PushedFilters" in plan and "event_id" in plan, plan
+
+
+def test_bloom_lookup_applies_deletes_sidecar(spark, tmp_path):
+    """ADVICE r14 flip gate: the bloom lookup must route through
+    read_with_deletes — a bare parquet read of a bloom layout would
+    silently resurrect DV-deleted rows on merge-on-read tables. Build a
+    bloom-enabled table, DV-delete one probed key, and pin that the
+    lookup masks it while still answering the surviving probes; the
+    pushed predicate must survive the coordinate projection and the DV
+    anti-join down to the scan."""
+    from mapreduce_google_spark.io import delete_where, write_parquet_bloom
+    from mapreduce_google_spark.operators.scale import bloom_lookup
+    from mapreduce_google_spark.plans import formatted_plan
+
+    path = str(tmp_path / "tbl")
+    write_parquet_bloom(
+        spark.range(10_000)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartition(8, "k"),
+        path,
+        {"k": 10_000 // 8},
+    )
+    probes = [11, 5_021, 9_900]
+    before = {
+        (r["k"], r["v"]) for r in bloom_lookup(spark, path, "k", probes).collect()
+    }
+    assert before == {(k, k * 3) for k in probes}
+    assert delete_where(spark, path, F.col("k") == 5_021) == 1
+    after = {
+        (r["k"], r["v"]) for r in bloom_lookup(spark, path, "k", probes).collect()
+    }
+    assert after == {(k, k * 3) for k in probes if k != 5_021}
+    plan = formatted_plan(bloom_lookup(spark, path, "k", probes))
+    assert "PushedFilters" in plan and "k" in plan, plan

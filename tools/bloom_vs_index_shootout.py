@@ -1,7 +1,8 @@
 """Shoot out the three point-lookup strategies on the same
-hash-scattered events layout — the r15 decision evidence for whether
-the lookup-serving copies should carry parquet bloom filters, a
-posting index, or both.
+hash-scattered events layout — the evidence that drove the r15 flip of
+t237's default to the bloom layout (since r15 the engine keeps ONE
+consolidated bloom-enabled lookup copy; the plain baseline here is a
+bench-only artifact).
 
 Strategies (same rows, same 16-file hash-scatter on event_id, so zone
 maps prune nothing for any of them):
@@ -36,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mapreduce_google_spark.io import load_table, write_parquet_bloom  # noqa: E402
+from mapreduce_google_spark.io import load_table  # noqa: E402
 from mapreduce_google_spark.operators.scale import (  # noqa: E402
     POINT_LOOKUP_IDS,
     _indexed_events_path,
@@ -57,15 +58,19 @@ def median(xs: list[float]) -> float:
 
 def main() -> int:
     spark = get_spark(app_name="mgs-bloom-vs-index")
-    plain = _indexed_events_path(spark, SF_DIR)
-    refresh_point_index(spark, plain, "event_id")
-    bloom = plain + "_bloom"
-    if not os.path.exists(os.path.join(bloom, "_SUCCESS")):
-        n_keys = load_table(spark, SF_DIR, "events").count()
-        write_parquet_bloom(
-            spark.read.parquet(plain).repartition(16, "event_id"),
-            bloom,
-            {"event_id": max(1000, n_keys)},
+    # since the r15 flip the ENGINE keeps one consolidated lookup copy
+    # (bloom-enabled, posting index on top) — the plain baseline layout
+    # is now a BENCH-ONLY artifact this tool writes for itself
+    bloom = _indexed_events_path(spark, SF_DIR)
+    refresh_point_index(spark, bloom, "event_id")
+    plain = bloom + "_plainbase"
+    if not os.path.exists(os.path.join(plain, "_SUCCESS")):
+        (
+            load_table(spark, SF_DIR, "events")
+            .select("event_id", "event_type", "value")
+            .repartition(16, "event_id")
+            .write.mode("overwrite")
+            .parquet(plain)
         )
 
     hits = list(POINT_LOOKUP_IDS)
@@ -79,7 +84,7 @@ def main() -> int:
         )
 
     def posting_index(keys):
-        return point_lookup(spark, plain, "event_id", keys).count()
+        return point_lookup(spark, bloom, "event_id", keys).count()
 
     def bloom_layout(keys):
         return (

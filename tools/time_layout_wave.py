@@ -57,7 +57,7 @@ def clear_wave_tmp() -> None:
         "/tmp/mgs_events_snapshots_*",
         "/tmp/mgs_events_dv_*",
         "/tmp/mgs_hll_daily_*",
-        "/tmp/mgs_events_hashed_*",
+        "/tmp/mgs_events_lookup_*",
         "/tmp/mgs_ivm_chain_*",
     ):
         for d in glob.glob(pat):
