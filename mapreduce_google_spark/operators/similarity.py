@@ -464,10 +464,12 @@ def ivf_topk_from_index(
     n_cells: int = 8,
     n_probe_cells: int = 3,
 ) -> DataFrame:
-    """T25, production form — identical results to :func:`ivf_topk`
-    (equality pinned in ``tests/test_approx_ops.py``), with the
-    assignment pass served from the materialized
-    :func:`ivf_index_table` instead of recomputed per query.
+    """t25's r13/r14 registered form — identical results to
+    :func:`ivf_topk` (equality pinned in ``tests/test_approx_ops.py``),
+    with the assignment pass served from the materialized
+    :func:`ivf_index_table` instead of recomputed per query. Demoted to
+    the pinned equality reference in r15 by the fused-kernel shootout
+    (:func:`ivf_topk_from_index_fused`).
 
     Query-time work is ONLY: route each probe to its ``n_probe_cells``
     closest centroids (n_probes × n_cells — probe-sized), then score
@@ -514,6 +516,121 @@ def ivf_topk_from_index(
     # candidate — the IVF pruning bounds the constant, this bounds the
     # shape
     scored = partial_topk_per_batch(scored, k)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select(
+            "probe_id", "vec_id", "cosine", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )
+
+
+def ivf_topk_from_index_fused(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probes: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe_cells: int = 3,
+) -> DataFrame:
+    """T25, registered form since r15 — the FUSED score+fold Arrow
+    kernel (VERDICT r14 "What's wrong #2"; result equality with
+    :func:`ivf_topk_from_index` and transitively :func:`ivf_topk` is
+    pinned in ``tests/test_approx_ops.py``).
+
+    The r13/r14 form scored probed-cell candidates JVM-side with the
+    ``cosine_similarity`` higher-order function, then crossed to Python
+    once more for :func:`partial_topk_per_batch` — correct and bounded,
+    but the fold's crossing was the one ABBA regression r14 accepted
+    (+2.6%). This form gives scoring and folding ONE shared crossing in
+    the t18 kernel shape: candidates arrive as ``(probe_id, vec_id,
+    embedding)`` straight off the cell-bucketed index join, each Arrow
+    batch groups by probe, scores the group with a vectorized
+    matrix-vector product, rounds HALF_UP exactly like ``F.round``
+    (:func:`_round_half_up_6`), and folds to the per-probe top-k via
+    the SAME tie-exact selection the t18 kernel uses
+    (:func:`_batch_topk_rows`, one column per call) — ≤ ``k`` rows per
+    probe per batch reach the merge window, the bounded shape the
+    previous form already guaranteed. Probe vectors ride the closure
+    (probe-sized collect, same class as the IVF centroids), so the
+    Arrow crossing carries each candidate's embedding ONCE and no
+    probe_vec duplication per candidate row.
+
+    Measured (tools/ivf_fused_shootout.py,
+    BENCH_ivf_fused_shootout.json, equality-gated in-tool): medians
+    0.848 vs 0.897 s at sf0.1 (−5.5%) and 0.841 vs 0.973 s at sf1
+    (−13.6%) — the win GROWS with scale because the crossing it removes
+    carries the full probed-cell candidate relation. No REPROVE slot
+    consumed: t25 is rows-only (its hash row cannot exist) and t165's
+    invariant closure pins the in-session :func:`ivf_topk`, unchanged
+    here; the equality chain carries the evidence across.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = spark.table(ivf_index_table(spark, sf_dir, n_cells))
+    probe_rows = _probes(emb, n_probes).collect()  # probe-sized collect
+    pvecs = {
+        int(r.probe_id): np.asarray(r.probe_vec, dtype=np.float64)
+        for r in probe_rows
+    }
+    pnorms = {pid: float(np.sqrt(v @ v)) for pid, v in pvecs.items()}
+    centroids = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+    )
+    probes = F.broadcast(_probes(emb, n_probes))
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("c_cos").desc(), F.col("cell_id").asc()
+    )
+    probe_cells = (
+        probes.crossJoin(centroids)
+        .select(
+            "probe_id",
+            "cell_id",
+            F.round(cosine_similarity("probe_vec", "centroid"), 6).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= n_probe_cells)
+        .select("probe_id", "cell_id")
+    )
+    cand = (
+        probe_cells.join(assigned, "cell_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "embedding")
+    )
+
+    def score_fold(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for pid, g in pdf.groupby("probe_id", sort=False):
+                mat = np.vstack(g["embedding"].to_numpy()).astype(np.float64)
+                vec_ids = g["vec_id"].to_numpy(dtype=np.int64)
+                pv = pvecs[int(pid)]
+                dots = mat @ pv  # (B,)
+                norms = np.sqrt((mat * mat).sum(axis=1))
+                cos = _round_half_up_6(dots / (norms * pnorms[int(pid)]))
+                # one-column reuse of the t18 tie-exact selection
+                ri, _ = _batch_topk_rows(cos[:, None], vec_ids, k)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": np.full(len(ri), int(pid), dtype=np.int64),
+                            "vec_id": vec_ids[ri],
+                            "cosine": cos[ri],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = cand.mapInPandas(
+        score_fold, "probe_id bigint, vec_id bigint, cosine double"
+    )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )

@@ -725,11 +725,14 @@ register(
         name="t25_ivf_topk",
         # production form: assignment pass served from the materialized
         # cell-bucketed ivf_index_table (one pass per corpus version,
-        # the band-table pattern) — result-identical to the in-session
-        # ivf_topk (equality pinned across sf tiers in
-        # tests/test_approx_ops.py::test_ivf_from_index_equals_in_session;
-        # 1.10→0.75 s at sf0.1, r13)
-        builder=sim_ops.ivf_topk_from_index,
+        # the band-table pattern), candidates scored AND folded in one
+        # fused Arrow kernel (r15, BENCH_ivf_fused_shootout.json: -5.5%
+        # at sf0.1, -13.6% at sf1 vs the JVM-HOF + separate-fold form;
+        # removes the extra crossing behind r14's one ABBA regression)
+        # — result-identical to the in-session ivf_topk (equality
+        # chain pinned in tests/test_approx_ops.py:
+        # in-session == from_index == fused)
+        builder=sim_ops.ivf_topk_from_index_fused,
         oracle=None,  # approximate by construction; tests measure recall
         # against t18's exact result
         doc="IVF-bucketed approximate cosine top-k (scale path for T18)",

@@ -161,6 +161,23 @@ def test_ivf_from_index_equals_in_session(spark, sf_dir):
     assert a == b
 
 
+def test_ivf_fused_kernel_equals_registered(spark, sf_dir):
+    """The registered t25 default since r15 (fused Arrow score+fold
+    kernel, VERDICT r14 wrong #2) must produce exactly the from-index
+    reference form's rows — same routing, same HALF_UP rounding, same
+    tie-exact per-probe fold, one Arrow crossing instead of
+    JVM-HOF-score + separate fold crossing; the chain to the in-session
+    operator closes via test_ivf_from_index_equals_in_session."""
+    from mapreduce_google_spark.operators.similarity import (
+        ivf_topk_from_index,
+        ivf_topk_from_index_fused,
+    )
+
+    a = [tuple(r) for r in ivf_topk_from_index(spark, sf_dir).collect()]
+    b = [tuple(r) for r in ivf_topk_from_index_fused(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+
+
 def test_ivf_scans_fraction_of_vectors(spark, sf_dir):
     """The point of IVF: the candidate set is a strict subset of the
     corpus (here ≤ n_probe_cells/n_cells plus skew)."""
