@@ -280,6 +280,82 @@ def revenue_rollup(
     )
 
 
+def revenue_rollup_twolevel(
+    spark: SparkSession, sf_dir: str, use_bucketed_store: bool = True
+) -> DataFrame:
+    """t12 with the rollup EXPAND pushed above a finest-grain pre-agg —
+    measured, NOT flipped (VERDICT r14 item 5; equality pinned in
+    ``tests/test_plans.py::test_t12_twolevel_rollup_equals_registered``).
+
+    Spark plans ``rollup(a, b)`` as Expand ×3 BEFORE the partial
+    aggregation, so the registered form's hash-agg consumes three
+    copies of the joined per-customer relation. Decimal sums are exact
+    and associative, so aggregating ONCE at the finest (r_name, n_name)
+    grain and then rolling up that ~|nations|-row result is
+    value-identical: the heavy agg sees each input row once, and the ×3
+    expand applies to ~30 rows.
+
+    r15 verdict (tools/rollup_expand_shootout.py,
+    BENCH_rollup_expand_shootout.json): medians favor this form at both
+    tiers (−3.6% sf0.1, −4.0% sf1) but the spreads overlap heavily —
+    the expand is NOT t12's dominant cost at these tiers (the fact
+    joins and the per-order/per-customer aggs are), so under the
+    land-only-what-the-shootout-proves rule the registered form keeps
+    the default and this body stays as the re-measurement candidate for
+    a larger tier. It deliberately duplicates the registered form's
+    join prefix — sharing it would drift t12's implementation
+    fingerprint without a REPROVE slot; a future flip merges the two.
+    """
+    if use_bucketed_store:
+        from mapreduce_google_spark.io import bucketed_fact_table
+
+        li = spark.table(
+            bucketed_fact_table(spark, sf_dir, "lineitem", "l_orderkey")
+        )
+        orders = spark.table(
+            bucketed_fact_table(spark, sf_dir, "orders", "o_orderkey")
+        )
+    else:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("rev_dec"),
+        F.count("*").alias("n_lines"),
+    )
+    per_cust = (
+        li_per_order.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li_per_order.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev_dec").alias("rev_dec"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+    )
+    joined = (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    fine = joined.groupBy("r_name", "n_name").agg(
+        F.sum("rev_dec").alias("rev_dec"),  # exact decimal partials
+        F.sum("n_lines").alias("n_lines"),
+    )
+    return (
+        fine.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("rev_dec").cast("double"), 6).alias("revenue"),
+            F.sum("n_lines").cast("long").alias("n_rows"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
 def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T13 — union/intersect/except of customer keys from two segments,
     labeled with the op that produced them."""

@@ -385,6 +385,29 @@ def test_t12_preaggregates_below_join(spark, sf_dir):
     assert re.search(r"Keys \[1\]: \[l_orderkey", plan), plan
 
 
+def test_t12_twolevel_rollup_equals_registered(spark, sf_dir):
+    """The staged r16 flip candidate for t12 (VERDICT r14 item 5):
+    aggregating ONCE at the finest (r_name, n_name) grain and rolling
+    up the ~|nations|-row result must equal the registered form, whose
+    Expand x3 multiplies the whole joined per-customer relation before
+    the partial aggregation (decimal sums are exact and associative, so
+    the regrouping is value-identical). Also pin the plan shape the
+    candidate exists for: a pre-aggregation keyed on exactly
+    (r_name, n_name) below the rollup Expand."""
+    import re
+
+    from mapreduce_google_spark.operators.relational import (
+        revenue_rollup_twolevel,
+    )
+
+    a = [tuple(r) for r in revenue_rollup(spark, sf_dir).collect()]
+    b = [tuple(r) for r in revenue_rollup_twolevel(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+    plan = formatted_plan(revenue_rollup_twolevel(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert re.search(r"Keys \[2\]: \[r_name.*n_name", plan), plan
+
+
 def test_t12_bucketed_store_removes_fact_exchanges(spark, sf_dir):
     """t12's default path reads lineitem/orders from orderkey-bucketed
     stores (io.bucketed_fact_table): both fact scans must report the

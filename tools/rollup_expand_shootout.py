@@ -1,17 +1,15 @@
-"""Shoot out t25's r13/r14 form (JVM-HOF scoring + separate Arrow fold
-crossing) against the FUSED score+fold kernel, registered as t25's
-default since r15 — the decision evidence for VERDICT r14 "What's
-wrong #2" (the fold's extra JVM→Python→JVM crossing was the one r14
-ABBA regression, +2.6%).
+"""Measure t12's rollup-expand cost: registered form (Expand x3 over
+the joined per-customer relation, partial agg on the expanded rows)
+vs the two-level candidate (hash-agg at the finest (r_name, n_name)
+grain first, rollup the ~|nations|-row result) — VERDICT r14 item 5:
+t12 is the most expensive headline by 30% and its fact side is already
+exchange-free, so the expand is the residual cost under test.
 
-Both forms read the same materialized cell-bucketed IVF index and
-produce identical rows (pinned in tests/test_approx_ops.py); the only
-difference is where candidate scoring runs and how many Arrow
-crossings the score→fold region pays. The r15 run measured the fused
-kernel ahead at both tiers (BENCH_ivf_fused_shootout.json) and the
-default flipped; the tool stays for re-measurement.
+Equality is gated in-tool and pinned in tests/test_plans.py. Flip only
+on a measured win at BOTH tiers; a t12 default change needs an r16
+REPROVE slot (both r15 slots went to the t237/t240 consolidation).
 
-Usage: python tools/ivf_fused_shootout.py [sf_dir ...] [--reps N]
+Usage: python tools/rollup_expand_shootout.py [sf_dir ...] [--reps N]
 Default sf dirs: /root/testdata/sf0.1 /tmp/mgs_sf1
 Prints one JSON line per sf dir with per-form medians and spreads.
 """
@@ -25,15 +23,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mapreduce_google_spark.operators.similarity import (  # noqa: E402
-    ivf_topk_from_index,
-    ivf_topk_from_index_fused,
+from mapreduce_google_spark.operators.relational import (  # noqa: E402
+    revenue_rollup,
+    revenue_rollup_twolevel,
 )
 from mapreduce_google_spark.session import get_spark  # noqa: E402
 
 FORMS = {
-    "registered_hof_plus_fold": ivf_topk_from_index,
-    "fused_kernel": ivf_topk_from_index_fused,
+    "registered_expand_full": revenue_rollup,
+    "twolevel_preagg": revenue_rollup_twolevel,
 }
 
 
@@ -52,16 +50,20 @@ def main() -> int:
         del argv[i : i + 2]
     args = [a for a in argv if not a.startswith("--")]
     sf_dirs = args or ["/root/testdata/sf0.1", "/tmp/mgs_sf1"]
-    spark = get_spark(app_name="mgs-ivf-fused-shootout")
+    spark = get_spark(app_name="mgs-rollup-shootout")
     for sf_dir in sf_dirs:
-        # warm (index ensure, codegen, footers) + equality gate
+        # warm (store ensure, codegen, footers) + equality gate
         results = {n: fn(spark, sf_dir).toPandas() for n, fn in FORMS.items()}
+        # rollup subtotal rows carry None keys — sort None-safely
+        def _key(t):
+            return tuple((v is None, v) for v in t)
+
         vals = {
-            n: sorted(map(tuple, df.itertuples(index=False)))
+            n: sorted(map(tuple, df.itertuples(index=False)), key=_key)
             for n, df in results.items()
         }
         assert (
-            vals["registered_hof_plus_fold"] == vals["fused_kernel"]
+            vals["registered_expand_full"] == vals["twolevel_preagg"]
         ), "forms disagree"
         samples: dict[str, list[float]] = {n: [] for n in FORMS}
         for _ in range(reps):
@@ -72,7 +74,7 @@ def main() -> int:
         out = {
             "sf_dir": sf_dir,
             "n_reps": reps,
-            "rows": len(results["fused_kernel"]),
+            "rows": len(results["twolevel_preagg"]),
         }
         for name, xs in samples.items():
             out[name] = [round(median(xs), 3), round(min(xs), 3), round(max(xs), 3)]

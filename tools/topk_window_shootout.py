@@ -69,10 +69,13 @@ def median(xs: list[float]) -> float:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     reps = 5
-    if "--reps" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     sf_dirs = args or ["/root/testdata/sf0.1", "/tmp/mgs_sf1"]
     spark = get_spark(app_name="mgs-topk-shootout")
     for sf_dir in sf_dirs:
