@@ -690,6 +690,32 @@ def test_bloom_lookup_equals_indexed_lookup(spark, sf_dir):
     assert "PushedFilters" in plan and "event_id" in plan, plan
 
 
+def test_lookup_copy_carries_bloom_bytes(spark, sf_dir, tmp_path):
+    """The r15 consolidation invariant: the ONE events lookup copy
+    (_indexed_events_path) must actually carry bloom filter bytes — a
+    regression to a plain write would silently keep t237 correct (the
+    pushed predicate still filters) while losing the row-group skip
+    the flip was measured on. pyarrow cannot read bloom metadata, so
+    presence is asserted the way test_write_parquet_bloom does: the
+    layout's data bytes exceed a plain rewrite of the same rows."""
+    import os
+
+    from mapreduce_google_spark.operators.scale import _indexed_events_path
+
+    lookup = _indexed_events_path(spark, sf_dir)
+    plain = str(tmp_path / "plain")
+    spark.read.parquet(lookup).repartition(16, "event_id").write.parquet(plain)
+
+    def size(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert size(lookup) > size(plain) * 1.02, (size(plain), size(lookup))
+
+
 def test_bloom_lookup_applies_deletes_sidecar(spark, tmp_path):
     """ADVICE r14 flip gate: the bloom lookup must route through
     read_with_deletes — a bare parquet read of a bloom layout would
