@@ -716,6 +716,60 @@ def test_lookup_copy_carries_bloom_bytes(spark, sf_dir, tmp_path):
     assert size(lookup) > size(plain) * 1.02, (size(plain), size(lookup))
 
 
+def test_bloom_lookup_fuzz_probe_sets(spark, tmp_path):
+    """Property fuzz for the r15 default lookup path: on ONE
+    bloom-enabled, DV-deleted table, bloom_lookup must agree with a
+    plain filtered read of the deletes-applied relation for adversarial
+    probe sets — all-miss, all-hit, mixed, duplicated keys, keys at the
+    domain edges, deleted keys, and the empty set (which must return a
+    schema-only empty frame, not scan). Deterministic seed: the probe
+    sets are fixed draws, not per-run randomness — a failure replays."""
+    import random
+
+    from mapreduce_google_spark.io import (
+        delete_where,
+        read_with_deletes,
+        write_parquet_bloom,
+    )
+    from mapreduce_google_spark.operators.scale import bloom_lookup
+
+    n = 20_000
+    path = str(tmp_path / "tbl")
+    write_parquet_bloom(
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 7 % 991).alias("v"))
+        .repartition(8, "k"),
+        path,
+        {"k": n // 8},
+    )
+    deleted = delete_where(spark, path, (F.col("k") % 13) == 0)
+    assert deleted == (n - 1) // 13 + 1  # multiples of 13 in [0, n)
+    ref = {
+        (r["k"], r["v"]) for r in read_with_deletes(spark, path).collect()
+    }
+    rng = random.Random(1517)
+    probe_sets = [
+        [],  # empty: provably-zero result, schema intact
+        [0, 13, 26],  # all deleted
+        [-5, n, n + 17],  # all outside the domain
+        [0, 1, 1, 2, 2, 2],  # duplicates (deleted + survivors)
+        [n - 1, n - 2, 0],  # domain edges
+        rng.sample(range(-100, n + 100), 40),  # mixed draw
+        rng.sample(range(n), 25),  # in-domain draw
+    ]
+    for probes in probe_sets:
+        got = {
+            (r["k"], r["v"])
+            for r in bloom_lookup(spark, path, "k", probes).collect()
+        }
+        want = {t for t in ref if t[0] in set(probes)}
+        assert got == want, (probes[:8], len(got), len(want))
+    # empty probe set keeps the schema
+    empty = bloom_lookup(spark, path, "k", [])
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+    assert empty.count() == 0
+
+
 def test_bloom_lookup_applies_deletes_sidecar(spark, tmp_path):
     """ADVICE r14 flip gate: the bloom lookup must route through
     read_with_deletes — a bare parquet read of a bloom layout would
