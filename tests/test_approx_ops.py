@@ -178,6 +178,35 @@ def test_ivf_fused_kernel_equals_registered(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_ivf_fused_kernel_equality_at_degenerate_params(spark, sf_dir):
+    """The fused kernel's group-wise fold must honor the total order at
+    the settings that stress its edges: k=1 (every boundary is a tie
+    cut), k far above any cell's candidate count (kk=min(k, B) per
+    batch, merge window completes the union), and single-cell probing
+    (fewest candidates per probe, most ties at the k-th value). Each
+    must equal the reference form exactly."""
+    from mapreduce_google_spark.operators.similarity import (
+        ivf_topk_from_index,
+        ivf_topk_from_index_fused,
+    )
+
+    for kwargs in (
+        {"k": 1},
+        {"k": 50},
+        {"n_probe_cells": 1, "k": 3},
+        {"n_probes": 3, "k": 7},
+    ):
+        a = [
+            tuple(r)
+            for r in ivf_topk_from_index(spark, sf_dir, **kwargs).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in ivf_topk_from_index_fused(spark, sf_dir, **kwargs).collect()
+        ]
+        assert a == b and len(a) > 0, kwargs
+
+
 def test_ivf_scans_fraction_of_vectors(spark, sf_dir):
     """The point of IVF: the candidate set is a strict subset of the
     corpus (here ≤ n_probe_cells/n_cells plus skew)."""
