@@ -144,54 +144,33 @@ def customers_with_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     return with_orders.unionAll(without_orders).orderBy("kind", "c_custkey")
 
 
-#: orders row count above which t11's window reads the custkey-bucketed
-#: store instead of the raw table. Measured (r13 probe, medians): at
-#: sf0.1 (150k orders) the raw scan wins slightly — 0.89 s vs 0.996 s
-#: (the exchange is cheap, the 32-file bucketed scan is not free) —
-#: while at sf1 (1.5M) the store wins 2.87 s vs 5.34 s (the exchange IS
-#: the bottleneck). 500k splits the measured points.
-#:
-#: RETIREMENT STAGED FOR r16 (VERDICT r14 item 3): the r15
-#: re-measurement with the dispatcher-retiring instrument
-#: (tools/topk_window_shootout.py, BENCH_topk_window_shootout.json)
-#: shows the small-tier edge is NOISE — sf0.1 medians 0.853 vs 0.928
-#: with fully overlapping spreads (raw 0.75–0.94, store 0.78–0.95) —
-#: while at sf1 the store dominates 3.1× (3.33 s vs 1.06 s). Same
-#: verdict shape that retired t33's dispatcher. Not flipped in r15
-#: only because both driver-window REPROVE slots are spent on the
-#: t237/t240 layout consolidation; r16 has the headroom
-#: (REPROVE["t11_top_orders_per_customer"]=16 + delete this constant
-#: and the raw branch), which also makes the driver green prove the
-#: ONLY remaining path (closes VERDICT r14 missing #2).
-TOPK_WINDOW_STORE_MIN_ROWS = 500_000
-
-
 def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """T11 — top-k orders per customer by totalprice (window row_number).
 
-    One shuffle on o_custkey; ties broken by o_orderkey so ranking is
-    total. At scale, a per-partition pre-filter (rank within partition)
-    isn't needed: Spark's WindowExec streams each key group.
+    Ties broken by o_orderkey so ranking is total. At scale, a
+    per-partition pre-filter (rank within partition) isn't needed:
+    Spark's WindowExec streams each key group.
 
-    SIZE-ADAPTIVE (r13): above :data:`TOPK_WINDOW_STORE_MIN_ROWS`
-    (footer-metadata count, no job) the window reads the
-    custkey-bucketed :func:`io.bucketed_fact_table` store — the window's
-    partitionBy(o_custkey) then consumes bucket co-location and the
-    per-customer sort runs with NO exchange of orders (measured −46% at
-    sf1; the raw scan stays the default at the small tiers where it is
-    measurably faster). A hash-agg top-k form (collect_list → sort_array
-    → slice) was measured and REJECTED: 0.86/5.42 s vs the window's
-    0.84/5.06 s at sf0.1/sf1 — the per-group materialization costs what
-    the sort saves.
+    Reads the custkey-bucketed :func:`io.bucketed_fact_table` store —
+    the window's partitionBy(o_custkey) consumes bucket co-location and
+    the per-customer sort runs with NO exchange of orders. This is the
+    ONLY path since r16: the r13 size dispatcher
+    (``TOPK_WINDOW_STORE_MIN_ROWS``, raw scan below 500k orders) was
+    retired when the r15 re-measurement (tools/topk_window_shootout.py,
+    BENCH_topk_window_shootout.json) showed the raw scan's small-tier
+    edge was NOISE — sf0.1 medians 0.853 vs 0.928 with fully
+    overlapping spreads — while at sf1 the store dominates 3.1×
+    (1.06 s vs 3.33 s). Same verdict shape that retired t33's
+    dispatcher. A hash-agg top-k form (collect_list → sort_array →
+    slice) was measured and REJECTED: 0.86/5.42 s vs the window's
+    0.84/5.06 s at sf0.1/sf1 — the per-group materialization costs
+    what the sort saves.
     """
-    if (_parquet_rows(sf_dir, "orders") or 0) > TOPK_WINDOW_STORE_MIN_ROWS:
-        from mapreduce_google_spark.io import bucketed_fact_table
+    from mapreduce_google_spark.io import bucketed_fact_table
 
-        orders = spark.table(
-            bucketed_fact_table(spark, sf_dir, "orders", "o_custkey")
-        )
-    else:
-        orders = load_table(spark, sf_dir, "orders")
+    orders = spark.table(
+        bucketed_fact_table(spark, sf_dir, "orders", "o_custkey")
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())

@@ -2545,10 +2545,23 @@ def _indexed_events_path(spark: SparkSession, sf_dir: str) -> str:
     t240's distributed-probe batches — the two compose (index picks
     files, bloom bytes skip row groups inside them), so neither needs
     its own layout. ndv is sized PER FILE (rows/16, the even share the
-    hash scatter guarantees), not per table: parquet-mr sizes each
-    file's bitset from the option value, so the r14 total-row-count
-    sizing inflated every file's filter ~16× (ADVICE r14)."""
+    hash scatter guarantees), not per table: parquet-mr sizes each ROW
+    GROUP's bitset from the option value — with one row group per file
+    (true at these file sizes, and what the rows/16 sizing relies on;
+    a file that split into several groups would get each group's filter
+    sized for the whole file, wasting bytes but never correctness —
+    ADVICE r15) that is the file's bitset, so the r14 total-row-count
+    sizing inflated every filter ~16× (ADVICE r14).
+
+    The row count comes from the SOURCE parquet footers (event_id is
+    unique → rows = distinct keys) — a driver-side metadata read, not a
+    ``src.count()`` Spark job: the cold build already pays one full
+    corpus pass to write the copy; scanning it a second time just to
+    size the ndv doubled the cold path (VERDICT r15 wrong #2). The
+    count() fallback survives only for sources whose footers are
+    unreadable."""
     from mapreduce_google_spark.io import write_parquet_bloom
+    from mapreduce_google_spark.operators.relational import _parquet_rows
 
     tag = _tag(sf_dir, "events")
     path = f"/tmp/mgs_events_lookup_{tag}"
@@ -2556,7 +2569,9 @@ def _indexed_events_path(spark: SparkSession, sf_dir: str) -> str:
         src = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        n = src.count()  # event_id is unique → rows = distinct keys
+        n = _parquet_rows(sf_dir, "events")
+        if n is None:  # unreadable footers — pay the job, don't crash
+            n = src.count()
         write_parquet_bloom(
             src.repartition(16, "event_id"),
             path,
@@ -2608,12 +2623,20 @@ def bloom_lookup(
     tables); with no sidecar that is a plain pushed-predicate scan —
     the equality filter pushes through the coordinate projection to the
     parquet source either way (plan-gated in
-    ``tests/test_point_index.py``)."""
+    ``tests/test_point_index.py``).
+
+    An EMPTY probe set short-circuits to ``where(lit(false))``, which
+    Catalyst's PruneFilters collapses to an empty LocalRelation — a
+    guaranteed scan elision. ``isin([])`` would be CORRECT (0 rows) but
+    compiles to an ``In()`` the optimizer rewrites to a null-safe
+    conditional, not an enforced no-scan (ADVICE r15); this mirrors
+    ``read_files_with_deletes``'s empty-files branch."""
     from mapreduce_google_spark.io import read_with_deletes
 
-    return read_with_deletes(spark, path).where(
-        F.col(key_col).isin(list(values))
-    )
+    vals = list(values)
+    if not vals:
+        return read_with_deletes(spark, path).where(F.lit(False))
+    return read_with_deletes(spark, path).where(F.col(key_col).isin(vals))
 
 
 def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

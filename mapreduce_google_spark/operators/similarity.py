@@ -613,7 +613,21 @@ def ivf_topk_from_index_fused(
                 pv = pvecs[int(pid)]
                 dots = mat @ pv  # (B,)
                 norms = np.sqrt((mat * mat).sum(axis=1))
-                cos = _round_half_up_6(dots / (norms * pnorms[int(pid)]))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _round_half_up_6(
+                        dots / (norms * pnorms[int(pid)])
+                    )
+                # a zero-norm embedding (or probe) must fail LOUDLY, not
+                # order a NaN silently: the JVM cosine_similarity path
+                # this kernel is equality-pinned against never produces
+                # one on the test corpora, so a non-finite here means
+                # the corpora diverged from that assumption (ADVICE r15)
+                if not np.isfinite(cos).all():
+                    bad = vec_ids[~np.isfinite(cos)][:5].tolist()
+                    raise ValueError(
+                        f"non-finite cosine for probe {int(pid)} "
+                        f"(zero-norm embedding?): vec_ids {bad}"
+                    )
                 # one-column reuse of the t18 tie-exact selection
                 ri, _ = _batch_topk_rows(cos[:, None], vec_ids, k)
                 frames.append(

@@ -7324,12 +7324,18 @@ REPROVE: dict[str, int] = {
     # the as-of dispatcher's fallback contract.
     "t18_cosine_topk": 14,
     "t33_asof_latest_order": 14,
-    # r15 flipped t237's default to the bloom-filtered layout and
-    # consolidated BOTH lookup strategies onto one bloom-enabled events
-    # copy — t240's posting index now reads that copy too, so both
-    # defaults changed paths.
-    "t237_indexed_point_lookup": 15,
-    "t240_batched_point_lookup": 15,
+    # r16 retired t11's size dispatcher (TOPK_WINDOW_STORE_MIN_ROWS +
+    # the raw branch deleted per BENCH_topk_window_shootout.json: sf0.1
+    # wash, sf1 store 3.1×) — the custkey-bucketed store is now the ONLY
+    # path, so the driver green must come from it (VERDICT r15 item 1).
+    "t11_top_orders_per_customer": 16,
+    # r16 touched the shared lookup substrate both defaults read
+    # (_indexed_events_path cold build sizes ndv from source parquet
+    # footers instead of a src.count() job — VERDICT r15 wrong #2; and
+    # bloom_lookup short-circuits an empty probe set to a guaranteed
+    # scan elision — ADVICE r15).
+    "t237_indexed_point_lookup": 16,
+    "t240_batched_point_lookup": 16,
 }
 
 

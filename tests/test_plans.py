@@ -146,37 +146,56 @@ def test_t33_stores_form_equal_and_coloc(spark, sf_dir):
     assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
 
 
-def test_t11_window_reads_store_above_crossover(spark, sf_dir, monkeypatch):
-    """t11's window dispatches to the custkey-bucketed store above the
-    measured row-count crossover: the bucketed scan must appear and the
-    window must run without an orders exchange; below it, the raw scan
-    stays (r13)."""
+def test_t11_window_reads_bucketed_store(spark, sf_dir):
+    """t11's ONLY path reads the custkey-bucketed orders store (the r13
+    size dispatcher was retired in r16 — BENCH_topk_window_shootout.json
+    measured the raw scan's small-tier edge as noise and the store 3.1×
+    ahead at sf1): the bucketed scan must appear, the window must
+    consume bucket co-location (fewer exchanges than the raw form), and
+    the rows must equal a hand-built raw-scan reference."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     import mapreduce_google_spark.operators.relational as rel
+    from mapreduce_google_spark.io import load_table
 
-    small = formatted_plan(rel.top_orders_per_customer(spark, sf_dir))
-    assert "Bucketed: true" not in small, small
+    store = formatted_plan(rel.top_orders_per_customer(spark, sf_dir))
+    assert "Bucketed: true" in store, store
 
-    small_rows = [tuple(r) for r in rel.top_orders_per_customer(spark, sf_dir).collect()]
-
-    monkeypatch.setattr(rel, "TOPK_WINDOW_STORE_MIN_ROWS", 0)
-    big = formatted_plan(rel.top_orders_per_customer(spark, sf_dir))
-    assert "Bucketed: true" in big, big
+    # raw-scan reference: same window over the unbucketed table
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    raw_df = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
     # the only exchange left is the final global orderBy — the window
     # itself consumes bucket co-location
-    assert big.count("Exchange") < small.count("Exchange"), (
-        big.count("Exchange"),
-        small.count("Exchange"),
+    raw = formatted_plan(raw_df)
+    assert store.count("Exchange") < raw.count("Exchange"), (
+        store.count("Exchange"),
+        raw.count("Exchange"),
     )
-    # and the store path returns exactly the raw path's rows
-    big_rows = [tuple(r) for r in rel.top_orders_per_customer(spark, sf_dir).collect()]
-    assert big_rows == small_rows
+    # and the store path returns exactly the raw form's rows
+    store_rows = [
+        tuple(r) for r in rel.top_orders_per_customer(spark, sf_dir).collect()
+    ]
+    assert store_rows == [tuple(r) for r in raw_df.collect()]
 
 
 def test_t16_session_window_reads_bucketed_events(spark, sf_dir):
     """t16's default path reads the user_id-bucketed events store: the
     session window and both rollup groupBys consume bucket co-location
     (fewer exchanges than the raw scan; result equality asserted here
-    and by the oracle every round). Unlike t11/t33 there is no size
+    and by the oracle every round). Like t11/t33 since r16 there is no size
     dispatch — the store measured faster at every tier (r13)."""
     from mapreduce_google_spark.operators.events import session_window_stats
 

@@ -764,10 +764,17 @@ def test_bloom_lookup_fuzz_probe_sets(spark, tmp_path):
         }
         want = {t for t in ref if t[0] in set(probes)}
         assert got == want, (probes[:8], len(got), len(want))
-    # empty probe set keeps the schema
+    # empty probe set keeps the schema AND elides the scan: the
+    # lit(false) short-circuit (ADVICE r15) must collapse to an empty
+    # LocalRelation — no file scan in the physical plan
+    from mapreduce_google_spark.plans import formatted_plan
+
     empty = bloom_lookup(spark, path, "k", [])
     assert [f.name for f in empty.schema.fields] == ["k", "v"]
     assert empty.count() == 0
+    plan = formatted_plan(empty)
+    assert "Scan parquet" not in plan, plan
+    assert "LocalTableScan" in plan or "EmptyRelation" in plan, plan
 
 
 def test_bloom_lookup_applies_deletes_sidecar(spark, tmp_path):

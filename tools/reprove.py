@@ -21,8 +21,9 @@ A fingerprint is the md5 over:
   values and through closure cells — the registration patterns the
   registry actually uses);
 * the repr of every module-level plain-data constant those functions
-  read (dispatch thresholds like ``TOPK_WINDOW_STORE_MIN_ROWS`` change
-  the default path without touching any function body);
+  read (dispatch thresholds — e.g. ``CLI_LOOKUP_DF_THRESHOLD``, or the
+  retired ``TOPK_WINDOW_STORE_MIN_ROWS`` while it lived — change the
+  default path without touching any function body);
 * the entry's oracle SQL (an oracle edit changes what "green" means).
 
 Limitations, by design: methods resolved off instances at runtime and
@@ -97,10 +98,30 @@ def _referenced(fn: types.FunctionType) -> list[tuple[str, object]]:
     import importlib
     import importlib.util
 
+    import dis
+
     g = getattr(fn, "__globals__", {})
     names: set[str] = set()
+    #: bare non-package IMPORT_NAME operands — an in-body ``import io``
+    #: / ``import json`` puts the bare name in co_names unresolved, and
+    #: the find_spec probe below would then misresolve it to a
+    #: same-named PACKAGE submodule (mapreduce_google_spark.io),
+    #: pulling an unrelated module into the fingerprint (ADVICE r15 —
+    #: over-coverage only, but it charges spurious drift against
+    #: REPROVE slots). IMPORT_NAME vs IMPORT_FROM is the reliable
+    #: discriminator: ``from mapreduce_google_spark.operators import
+    #: codecs`` (the pattern the fixed-point resolution exists for)
+    #: makes "codecs" an IMPORT_FROM operand — NOT excluded — even
+    #: though stdlib ``codecs`` exists, so a sys.modules check would
+    #: reopen the r15 blind spot that skip avoids.
+    toplevel_imports: set[str] = set()
     for code in _iter_codes(fn.__code__):
         names.update(code.co_names)
+        for ins in dis.get_instructions(code):
+            if ins.opname == "IMPORT_NAME":
+                operand = str(ins.argval)
+                if "." not in operand and operand.split(".")[0] != PKG:
+                    toplevel_imports.add(operand)
     # sorted: set iteration is hash-seed-dependent across processes, and
     # pkg_mods ORDER decides which module wins an ambiguous attribute
     # resolution below — the fingerprint must not depend on the seed
@@ -126,7 +147,7 @@ def _referenced(fn: types.FunctionType) -> list[tuple[str, object]]:
     # THROUGH it (codecs.parse_image_dims) resolve too. r14's single
     # pass dropped the module object on the floor, keeping the entire
     # codecs module out of every multimodal fingerprint (ADVICE r14).
-    unresolved = sorted(names - set(direct))
+    unresolved = sorted(names - set(direct) - toplevel_imports)
     resolved: set[str] = set()
     _missing = object()
     changed = True

@@ -1,14 +1,15 @@
-"""Re-measure t11's raw-scan-vs-bucketed-store crossover — VERDICT r14
-next-round item 3 (the instrument that retired t33's dispatcher).
+"""Re-measure t11's raw-scan-vs-bucketed-store question — the
+instrument whose r15 evidence (BENCH_topk_window_shootout.json: sf0.1
+wash, sf1 store 3.1x) RETIRED the ``TOPK_WINDOW_STORE_MIN_ROWS``
+dispatcher in r16, the same verdict shape that retired t33's.
 
-t11's window (row_number over o_custkey) dispatches on
-``TOPK_WINDOW_STORE_MIN_ROWS`` (500k orders): the r13 probe measured
-the raw scan slightly ahead at sf0.1 and the store 1.9x ahead at sf1.
-t33's dispatcher died when the same instrument showed its store form
-dominating at EVERY scale; this tool asks the identical question for
-t11, timing the two branch BODIES directly (the registered function's
-own arms, reconstructed here so the dispatcher cannot route around the
-form under test — exactly impl_shootout.py's forcing pattern).
+Since r16 the ``bucketed_store`` form IS the registered builder
+(``relational.top_orders_per_customer`` — bound directly, so the tool
+can never silently measure a form that drifted from the package;
+VERDICT r15 wrong #3), and ``raw_scan`` is the HISTORICAL reference —
+the retired branch body, kept hand-built here because it no longer
+exists in the package. The in-tool equality gate keeps the comparison
+honest on every re-measurement.
 
 Usage: python tools/topk_window_shootout.py [sf_dir ...] [--reps N]
 Default sf dirs: /root/testdata/sf0.1 /tmp/mgs_sf1
@@ -27,13 +28,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from mapreduce_google_spark.io import bucketed_fact_table, load_table  # noqa: E402
+from mapreduce_google_spark.io import load_table  # noqa: E402
+from mapreduce_google_spark.operators.relational import (  # noqa: E402
+    top_orders_per_customer,
+)
 from mapreduce_google_spark.session import get_spark  # noqa: E402
 
 K = 3
 
 
 def _window_topk(orders):
+    # the RETIRED raw branch body (historical reference — r16 deleted it
+    # from the package; see module docstring)
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -54,9 +60,7 @@ def raw_scan(spark, sf_dir):
 
 
 def bucketed_store(spark, sf_dir):
-    return _window_topk(
-        spark.table(bucketed_fact_table(spark, sf_dir, "orders", "o_custkey"))
-    )
+    return top_orders_per_customer(spark, sf_dir, k=K)
 
 
 FORMS = {"raw_scan": raw_scan, "bucketed_store": bucketed_store}
