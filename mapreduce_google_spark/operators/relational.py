@@ -188,62 +188,81 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
 
 
 def revenue_rollup(
-    spark: SparkSession, sf_dir: str, use_bucketed_store: bool = True
+    spark: SparkSession, sf_dir: str, form: str | None = None
 ) -> DataFrame:
     """T12 — revenue by (region, nation) with ROLLUP subtotals.
 
-    lineitem is pre-aggregated to order grain BEFORE the fact-fact join,
-    then collapsed again to CUSTOMER grain before the customer join:
-    exact decimal accumulation is associative (unlike double sums, whose
-    value depends on add order), so pushing partial sums below joins is
-    safe — the first collapse shrinks the heavy lineitem→orders exchange
-    by the lines-per-order factor, the second shrinks the customer-join
-    exchange by the orders-per-customer factor (the same trick T09
-    uses). customer is mid-size (broadcast at test sf, bucketed join at
-    scale); nation/region broadcast. Rollup adds grouping-set expansion
-    after aggregation — no extra scan.
+    DEFAULT = the PRE-JOINED store form (r16, VERDICT r15 item 3): the
+    fact side is ONE exchange-free per-customer hash-agg over
+    :func:`prejoined_order_lines_table` — the custkey-bucketed
+    lineitem ⋈ orders line store already carries ``o_custkey`` on every
+    line, so the per-order pre-agg AND the fact-fact join the previous
+    default ran at query time are paid once per corpus version in the
+    store build instead. Measured (tools/rollup_expand_shootout.py,
+    BENCH_rollup_expand_shootout.json, equality-gated in-tool): medians
+    0.875 vs 1.418 s at sf0.1 (−38%), 1.055 vs 3.032 s at sf1 (−65%),
+    2.087 vs 7.636 s at the 30× replica (−73%) — spreads fully
+    separated at every tier, and the win GROWS with scale because the
+    store removes the two stages whose cost scales with lineitem. The
+    same shootout settled the r15 twolevel question: pushing the rollup
+    Expand above a finest-grain pre-agg is a wash on EVERY substrate
+    (the expand was never the dominant cost; the join chain was), so
+    the retired ``revenue_rollup_twolevel`` candidate is gone.
 
-    ``use_bucketed_store`` (default on, VERDICT r12 item 6) reads
-    lineitem and orders from :func:`io.bucketed_fact_table` copies
-    bucketed on orderkey: the per-order pre-aggregation AND both sides
-    of the fact-fact join then run with ZERO exchange of either fact
-    table (plan-gated in ``tests/test_plans.py``) — at 100 TB the
-    orderkey-bucketed layout is written once and every query in the
-    orderkey join family reuses it; only CUSTOMER-grain partials (rows
-    ÷ lines-per-order ÷ orders-per-customer) ever cross the wire here.
-    Result-identical to the direct path (same plan past the scans).
+    ``form`` forces a reference path (equality pinned in
+    ``tests/test_plans.py``): ``"orderkey_stores"`` is the r13–r15
+    default — per-order pre-agg below the fact-fact join on
+    orderkey-bucketed stores, customer-grain partials exchanged;
+    ``"direct"`` is the storeless form (a corpus read with no store
+    budget). Shared tail for all three: broadcast
+    customer/nation/region joins, rollup Expand over the per-customer
+    relation (~|customers| rows — grouping-set expansion after
+    aggregation, no extra scan), exact decimal partials throughout
+    (associative, so regrouping across forms is value-identical).
     """
-    if use_bucketed_store:
-        from mapreduce_google_spark.io import bucketed_fact_table
-
-        li = spark.table(
-            bucketed_fact_table(spark, sf_dir, "lineitem", "l_orderkey")
-        )
-        orders = spark.table(
-            bucketed_fact_table(spark, sf_dir, "orders", "o_orderkey")
-        )
-    else:
-        li = load_table(spark, sf_dir, "lineitem")
-        orders = load_table(spark, sf_dir, "orders")
+    form = form or "prejoined"
     customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     revenue = money("l_extendedprice") * one_minus("l_discount")
-    li_per_order = li.groupBy("l_orderkey").agg(
-        F.sum(revenue).alias("rev_dec"),  # exact decimal partial sum
-        F.count("*").alias("n_lines"),
-    )
-    per_cust = (
-        li_per_order.join(
-            orders.select("o_orderkey", "o_custkey"),
-            li_per_order.l_orderkey == F.col("o_orderkey"),
+    if form == "prejoined":
+        store = spark.table(prejoined_order_lines_table(spark, sf_dir))
+        per_cust = store.groupBy("o_custkey").agg(
+            F.sum(revenue).alias("rev_dec"),  # exact decimal partials
+            F.count("*").alias("n_lines"),
         )
-        .groupBy("o_custkey")
-        .agg(
-            F.sum("rev_dec").alias("rev_dec"),
-            F.sum("n_lines").alias("n_lines"),
+    elif form in ("orderkey_stores", "direct"):
+        if form == "orderkey_stores":
+            from mapreduce_google_spark.io import bucketed_fact_table
+
+            li = spark.table(
+                bucketed_fact_table(spark, sf_dir, "lineitem", "l_orderkey")
+            )
+            orders = spark.table(
+                bucketed_fact_table(spark, sf_dir, "orders", "o_orderkey")
+            )
+        else:
+            li = load_table(spark, sf_dir, "lineitem")
+            orders = load_table(spark, sf_dir, "orders")
+        li_per_order = li.groupBy("l_orderkey").agg(
+            F.sum(revenue).alias("rev_dec"),  # exact decimal partial sum
+            F.count("*").alias("n_lines"),
         )
-    )
+        per_cust = (
+            li_per_order.join(
+                orders.select("o_orderkey", "o_custkey"),
+                li_per_order.l_orderkey == F.col("o_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.sum("rev_dec").alias("rev_dec"),
+                F.sum("n_lines").alias("n_lines"),
+            )
+        )
+    else:
+        raise ValueError(
+            f"unknown form {form!r}; use prejoined|orderkey_stores|direct"
+        )
     joined = (
         per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
@@ -259,79 +278,41 @@ def revenue_rollup(
     )
 
 
-def revenue_rollup_twolevel(
-    spark: SparkSession, sf_dir: str, use_bucketed_store: bool = True
-) -> DataFrame:
-    """t12 with the rollup EXPAND pushed above a finest-grain pre-agg —
-    measured, NOT flipped (VERDICT r14 item 5; equality pinned in
-    ``tests/test_plans.py::test_t12_twolevel_rollup_equals_registered``).
+def prejoined_order_lines_table(spark: SparkSession, sf_dir: str) -> str:
+    """custkey-bucketed DENORMALIZED line store: lineitem ⋈ orders
+    projected to ``(o_custkey, o_orderkey, l_extendedprice,
+    l_discount)`` at LINE grain, bucketed+sorted on ``o_custkey`` — the
+    t33 pattern applied to t12's join prefix (VERDICT r15 item 3: at
+    30× the per-order join chain is t12's residual cost; this store
+    pays it ONCE per corpus version). Raw columns, not precomputed
+    sums, so the store stays semantics-neutral: any custkey-grain
+    revenue/count query over order lines can consume it, and parquet
+    column pruning keeps narrower readers cheap. The build itself joins
+    the two ORDERKEY-bucketed stores, so even the one-time cost is
+    exchange-free on the fact side."""
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        bucketed_fact_table,
+        cache_tag,
+        shared_store_path,
+    )
 
-    Spark plans ``rollup(a, b)`` as Expand ×3 BEFORE the partial
-    aggregation, so the registered form's hash-agg consumes three
-    copies of the joined per-customer relation. Decimal sums are exact
-    and associative, so aggregating ONCE at the finest (r_name, n_name)
-    grain and then rolling up that ~|nations|-row result is
-    value-identical: the heavy agg sees each input row once, and the ×3
-    expand applies to ~30 rows.
+    tag = cache_tag(sf_dir, "lineitem", "orders")
+    name = f"mgs_order_lines_custkey_{tag}"
 
-    r15 verdict (tools/rollup_expand_shootout.py,
-    BENCH_rollup_expand_shootout.json): medians favor this form at both
-    tiers (−3.6% sf0.1, −4.0% sf1) but the spreads overlap heavily —
-    the expand is NOT t12's dominant cost at these tiers (the fact
-    joins and the per-order/per-customer aggs are), so under the
-    land-only-what-the-shootout-proves rule the registered form keeps
-    the default and this body stays as the re-measurement candidate for
-    a larger tier. It deliberately duplicates the registered form's
-    join prefix — sharing it would drift t12's implementation
-    fingerprint without a REPROVE slot; a future flip merges the two.
-    """
-    if use_bucketed_store:
-        from mapreduce_google_spark.io import bucketed_fact_table
-
+    def build():
         li = spark.table(
             bucketed_fact_table(spark, sf_dir, "lineitem", "l_orderkey")
-        )
+        ).select("l_orderkey", "l_extendedprice", "l_discount")
         orders = spark.table(
             bucketed_fact_table(spark, sf_dir, "orders", "o_orderkey")
+        ).select("o_orderkey", "o_custkey")
+        return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "o_custkey", "o_orderkey", "l_extendedprice", "l_discount"
         )
-    else:
-        li = load_table(spark, sf_dir, "lineitem")
-        orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    region = F.broadcast(load_table(spark, sf_dir, "region"))
-    revenue = money("l_extendedprice") * one_minus("l_discount")
-    li_per_order = li.groupBy("l_orderkey").agg(
-        F.sum(revenue).alias("rev_dec"),
-        F.count("*").alias("n_lines"),
-    )
-    per_cust = (
-        li_per_order.join(
-            orders.select("o_orderkey", "o_custkey"),
-            li_per_order.l_orderkey == F.col("o_orderkey"),
-        )
-        .groupBy("o_custkey")
-        .agg(
-            F.sum("rev_dec").alias("rev_dec"),
-            F.sum("n_lines").alias("n_lines"),
-        )
-    )
-    joined = (
-        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
-        .join(nation, customer.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-    )
-    fine = joined.groupBy("r_name", "n_name").agg(
-        F.sum("rev_dec").alias("rev_dec"),  # exact decimal partials
-        F.sum("n_lines").alias("n_lines"),
-    )
-    return (
-        fine.rollup("r_name", "n_name")
-        .agg(
-            F.round(F.sum("rev_dec").cast("double"), 6).alias("revenue"),
-            F.sum("n_lines").cast("long").alias("n_rows"),
-        )
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+
+    return adopt_or_build_bucketed_table(
+        spark, name, shared_store_path(name), ["o_custkey"], 32, build
     )
 
 

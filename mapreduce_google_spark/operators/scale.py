@@ -305,33 +305,73 @@ def event_pairs_within_minute(
     spark: SparkSession,
     sf_dir: str,
     window_s: int = 60,
-    use_bucketed_store: bool = True,
+    form: str | None = None,
 ) -> DataFrame:
-    """T45 — bucketed range self-join: pairs of events by the same user
-    within ``window_s`` seconds, counted per (earlier, later) event-type.
+    """T45 — pairs of events by the same user within ``window_s``
+    seconds, counted per (earlier, later) event-type.
 
-    A naive interval self-join is a non-equi join — BroadcastNestedLoop
-    at small scale, undoable at 100 TB. The scalable shape is
-    candidate-then-verify, the same as the LSH dedup pipeline
-    (``operators/dedup.py``): bucket time into ``window_s`` blocks, join
-    on ``(user_id, bucket)`` where the later event probes its own and the
-    previous bucket (any pair ≤ window_s apart must land in the same or
-    adjacent buckets), then refine with the exact timestamp predicate.
-    Everything is hash-equi-join + filter: shuffles on (user, bucket),
-    never a cross product.
+    DEFAULT = the RANGE-FRAME window form (r16, VERDICT r15 item 5):
+    per earlier event, the later event-types within the window are
+    exactly ``collect_list(event_type)`` over ``rangeBetween(1 µs,
+    window_s)`` ordered by ``unix_micros(ts)`` within the user
+    partition — the strictly-after lower bound is the join form's
+    ``ts_b > ts_a`` and the inclusive upper its ``ts_b <= ts_a +
+    window_s``. The window consumes the user_id-bucketed store's
+    co-location (shared with t16; only a local (user, ts) sort is
+    added), so the fact side runs with ZERO exchange — the previous
+    default shuffled BOTH self-join sides on (user, bucket) and doubled
+    the probe side with a 2-bucket explode, costs that grow with the
+    corpus. Measured (tools/event_pairs_shootout.py,
+    BENCH_event_pairs_shootout.json, equality-gated in-tool): medians
+    0.334 vs 0.678 s at sf0.1 (−51%), 0.439 vs 1.722 s at sf1 (−75%),
+    0.327 vs 3.915 s at the 30× replica (−92%) — t45 was the worst 30×
+    scaler (6.39×) and the exchange-free form is essentially FLAT
+    across 30× of data on 32 local cores.
 
-    ``use_bucketed_store`` (default on, r13): both self-join sides scan
-    the user_id-bucketed events store (shared with t16) — measured
-    faster at both tiers (1.20→0.84 s sf0.1, 2.79→1.63 s sf1; the
-    (user, bucket) exchange remains but reads a pre-clustered, sorted
-    scan). Result-identical; plan-gated in tests/test_plans.py.
+    ``form`` forces a reference path (equality pinned in
+    ``tests/test_plans.py``): ``"bucket_join"`` is the r13–r15 default
+    — time bucketed into ``window_s`` blocks, self-join on (user_id,
+    bucket) with the later side probing its own and the previous bucket
+    (any pair ≤ window_s apart lands in same/adjacent buckets), exact
+    timestamp refine — hash-equi-join + filter, never a cross product
+    (a naive interval self-join is BroadcastNestedLoop, undoable at
+    100 TB); ``"raw_join"`` is the same join over the raw scan (no
+    store budget). At 100 TB the window form's per-user frame buffer is
+    bounded by events-per-user-per-minute — per-key skew, not corpus
+    size — while the join forms' exchange grows with the corpus.
     """
-    if use_bucketed_store:
-        from mapreduce_google_spark.io import bucketed_fact_table
+    form = form or "rangeframe"
+    from mapreduce_google_spark.io import bucketed_fact_table
 
-        ev_src = spark.table(bucketed_fact_table(spark, sf_dir, "events", "user_id"))
-    else:
+    if form == "rangeframe":
+        ev = spark.table(
+            bucketed_fact_table(spark, sf_dir, "events", "user_id")
+        ).select("user_id", "ts", "event_type")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros("ts"))
+            .rangeBetween(1, window_s * 1_000_000)
+        )
+        return (
+            ev.select(
+                F.col("event_type").alias("type_a"),
+                F.collect_list("event_type").over(w).alias("laters"),
+            )
+            .select("type_a", F.explode("laters").alias("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .orderBy("type_a", "type_b")
+        )
+    if form == "bucket_join":
+        ev_src = spark.table(
+            bucketed_fact_table(spark, sf_dir, "events", "user_id")
+        )
+    elif form == "raw_join":
         ev_src = load_table(spark, sf_dir, "events")
+    else:
+        raise ValueError(
+            f"unknown form {form!r}; use rangeframe|bucket_join|raw_join"
+        )
     ev = ev_src.select("event_id", "user_id", "ts", "event_type")
     bucket = F.floor(F.unix_micros("ts") / F.lit(window_s * 1_000_000))
     earlier = ev.select(

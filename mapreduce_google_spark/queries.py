@@ -7164,9 +7164,10 @@ EAGER_BUILD: frozenset[str] = frozenset(
         "t40_bucketed_segment_revenue",
         "t42_partition_pruned_daily",
         "t09_revenue_per_region",  # custkey-bucketed orders store (r13)
-        "t12_revenue_rollup",  # orderkey-bucketed lineitem+orders stores (r13)
+        "t12_revenue_rollup",  # custkey pre-joined line store (r16)
         "t16_session_window",  # user_id-bucketed events store (r13)
-        "t45_event_pairs_within_minute",  # same events store as t16 (r13)
+        "t45_event_pairs_within_minute",  # same events store as t16 (r13;
+        # rangeframe window since r16, still the same store)
         "t18_cosine_topk",  # probe-set collect (probe-sized, GEMM constant)
         "t25_ivf_topk",  # cell-bucketed IVF assignment index (r13)
         "t65_incremental_dedup",
@@ -7336,6 +7337,13 @@ REPROVE: dict[str, int] = {
     # scan elision — ADVICE r15).
     "t237_indexed_point_lookup": 16,
     "t240_batched_point_lookup": 16,
+    # r16 flipped t12's default onto the custkey-bucketed PRE-JOINED
+    # line store (BENCH_rollup_expand_shootout.json: −38%/−65%/−73% at
+    # sf0.1/sf1/sf3, spreads fully separated) and t45's onto the
+    # range-frame window form (BENCH_event_pairs_shootout.json:
+    # −51%/−75%/−92%, flat across 30×) — both VERDICT r15 items 3/5.
+    "t12_revenue_rollup": 16,
+    "t45_event_pairs_within_minute": 16,
 }
 
 

@@ -218,22 +218,43 @@ def test_t16_session_window_reads_bucketed_events(spark, sf_dir):
     assert a == b
 
 
-def test_t45_range_self_join_reads_bucketed_events(spark, sf_dir):
-    """t45's default path scans the user_id-bucketed events store on
-    both self-join sides (shared with t16) — bucketed scans in the
-    plan, results identical to the raw-scan form (r13)."""
+def test_t45_rangeframe_default_equals_forced_forms(spark, sf_dir):
+    """t45's r16 flip gate: the registered default (range-frame window
+    over the user_id-bucketed store —
+    BENCH_event_pairs_shootout.json: −51% sf0.1, −75% sf1, −92% at 30×,
+    essentially flat across scale) must produce exactly the bucketed
+    self-join's and the raw join's (type_a, type_b) counts — the frame
+    bounds (1 µs, window] encode the same strictly-after /
+    within-window predicate. Also pin the plan shape the flip bought:
+    no join at all, a bucketed store scan, and strictly fewer
+    exchanges than either join form (the window consumes bucket
+    co-location; the joins shuffled both sides on (user, bucket))."""
     from mapreduce_google_spark.operators.scale import event_pairs_within_minute
 
-    bucketed = formatted_plan(event_pairs_within_minute(spark, sf_dir))
-    assert "Bucketed: true" in bucketed, bucketed
     a = [tuple(r) for r in event_pairs_within_minute(spark, sf_dir).collect()]
     b = [
         tuple(r)
         for r in event_pairs_within_minute(
-            spark, sf_dir, use_bucketed_store=False
+            spark, sf_dir, form="bucket_join"
         ).collect()
     ]
-    assert a == b
+    c = [
+        tuple(r)
+        for r in event_pairs_within_minute(spark, sf_dir, form="raw_join").collect()
+    ]
+    assert a == b == c and len(a) > 0
+    plan = formatted_plan(event_pairs_within_minute(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    for ref_form in ("bucket_join", "raw_join"):
+        ref = formatted_plan(
+            event_pairs_within_minute(spark, sf_dir, form=ref_form)
+        )
+        assert plan.count("Exchange") < ref.count("Exchange"), (
+            ref_form,
+            plan.count("Exchange"),
+            ref.count("Exchange"),
+        )
 
 
 def test_t40_bucketed_join_has_no_join_exchange(spark, sf_dir):
@@ -392,51 +413,58 @@ def test_t24_near_dup_avoids_nested_loop(spark, sf_dir):
 
 def test_t12_preaggregates_below_join(spark, sf_dir):
     """The decimal-sum recipe makes partial aggregation associative, so
-    t12 must keep its lineitem→order-grain pre-aggregation (the heavy
-    exchange shrinks by the lines-per-order factor): a HashAggregate
-    keyed on l_orderkey has to sit in the plan."""
+    t12 pre-aggregates below the customer join in EVERY form: the
+    default (prejoined store) must carry a HashAggregate keyed solely
+    on o_custkey below the join (only customer-grain partials reach the
+    broadcast tail), and the forced orderkey_stores reference must keep
+    its lineitem→order-grain pre-aggregation (the heavy exchange
+    shrinks by the lines-per-order factor)."""
     import re
 
     plan = formatted_plan(revenue_rollup(spark, sf_dir))
-    # formatted mode lists each HashAggregate's "Keys [n]: [...]" detail
-    # on its own line — an aggregate keyed solely on l_orderkey IS the
-    # pre-aggregation below the join
-    assert re.search(r"Keys \[1\]: \[l_orderkey", plan), plan
+    assert re.search(r"Keys \[1\]: \[o_custkey", plan), plan
+    stores = formatted_plan(revenue_rollup(spark, sf_dir, form="orderkey_stores"))
+    assert re.search(r"Keys \[1\]: \[l_orderkey", stores), stores
 
 
-def test_t12_twolevel_rollup_equals_registered(spark, sf_dir):
-    """The staged r16 flip candidate for t12 (VERDICT r14 item 5):
-    aggregating ONCE at the finest (r_name, n_name) grain and rolling
-    up the ~|nations|-row result must equal the registered form, whose
-    Expand x3 multiplies the whole joined per-customer relation before
-    the partial aggregation (decimal sums are exact and associative, so
-    the regrouping is value-identical). Also pin the plan shape the
-    candidate exists for: a pre-aggregation keyed on exactly
-    (r_name, n_name) below the rollup Expand."""
-    import re
-
-    from mapreduce_google_spark.operators.relational import (
-        revenue_rollup_twolevel,
-    )
-
+def test_t12_prejoined_default_equals_forced_forms(spark, sf_dir):
+    """t12's r16 flip gate: the registered default (custkey-bucketed
+    PRE-JOINED line store — BENCH_rollup_expand_shootout.json: −38%
+    sf0.1, −65% sf1, −73% at 30×, spreads fully separated) must equal
+    both forced reference forms — the store's build is the same
+    lineitem ⋈ orders the old default ran at query time, and decimal
+    partials are associative, so collapsing per-customer straight off
+    the store is value-identical. Also pin the plan shape the flip
+    bought: a bucketed store scan, zero fact-side exchange — strictly
+    fewer exchanges than either reference."""
     a = [tuple(r) for r in revenue_rollup(spark, sf_dir).collect()]
-    b = [tuple(r) for r in revenue_rollup_twolevel(spark, sf_dir).collect()]
-    assert a == b and len(a) > 0
-    plan = formatted_plan(revenue_rollup_twolevel(spark, sf_dir))
-    assert "Expand" in plan, plan
-    assert re.search(r"Keys \[2\]: \[r_name.*n_name", plan), plan
+    b = [
+        tuple(r)
+        for r in revenue_rollup(spark, sf_dir, form="orderkey_stores").collect()
+    ]
+    c = [tuple(r) for r in revenue_rollup(spark, sf_dir, form="direct").collect()]
+    assert a == b == c and len(a) > 0
+    plan = formatted_plan(revenue_rollup(spark, sf_dir))
+    assert "Bucketed: true" in plan, plan
+    for ref_form in ("orderkey_stores", "direct"):
+        ref = formatted_plan(revenue_rollup(spark, sf_dir, form=ref_form))
+        assert plan.count("Exchange") < ref.count("Exchange"), (
+            ref_form,
+            plan.count("Exchange"),
+            ref.count("Exchange"),
+        )
 
 
-def test_t12_bucketed_store_removes_fact_exchanges(spark, sf_dir):
-    """t12's default path reads lineitem/orders from orderkey-bucketed
-    stores (io.bucketed_fact_table): both fact scans must report the
-    bucketed layout and the plan must carry strictly fewer exchanges
-    than the direct path — the per-order pre-agg and the fact-fact join
-    consume bucket co-location instead of shuffling (VERDICT r12 item
-    6). Results are identical by construction (same plan past the
-    scans); the oracle pins them every round."""
-    direct = formatted_plan(revenue_rollup(spark, sf_dir, use_bucketed_store=False))
-    bucketed = formatted_plan(revenue_rollup(spark, sf_dir))
+def test_t12_orderkey_stores_form_removes_fact_exchanges(spark, sf_dir):
+    """The r13–r15 default, kept as a forced reference
+    (form="orderkey_stores"): both fact scans must report the bucketed
+    layout and the plan must carry strictly fewer exchanges than the
+    direct path — the per-order pre-agg and the fact-fact join consume
+    bucket co-location instead of shuffling (VERDICT r12 item 6). The
+    property is pinned so the reference the r16 default is
+    equality-gated against cannot silently degrade."""
+    direct = formatted_plan(revenue_rollup(spark, sf_dir, form="direct"))
+    bucketed = formatted_plan(revenue_rollup(spark, sf_dir, form="orderkey_stores"))
     assert bucketed.count("Bucketed: true") >= 2, bucketed
     assert bucketed.count("Exchange") < direct.count("Exchange"), (
         bucketed.count("Exchange"),

@@ -6,8 +6,11 @@ sf1 copy under /tmp/mgs_sf1.
 
 Writes BENCH_bucketed_fact_crossover.json:
   build_s        — cold store build (both tables) from clean /tmp paths
-  direct_s       — median revenue_rollup(use_bucketed_store=False)
-  bucketed_s     — median revenue_rollup(use_bucketed_store=True), warm
+  direct_s       — median revenue_rollup(form="direct")
+  bucketed_s     — median revenue_rollup(form="orderkey_stores"), warm
+  (r16 note: the REGISTERED default moved on to the custkey pre-joined
+  store — this instrument measures the r12 orderkey-store question and
+  binds the forced reference forms, not the default)
   runs_to_amortize — build_s / (direct_s - bucketed_s)
 
 Run on an idle host (concurrent jobs inflate the small-scale medians —
@@ -59,13 +62,13 @@ def measure(spark, sf_dir: str, n_reps: int) -> dict:
     bucketed_fact_table(spark, sf_dir, "orders", "o_orderkey")
     build_s = time.time() - t0
     # warm both paths once (codegen, footers) before timing
-    revenue_rollup(spark, sf_dir, use_bucketed_store=True).collect()
-    revenue_rollup(spark, sf_dir, use_bucketed_store=False).collect()
+    revenue_rollup(spark, sf_dir, form="orderkey_stores").collect()
+    revenue_rollup(spark, sf_dir, form="direct").collect()
     bucketed_s = _median(
-        lambda: revenue_rollup(spark, sf_dir, use_bucketed_store=True), n_reps
+        lambda: revenue_rollup(spark, sf_dir, form="orderkey_stores"), n_reps
     )
     direct_s = _median(
-        lambda: revenue_rollup(spark, sf_dir, use_bucketed_store=False), n_reps
+        lambda: revenue_rollup(spark, sf_dir, form="direct"), n_reps
     )
     saving = direct_s - bucketed_s
     return {

@@ -1,13 +1,20 @@
-"""Measure t12's rollup-expand cost: registered form (Expand x3 over
-the joined per-customer relation, partial agg on the expanded rows)
-vs the two-level candidate (hash-agg at the finest (r_name, n_name)
-grain first, rollup the ~|nations|-row result) — VERDICT r14 item 5:
-t12 is the most expensive headline by 30% and its fact side is already
-exchange-free, so the expand is the residual cost under test.
+"""Measure t12's forms. History: r15 asked whether the rollup Expand
+x3 was the residual cost — the two-level candidate (hash-agg at the
+finest grain first, rollup the ~30-row result) was a WASH at every
+measured tier (sf0.1/sf1/sf3), settling that the expand was never the
+dominant cost; the join chain was. The r16 measurement answered the
+real question (VERDICT r15 item 3): the custkey-bucketed PRE-JOINED
+lineitem ⋈ orders store removes the per-order join AND the
+per-customer exchange from query time — medians 0.875/1.418 sf0.1
+(−38%), 1.055/3.032 sf1 (−65%), 2.087/7.636 sf3 (−73%), spreads fully
+separated — so ``prejoined`` now IS the registered builder (bound
+directly; the tool can never silently measure a drifted form) and the
+two join-at-query-time forms are its forced references. The retired
+twolevel candidate is gone from the package (its question is closed).
 
-Equality is gated in-tool and pinned in tests/test_plans.py. Flip only
-on a measured win at BOTH tiers; a t12 default change needs an r16
-REPROVE slot (both r15 slots went to the t237/t240 consolidation).
+Equality is gated in-tool and pinned in tests/test_plans.py. A future
+default change needs a fresh win that separates from the spread plus a
+REPROVE slot.
 
 Usage: python tools/rollup_expand_shootout.py [sf_dir ...] [--reps N]
 Default sf dirs: /root/testdata/sf0.1 /tmp/mgs_sf1
@@ -25,13 +32,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mapreduce_google_spark.operators.relational import (  # noqa: E402
     revenue_rollup,
-    revenue_rollup_twolevel,
 )
 from mapreduce_google_spark.session import get_spark  # noqa: E402
 
 FORMS = {
-    "registered_expand_full": revenue_rollup,
-    "twolevel_preagg": revenue_rollup_twolevel,
+    "prejoined_store": revenue_rollup,  # registered default
+    "orderkey_stores": lambda spark, sf_dir: revenue_rollup(
+        spark, sf_dir, form="orderkey_stores"
+    ),
+    "direct": lambda spark, sf_dir: revenue_rollup(
+        spark, sf_dir, form="direct"
+    ),
 }
 
 
@@ -62,9 +73,9 @@ def main() -> int:
             n: sorted(map(tuple, df.itertuples(index=False)), key=_key)
             for n, df in results.items()
         }
-        assert (
-            vals["registered_expand_full"] == vals["twolevel_preagg"]
-        ), "forms disagree"
+        ref = vals["prejoined_store"]
+        for n, v in vals.items():
+            assert v == ref, f"form {n} disagrees with registered"
         samples: dict[str, list[float]] = {n: [] for n in FORMS}
         for _ in range(reps):
             for name, fn in FORMS.items():
@@ -74,7 +85,7 @@ def main() -> int:
         out = {
             "sf_dir": sf_dir,
             "n_reps": reps,
-            "rows": len(results["twolevel_preagg"]),
+            "rows": len(results["prejoined_store"]),
         }
         for name, xs in samples.items():
             out[name] = [round(median(xs), 3), round(min(xs), 3), round(max(xs), 3)]
