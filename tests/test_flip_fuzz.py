@@ -1,0 +1,229 @@
+"""Adversarial-corpus equality fuzz for the r16 default flips.
+
+The r16 flips (t12 → pre-joined custkey line store, t45 → range-frame
+window) were equality-gated on the TPC-H-shaped test corpora at three
+tiers — but shaped corpora can't probe the edges where a rewrite
+usually breaks: same-microsecond ties, pairs exactly ON the window
+boundary, pathological per-user skew, and referential raggedness
+(customers without orders, orders without lines, dangling foreign
+keys). These tests build SMALL GENERATED corpora that concentrate
+exactly those edges and pin:
+
+* every registered form (default + forced references) agrees on them;
+* the default agrees with an INDEPENDENT implementation — a pure-Python
+  brute force for t45 and the DuckDB oracle SQL for t12 — so a shared
+  Spark-side bug cannot hide behind cross-form agreement.
+
+Deterministic seeds: failures replay."""
+
+from __future__ import annotations
+
+import datetime
+import random
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from tests.oracle import assert_matches_oracle
+
+
+def _write_parquet(tmp_path, name: str, df: pd.DataFrame) -> None:
+    df.to_parquet(str(tmp_path / f"{name}.parquet"), index=False)
+
+
+# --- t45: range-frame window vs joins vs brute force ------------------------
+
+
+def _adversarial_events(seed: int = 1601) -> pd.DataFrame:
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+
+    def add(user, micros_offset, etype):
+        rows.append(
+            {
+                "event_id": len(rows),
+                "ts": base + datetime.timedelta(microseconds=micros_offset),
+                "user_id": user,
+                "event_type": etype,
+            }
+        )
+
+    types = ["click", "view", "buy", "scroll", "hover"]
+    # bot user 7: 300 events packed into 90 s (per-user skew — the
+    # range-frame's per-row frame buffer and the join's fan-out both
+    # stress here)
+    t = 0
+    for _ in range(300):
+        t += rng.randint(1, 600_000)  # ≤0.6 s steps
+        add(7, t, rng.choice(types))
+    # user 3: same-microsecond ties — strictly-after must EXCLUDE both
+    # directions of an equal-timestamp pair
+    for k in range(4):
+        tie = 5_000_000 + k * 10_000_000
+        add(3, tie, "click")
+        add(3, tie, "view")
+    # user 5: pairs exactly ON the 60 s boundary (inclusive) and 1 µs
+    # past it (exclusive)
+    add(5, 0, "click")
+    add(5, 60_000_000, "view")  # dt == window  → counted
+    add(5, 120_000_001, "buy")  # dt == window+1µs from the previous → not
+    # user 9: pair straddling a 60 s bucket boundary (59.999999 s and
+    # 60.000001 s) — the join form must find it in the adjacent bucket
+    add(9, 59_999_999, "click")
+    add(9, 60_000_001, "view")
+    # background: 40 users, sparse-to-dense mixed cadence
+    for _ in range(1500):
+        add(
+            rng.randint(10, 49),
+            rng.randint(0, 3_600_000_000),  # one hour span
+            rng.choice(types),
+        )
+    return pd.DataFrame(rows)
+
+
+def _brute_force_pairs(df: pd.DataFrame, window_s: int) -> dict:
+    per_user = defaultdict(list)
+    for r in df.itertuples(index=False):
+        micros = int(r.ts.value // 1000)  # pandas Timestamp ns → µs
+        per_user[r.user_id].append((micros, r.event_type))
+    exp: Counter = Counter()
+    w = window_s * 1_000_000
+    for evs in per_user.values():
+        evs.sort()
+        for i, (ta, tya) in enumerate(evs):
+            for tb, tyb in evs[i + 1 :]:
+                if tb - ta > w:
+                    break
+                if tb == ta:
+                    continue  # strictly-after excludes exact ties
+                exp[(tya, tyb)] += 1
+    return dict(exp)
+
+
+def test_t45_forms_agree_on_adversarial_corpus(spark, tmp_path):
+    """All three t45 forms must agree with each other AND a pure-Python
+    brute force on a corpus concentrating ties, boundary pairs, bucket
+    straddles, and per-user skew — at three window widths (the narrow
+    1 s window exercises empty frames; 3600 s makes the bot user's
+    whole burst one frame)."""
+    from mapreduce_google_spark.operators.scale import event_pairs_within_minute
+
+    pdf = _adversarial_events()
+    _write_parquet(tmp_path, "events", pdf)
+    sf_dir = str(tmp_path)
+    for window_s in (1, 60, 3600):
+        expected = _brute_force_pairs(pdf, window_s)
+        results = {}
+        for form in ("rangeframe", "bucket_join", "raw_join"):
+            got = {
+                (r["type_a"], r["type_b"]): r["n_pairs"]
+                for r in event_pairs_within_minute(
+                    spark, sf_dir, window_s=window_s, form=form
+                ).collect()
+            }
+            results[form] = got
+            assert got == expected, (
+                window_s,
+                form,
+                sorted(set(got.items()) ^ set(expected.items()))[:5],
+            )
+        assert results["rangeframe"] == results["bucket_join"] == results["raw_join"]
+
+
+# --- t12: pre-joined store vs joins vs DuckDB oracle ------------------------
+
+
+def _ragged_tpch(tmp_path, seed: int = 1602) -> None:
+    rng = random.Random(seed)
+    regions = pd.DataFrame(
+        {"r_regionkey": [0, 1], "r_name": ["EAST", "WEST"]}
+    )
+    nations = pd.DataFrame(
+        {
+            "n_nationkey": list(range(5)),
+            "n_regionkey": [0, 0, 1, 1, 1],
+            "n_name": ["ALPHA", "BRAVO", "CHARLIE", "DELTA", "ECHO"],
+        }
+    )
+    # customers 1..30; 25..30 will get NO orders
+    customers = pd.DataFrame(
+        {
+            "c_custkey": list(range(1, 31)),
+            "c_nationkey": [rng.randint(0, 4) for _ in range(30)],
+        }
+    )
+    # orders over custkeys 1..35 — 31..35 dangle (no customer row);
+    # orders 181..200 will get NO lineitems
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, 201)),
+            "o_custkey": [
+                rng.choice([k for k in range(1, 36) if k not in range(25, 31)])
+                for _ in range(200)
+            ],
+        }
+    )
+    lines = []
+    for ok in range(1, 181):
+        for _ in range(rng.randint(1, 5)):
+            lines.append(
+                {
+                    "l_orderkey": ok,
+                    "l_extendedprice": round(rng.uniform(1.0, 99_999.99), 2),
+                    "l_discount": round(rng.randint(0, 10) / 100, 2),
+                }
+            )
+    _write_parquet(tmp_path, "region", regions)
+    _write_parquet(tmp_path, "nation", nations)
+    _write_parquet(tmp_path, "customer", customers)
+    _write_parquet(tmp_path, "orders", orders)
+    _write_parquet(tmp_path, "lineitem", pd.DataFrame(lines))
+
+
+_T12_ORACLE = """
+    SELECT r_name, n_name,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(3,2))))
+                      AS DOUBLE), 6) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def test_t12_forms_agree_on_ragged_corpus(spark, tmp_path):
+    """All three t12 forms must agree with each other AND the registered
+    DuckDB oracle SQL on a corpus with referential raggedness: customers
+    without orders (must not appear — inner joins), orders without
+    lineitems (contribute nothing), and orders whose custkey has no
+    customer row (dropped in the customer join). The pre-joined store is
+    built fresh for this corpus (cache_tag keys on the source files), so
+    the store-build join path is exercised on the ragged shape too."""
+    import duckdb
+
+    _ragged_tpch(tmp_path)
+    sf_dir = str(tmp_path)
+    from mapreduce_google_spark.operators.relational import revenue_rollup
+
+    a = [tuple(r) for r in revenue_rollup(spark, sf_dir).collect()]
+    b = [
+        tuple(r)
+        for r in revenue_rollup(spark, sf_dir, form="orderkey_stores").collect()
+    ]
+    c = [tuple(r) for r in revenue_rollup(spark, sf_dir, form="direct").collect()]
+    assert a == b == c and len(a) > 0
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    assert_matches_oracle(
+        revenue_rollup(spark, sf_dir), con, _T12_ORACLE, "t12_ragged"
+    )
