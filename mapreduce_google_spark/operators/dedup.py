@@ -494,6 +494,125 @@ def minhash_band_table(
     )
 
 
+def minhash_band_table_counted(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_df: int | None = None,
+    num_buckets: int = 32,
+) -> str:
+    """Band table WITH a precomputed ``bucket_n`` column — the r17 flip
+    candidate for t22's guard stage (BENCH_t22_guard_probe.json: the
+    registered ``max_bucket`` guard re-AGGREGATES the full band table
+    and broadcast-anti-joins it on EVERY query; a per-row group count
+    baked in at build time turns the guard into a pushed filter, and
+    the saving grows with the corpus because the guard agg scans the
+    whole banded set).
+
+    ``bucket_n`` is the (band, bucket) group size, computed with a
+    window over the build output BEFORE the bucketed write — the same
+    count the query-time aggregation derives, stamped once per corpus
+    version. A row is guard-dropped iff its group count exceeds
+    ``max_bucket``, so ``WHERE bucket_n <= max_bucket`` is exactly the
+    registered anti-join (equality pinned in
+    ``tests/test_plans.py::test_t22_counted_guard_equals_registered``).
+
+    DISTINCT table name (``mgs_lsh_bands2_``): the bucket spec suffix
+    does not hash the SCHEMA, so reusing the v1 name could adopt
+    bucket_n-less v1 files; the name bump fences them off. Kept as a
+    separate builder (not a flag on :func:`minhash_band_table`) so the
+    staged candidate cannot drift the pinned t120/t22 closures before
+    its REPROVE slot lands."""
+    from mapreduce_google_spark.io import (
+        adopt_or_build_bucketed_table,
+        cache_tag,
+        shared_store_path,
+    )
+
+    tag = cache_tag(sf_dir, "documents")
+    name = f"mgs_lsh_bands2_{tag}_n{n}_h{num_hashes}_b{bands}_df{max_df}"
+
+    def build():
+        sets = spark.table(shingle_store_table(spark, sf_dir, n, max_df))
+        sig = _signatures_from_hashes(sets, num_hashes)
+        banded = _band_buckets(sig, num_hashes, bands)
+        w = Window.partitionBy("band", "bucket")
+        return banded.withColumn("bucket_n", F.count("*").over(w))
+
+    return adopt_or_build_bucketed_table(
+        spark, name, shared_store_path(name), ["band", "bucket"], num_buckets, build
+    )
+
+
+def minhash_lsh_pairs_from_bands_counted(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """t22's semantics over :func:`minhash_band_table_counted` — the r17
+    flip candidate: identical to :func:`minhash_lsh_pairs_from_bands`
+    (equality pinned in tests) except the bucket-size guard is a pushed
+    ``bucket_n <= max_bucket`` filter on the stamped column instead of
+    a per-query aggregation + broadcast anti-join. Deliberately
+    duplicates the verify tail rather than sharing it — sharing would
+    drift the pinned t22/t120 closures without a REPROVE slot; the r17
+    flip merges the two (the revenue_rollup_twolevel precedent)."""
+    table = minhash_band_table_counted(spark, sf_dir, n, num_hashes, bands, max_df)
+    banded = spark.table(table)
+    if max_bucket is not None:
+        banded = banded.where(F.col("bucket_n") <= max_bucket)
+    banded = banded.drop("bucket_n")
+    a, b_ = banded.hint("merge").alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        spark.table(shingle_store_table(spark, sf_dir, n, max_df))
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.col("xh").alias("sh"), "set_size")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = F.round(
+        n_common / (F.col("size_a") + F.col("size_b") - n_common), 6
+    ).alias("jaccard")
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def shingle_store_table(
     spark: SparkSession,
     sf_dir: str,

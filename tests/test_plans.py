@@ -455,6 +455,47 @@ def test_t12_prejoined_default_equals_forced_forms(spark, sf_dir):
         )
 
 
+def test_t22_counted_guard_equals_registered(spark, sf_dir):
+    """The r17 staged candidate for t22's guard stage
+    (BENCH_t22_guard_probe.json): the counted band table's pushed
+    ``bucket_n <= max_bucket`` filter must produce exactly the
+    registered form's pairs — both at the default cap (the guard fires
+    on nothing here) and at a tiny forced cap (max_bucket=2, where the
+    guard actively prunes: a row drops iff its (band, bucket) group
+    count exceeds the cap, the anti-join's exact semantics). Also pin
+    what the candidate exists for: no aggregation-fed anti-join on the
+    banded set — the plan carries no broadcast left-anti stage."""
+    from mapreduce_google_spark.operators.dedup import (
+        minhash_lsh_pairs_from_bands,
+        minhash_lsh_pairs_from_bands_counted,
+    )
+
+    for cap in (1000, 2):
+        a = [
+            tuple(r)
+            for r in minhash_lsh_pairs_from_bands(
+                spark, sf_dir, max_bucket=cap
+            ).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in minhash_lsh_pairs_from_bands_counted(
+                spark, sf_dir, max_bucket=cap
+            ).collect()
+        ]
+        assert a == b, cap
+    plan = formatted_plan(
+        minhash_lsh_pairs_from_bands_counted(spark, sf_dir)
+    )
+    registered = formatted_plan(minhash_lsh_pairs_from_bands(spark, sf_dir))
+    assert "LeftAnti" not in plan, plan
+    assert "LeftAnti" in registered, registered
+    assert plan.count("Exchange") <= registered.count("Exchange"), (
+        plan.count("Exchange"),
+        registered.count("Exchange"),
+    )
+
+
 def test_t12_orderkey_stores_form_removes_fact_exchanges(spark, sf_dir):
     """The r13–r15 default, kept as a forced reference
     (form="orderkey_stores"): both fact scans must report the bucketed
