@@ -503,28 +503,27 @@ def minhash_band_table_counted(
     max_df: int | None = None,
     num_buckets: int = 32,
 ) -> str:
-    """Band table WITH a precomputed ``bucket_n`` column — the r17 flip
-    candidate for t22's guard stage (BENCH_t22_guard_probe.json: the
-    registered ``max_bucket`` guard re-AGGREGATES the full band table
-    and broadcast-anti-joins it on EVERY query; a per-row group count
-    baked in at build time turns the guard into a pushed filter, and
-    the saving grows with the corpus because the guard agg scans the
-    whole banded set).
+    """Band table WITH a precomputed ``bucket_n`` column — t22's DEFAULT
+    substrate since r17 (BENCH_t22_guard_probe.json: the previous
+    ``max_bucket`` guard re-AGGREGATED the full band table and
+    broadcast-anti-joined it on EVERY query; a per-row group count
+    baked in at build time turns the guard into a pushed filter —
+    −27%/−12%/−23% at sf0.1/sf1/sf3, interleaved — and the saving grows
+    with the corpus because the guard agg scanned the whole banded set).
 
     ``bucket_n`` is the (band, bucket) group size, computed with a
     window over the build output BEFORE the bucketed write — the same
     count the query-time aggregation derives, stamped once per corpus
     version. A row is guard-dropped iff its group count exceeds
     ``max_bucket``, so ``WHERE bucket_n <= max_bucket`` is exactly the
-    registered anti-join (equality pinned in
-    ``tests/test_plans.py::test_t22_counted_guard_equals_registered``).
+    old anti-join (equality pinned at caps 1000 AND 2 in
+    ``tests/test_plans.py::test_t22_counted_guard_equals_agg_antijoin``).
 
     DISTINCT table name (``mgs_lsh_bands2_``): the bucket spec suffix
     does not hash the SCHEMA, so reusing the v1 name could adopt
-    bucket_n-less v1 files; the name bump fences them off. Kept as a
-    separate builder (not a flag on :func:`minhash_band_table`) so the
-    staged candidate cannot drift the pinned t120/t22 closures before
-    its REPROVE slot lands."""
+    bucket_n-less v1 files; the name bump fences them off. The
+    uncounted :func:`minhash_band_table` stays as the forced
+    ``guard="agg_antijoin"`` reference's substrate."""
     from mapreduce_google_spark.io import (
         adopt_or_build_bucketed_table,
         cache_tag,
@@ -543,73 +542,6 @@ def minhash_band_table_counted(
 
     return adopt_or_build_bucketed_table(
         spark, name, shared_store_path(name), ["band", "bucket"], num_buckets, build
-    )
-
-
-def minhash_lsh_pairs_from_bands_counted(
-    spark: SparkSession,
-    sf_dir: str,
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-    max_df: int | None = None,
-    max_bucket: int | None = 1000,
-) -> DataFrame:
-    """t22's semantics over :func:`minhash_band_table_counted` — the r17
-    flip candidate: identical to :func:`minhash_lsh_pairs_from_bands`
-    (equality pinned in tests) except the bucket-size guard is a pushed
-    ``bucket_n <= max_bucket`` filter on the stamped column instead of
-    a per-query aggregation + broadcast anti-join. Deliberately
-    duplicates the verify tail rather than sharing it — sharing would
-    drift the pinned t22/t120 closures without a REPROVE slot; the r17
-    flip merges the two (the revenue_rollup_twolevel precedent)."""
-    table = minhash_band_table_counted(spark, sf_dir, n, num_hashes, bands, max_df)
-    banded = spark.table(table)
-    if max_bucket is not None:
-        banded = banded.where(F.col("bucket_n") <= max_bucket)
-    banded = banded.drop("bucket_n")
-    a, b_ = banded.hint("merge").alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    cand_ids = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .union(candidates.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        spark.table(shingle_store_table(spark, sf_dir, n, max_df))
-        .join(cand_ids, "doc_id", "left_semi")
-        .select("doc_id", F.col("xh").alias("sh"), "set_size")
-    )
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("set_size").alias("size_a"),
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("set_size").alias("size_b"),
-    )
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jaccard = F.round(
-        n_common / (F.col("size_a") + F.col("size_b") - n_common), 6
-    ).alias("jaccard")
-    return (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jaccard)
-        .where(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -711,6 +643,7 @@ def minhash_lsh_pairs_from_bands(
     max_df: int | None = None,
     max_bucket: int | None = 1000,
     use_shingle_store: bool = True,
+    guard: str = "counted",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs from the MATERIALIZED band table —
     semantically identical to :func:`minhash_lsh_pairs` (equality pinned
@@ -720,6 +653,17 @@ def minhash_lsh_pairs_from_bands(
       plan subtree — so the bucket-size guard, both join sides and any
       re-run read cheap parquet instead of recomputing hashes
       (``max_bucket`` therefore defaults ON here);
+    * the bucket-size guard is a PUSHED FILTER, not a query-time pass
+      (r17, BENCH_t22_guard_probe.json): the default ``guard="counted"``
+      reads :func:`minhash_band_table_counted`, whose build stamps each
+      row with its (band, bucket) group size, so ``bucket_n <=
+      max_bucket`` drops exactly the rows the old per-query
+      aggregation + broadcast anti-join dropped (equality pinned at
+      caps 1000 AND 2) without re-scanning the banded set per run —
+      −27%/−12%/−23% at sf0.1/sf1/sf3, and the saving grows with the
+      corpus because the guard agg scanned the whole banded set.
+      ``guard="agg_antijoin"`` forces the pre-r17 reference form over
+      the uncounted v1 table (shootout + equality-gate substrate);
     * the verify stage reads hashed shingle sets from the doc_id-
       bucketed :func:`shingle_store_table` (semi-join pruned to
       candidate documents) — no re-tokenization, 8-byte array elements,
@@ -727,21 +671,34 @@ def minhash_lsh_pairs_from_bands(
       (plan-gated); ``use_shingle_store=False`` forces the store-free
       retokenizing verify for one-shot corpora;
     * the band table is bucketed+sorted on (band, bucket), so the
-      candidate self-join and the guard aggregation need NO exchange of
-      the banded set — the cross-run analog of the in-session
-      ``repartition().cache()`` (plan-gated in
+      candidate self-join (and, on the reference form, the guard
+      aggregation) needs NO exchange of the banded set — the cross-run
+      analog of the in-session ``repartition().cache()`` (plan-gated in
       ``tests/test_plans.py::test_from_bands_candidate_join_has_no_banded_exchange``).
     """
-    table = minhash_band_table(spark, sf_dir, n, num_hashes, bands, max_df)
-    banded = spark.table(table)
-    if max_bucket is not None:
-        oversized = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("n"))
-            .where(F.col("n") > max_bucket)
-            .select("band", "bucket")
+    if guard == "counted":
+        table = minhash_band_table_counted(
+            spark, sf_dir, n, num_hashes, bands, max_df
         )
-        banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+        banded = spark.table(table)
+        if max_bucket is not None:
+            banded = banded.where(F.col("bucket_n") <= max_bucket)
+        banded = banded.drop("bucket_n")
+    elif guard == "agg_antijoin":
+        table = minhash_band_table(spark, sf_dir, n, num_hashes, bands, max_df)
+        banded = spark.table(table)
+        if max_bucket is not None:
+            oversized = (
+                banded.groupBy("band", "bucket")
+                .agg(F.count("*").alias("n"))
+                .where(F.col("n") > max_bucket)
+                .select("band", "bucket")
+            )
+            banded = banded.join(
+                F.broadcast(oversized), ["band", "bucket"], "left_anti"
+            )
+    else:
+        raise ValueError(f"unknown guard form: {guard!r}")
     # `merge` hint (same rationale as t40): at test scale the tiny band
     # table would broadcast, hiding the property this path exists for —
     # the bucketed layout lets the self-join read co-located buckets with

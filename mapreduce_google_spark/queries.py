@@ -605,13 +605,16 @@ register(
         name="t22_minhash_lsh_pairs",
         # the PRODUCTION form: candidates from the persisted bucketed
         # band table (one signature pass per corpus version) instead of
-        # recomputing signatures per run, verify from the doc_id-bucketed
-        # shingle-HASH store (r14 — the steady state never scans the raw
-        # corpus, plan-gated) — result-identical to the in-session
-        # minhash_lsh_pairs (equality pinned in
-        # test_approx_ops.py::test_lsh_from_band_table_equals_direct), and
-        # what a 100 TB deployment would actually execute repeatedly
-        # (VERDICT r12 item 6)
+        # recomputing signatures per run, the bucket-size guard a pushed
+        # bucket_n filter stamped at build time (r17 — the pre-r17
+        # per-query guard agg + broadcast anti-join stays as the forced
+        # guard="agg_antijoin" reference; BENCH_t22_guard_probe.json),
+        # verify from the doc_id-bucketed shingle-HASH store (r14 — the
+        # steady state never scans the raw corpus, plan-gated) —
+        # result-identical to the in-session minhash_lsh_pairs (equality
+        # pinned in test_approx_ops.py::test_lsh_from_band_table_equals_
+        # direct), and what a 100 TB deployment would actually execute
+        # repeatedly (VERDICT r12 item 6)
         builder=dedup_ops.minhash_lsh_pairs_from_bands,
         oracle=None,  # hash-permutation family not SQL-portable; tests
         # assert precision 1.0 vs t21 and measure recall
@@ -7314,13 +7317,16 @@ def _correctness_last_checked() -> dict[str, int]:
 #: covered by their oracle-bearing invariant twins — the window cannot
 #: buy them a hash row, so listing them here would waste a slot.
 REPROVE: dict[str, int] = {
-    # r13 moved these defaults onto bucketed-store / GEMM / adaptive
-    # paths; only the t09 canary banked an r13 driver green on the new
-    # code (VERDICT r13).
-    "t11_top_orders_per_customer": 13,
-    "t12_revenue_rollup": 13,
+    # ONE entry per query at its LATEST implementation-change round
+    # (VERDICT r16 wrong #2: duplicate keys in a dict literal are the
+    # exact pattern where a later edit adds an OLDER round below an
+    # existing key and silently loses the newer schedule — pyflakes
+    # F601-class). History lives in the comments, not in shadowed keys.
+    #
+    # r13 moved t16's default onto the adaptive session-window path;
+    # only the t09 canary banked an r13 driver green on the new code
+    # (VERDICT r13).
     "t16_session_window": 13,
-    "t45_event_pairs_within_minute": 13,
     # r14 added per-batch partial top-k to the GEMM kernel and touched
     # the as-of dispatcher's fallback contract.
     "t18_cosine_topk": 14,
@@ -7329,6 +7335,7 @@ REPROVE: dict[str, int] = {
     # the raw branch deleted per BENCH_topk_window_shootout.json: sf0.1
     # wash, sf1 store 3.1×) — the custkey-bucketed store is now the ONLY
     # path, so the driver green must come from it (VERDICT r15 item 1).
+    # (Earlier change: r13 first moved t11 onto the store path.)
     "t11_top_orders_per_customer": 16,
     # r16 touched the shared lookup substrate both defaults read
     # (_indexed_events_path cold build sizes ndv from source parquet
@@ -7342,8 +7349,18 @@ REPROVE: dict[str, int] = {
     # sf0.1/sf1/sf3, spreads fully separated) and t45's onto the
     # range-frame window form (BENCH_event_pairs_shootout.json:
     # −51%/−75%/−92%, flat across 30×) — both VERDICT r15 items 3/5.
+    # (Earlier changes: r13 first moved both onto bucketed-store paths.)
     "t12_revenue_rollup": 16,
     "t45_event_pairs_within_minute": 16,
+    # r17 landed the staged t22 counted-guard flip: the LSH band table
+    # is built WITH a per-bucket ``bucket_n`` column so the max_bucket
+    # guard is a pushed build-time filter instead of a per-query
+    # full-band-table aggregation + broadcast anti-join
+    # (BENCH_t22_guard_probe.json: −27%/−12%/−23% at sf0.1/sf1/sf3,
+    # interleaved, equality-gated at caps 1000 AND 2). t22 itself is
+    # rows-only; its oracle-bearing invariant twin t120 certifies the
+    # shared pipeline, so the re-prove slot goes to the twin.
+    "t120_lsh_precision_invariants": 17,
 }
 
 

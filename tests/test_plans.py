@@ -455,44 +455,43 @@ def test_t12_prejoined_default_equals_forced_forms(spark, sf_dir):
         )
 
 
-def test_t22_counted_guard_equals_registered(spark, sf_dir):
-    """The r17 staged candidate for t22's guard stage
+def test_t22_counted_guard_equals_agg_antijoin(spark, sf_dir):
+    """The r17 default for t22's guard stage
     (BENCH_t22_guard_probe.json): the counted band table's pushed
-    ``bucket_n <= max_bucket`` filter must produce exactly the
-    registered form's pairs — both at the default cap (the guard fires
+    ``bucket_n <= max_bucket`` filter must produce exactly the pre-r17
+    reference form's pairs — both at the default cap (the guard fires
     on nothing here) and at a tiny forced cap (max_bucket=2, where the
     guard actively prunes: a row drops iff its (band, bucket) group
     count exceeds the cap, the anti-join's exact semantics). Also pin
-    what the candidate exists for: no aggregation-fed anti-join on the
-    banded set — the plan carries no broadcast left-anti stage."""
+    what the flip exists for: the DEFAULT plan carries no
+    aggregation-fed broadcast left-anti stage on the banded set."""
     from mapreduce_google_spark.operators.dedup import (
         minhash_lsh_pairs_from_bands,
-        minhash_lsh_pairs_from_bands_counted,
     )
 
     for cap in (1000, 2):
         a = [
             tuple(r)
             for r in minhash_lsh_pairs_from_bands(
-                spark, sf_dir, max_bucket=cap
+                spark, sf_dir, max_bucket=cap, guard="agg_antijoin"
             ).collect()
         ]
         b = [
             tuple(r)
-            for r in minhash_lsh_pairs_from_bands_counted(
+            for r in minhash_lsh_pairs_from_bands(
                 spark, sf_dir, max_bucket=cap
             ).collect()
         ]
         assert a == b, cap
-    plan = formatted_plan(
-        minhash_lsh_pairs_from_bands_counted(spark, sf_dir)
+    plan = formatted_plan(minhash_lsh_pairs_from_bands(spark, sf_dir))
+    reference = formatted_plan(
+        minhash_lsh_pairs_from_bands(spark, sf_dir, guard="agg_antijoin")
     )
-    registered = formatted_plan(minhash_lsh_pairs_from_bands(spark, sf_dir))
     assert "LeftAnti" not in plan, plan
-    assert "LeftAnti" in registered, registered
-    assert plan.count("Exchange") <= registered.count("Exchange"), (
+    assert "LeftAnti" in reference, reference
+    assert plan.count("Exchange") <= reference.count("Exchange"), (
         plan.count("Exchange"),
-        registered.count("Exchange"),
+        reference.count("Exchange"),
     )
 
 
@@ -795,23 +794,34 @@ def test_from_bands_candidate_join_has_no_banded_exchange(spark, sf_dir):
     co-located buckets: a sort-merge join with ZERO shuffle exchange of
     the banded set (the broadcast exchange of the tiny oversized-bucket
     guard is the only one allowed). This is the durable on-disk analog
-    of the in-session repartition().cache() co-partitioning."""
-    from mapreduce_google_spark.operators.dedup import minhash_band_table
+    of the in-session repartition().cache() co-partitioning. Gated on
+    BOTH substrates: the counted table (the r17 default — its stamped
+    bucket_n guard filter must not break bucket-scan co-location) and
+    the uncounted v1 reference table."""
+    from mapreduce_google_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_band_table_counted,
+    )
 
     from pyspark.sql import functions as F
 
-    name = minhash_band_table(spark, sf_dir)
-    banded = spark.table(name)
-    a, b = banded.hint("merge").alias("a"), banded.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    plan = formatted_plan(cand)
-    assert "SortMergeJoin" in plan, plan
-    assert "Exchange" not in plan, plan
+    for name, counted in (
+        (minhash_band_table_counted(spark, sf_dir), True),
+        (minhash_band_table(spark, sf_dir), False),
+    ):
+        banded = spark.table(name)
+        if counted:
+            banded = banded.where(F.col("bucket_n") <= 1000).drop("bucket_n")
+        a, b = banded.hint("merge").alias("a"), banded.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        plan = formatted_plan(cand)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
     # A local per-partition Sort remains: Spark 3+ ignores bucketed
     # sortBy order unless spark.sql.legacy.bucketedTableScan.outputOrdering
     # is set (one-file-per-bucket verification was deemed too costly).

@@ -1,12 +1,13 @@
-"""Measure t22's bucket-size guard: the registered from-bands form
-(per-query aggregation of the band table + broadcast anti-join) vs the
-counted-band-table candidate (``bucket_n`` stamped at build, guard is a
-pushed filter) — the r17 flip staged by BENCH_t22_guard_probe.json.
+"""Measure t22's bucket-size guard: the registered counted form
+(``bucket_n`` stamped at build, guard is a pushed filter — the r17
+default, flipped on BENCH_t22_guard_probe.json) vs the pre-r17
+reference form (per-query aggregation of the band table + broadcast
+anti-join, forced via ``guard="agg_antijoin"``).
 
-Forms bind the REGISTERED builder directly plus the package candidate
-(both exist as package functions; the candidate is deliberately
-unregistered until its REPROVE slot lands). Equality is gated in-tool
-on the full pair output. Interleaved reps — the only measurement shape
+Both forms bind the REGISTERED builder — the default call and its
+forced reference form (the r16 staging-era split function was merged
+into the builder when the flip landed). Equality is gated in-tool on
+the full pair output. Interleaved reps — the only measurement shape
 this repo accepts as flip evidence (see
 BENCH_asof_tail_decomposition.json for the sequential-probe lesson).
 
@@ -24,15 +25,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import functools  # noqa: E402
+
 from mapreduce_google_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs_from_bands,
-    minhash_lsh_pairs_from_bands_counted,
 )
 from mapreduce_google_spark.session import get_spark  # noqa: E402
 
 FORMS = {
-    "registered_agg_antijoin_guard": minhash_lsh_pairs_from_bands,
-    "counted_filter_guard": minhash_lsh_pairs_from_bands_counted,
+    "reference_agg_antijoin_guard": functools.partial(
+        minhash_lsh_pairs_from_bands, guard="agg_antijoin"
+    ),
+    "registered_counted_filter_guard": minhash_lsh_pairs_from_bands,
 }
 
 
@@ -60,7 +64,7 @@ def main() -> int:
             n: sorted(map(tuple, df.itertuples(index=False)))
             for n, df in results.items()
         }
-        ref = vals["registered_agg_antijoin_guard"]
+        ref = vals["registered_counted_filter_guard"]
         for n, v in vals.items():
             assert v == ref, f"form {n} disagrees with registered"
         samples: dict[str, list[float]] = {n: [] for n in FORMS}
@@ -72,7 +76,7 @@ def main() -> int:
         out = {
             "sf_dir": sf_dir,
             "n_reps": reps,
-            "rows": len(results["counted_filter_guard"]),
+            "rows": len(results["registered_counted_filter_guard"]),
         }
         for name, xs in samples.items():
             out[name] = [round(median(xs), 3), round(min(xs), 3), round(max(xs), 3)]
