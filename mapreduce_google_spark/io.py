@@ -110,6 +110,44 @@ def cache_tag(sf_dir: str, *names: str) -> str:
     return f"{base}_{h.hexdigest()[:10]}"
 
 
+def parquet_rows(sf_dir: str, *tables: str) -> int | None:
+    """Combined row count from parquet FOOTER metadata — a driver-side
+    file-metadata read (the same cost class as schema inference), never
+    a Spark job; None when any table is missing (caller falls back to
+    the small-data form, the safe default for unknown inputs).
+
+    Lives here rather than in an operators module because it is generic
+    parquet metadata, not relational logic (ADVICE r16 — its original
+    home was next to a since-retired dispatcher in operators.relational).
+    Skips files Spark's reader ignores (basenames starting with ``_`` or
+    ``.``, e.g. ``_committed_*`` / hidden ``.part`` files) so the footer
+    count matches the count() a Spark scan of the directory would return
+    (ADVICE r16 — previously it could only OVERcount, harmlessly
+    oversizing a bloom bitset, but a silent divergence from Spark's
+    path-filter semantics is a trap for the next caller)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            if os.path.isdir(p):
+                total += sum(
+                    pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+            else:
+                total += pq.ParquetFile(p).metadata.num_rows
+        except (OSError, ValueError):
+            # ValueError covers pyarrow's ArrowInvalid (its subclass) on
+            # a corrupt/truncated footer — unknown input must mean "fall
+            # back to the safe small-data form", never a crash
+            # (ADVICE r13)
+            return None
+    return total
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -421,36 +421,6 @@ def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _parquet_rows(sf_dir: str, *tables: str) -> int | None:
-    """Combined row count from parquet FOOTER metadata — a driver-side
-    file-metadata read (the same cost class as schema inference), never
-    a Spark job; None when any table is missing (caller falls back to
-    the small-data form, the safe default for unknown inputs)."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    total = 0
-    for t in tables:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        try:
-            if os.path.isdir(p):
-                total += sum(
-                    pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
-                    for f in os.listdir(p)
-                    if f.endswith(".parquet")
-                )
-            else:
-                total += pq.ParquetFile(p).metadata.num_rows
-        except (OSError, ValueError):
-            # ValueError covers pyarrow's ArrowInvalid (its subclass) on
-            # a corrupt/truncated footer — unknown input must mean "fall
-            # back to the safe small-data form", never a crash
-            # (ADVICE r13)
-            return None
-    return total
-
-
 def asof_latest_order(
     spark: SparkSession, sf_dir: str, form: str | None = None
 ) -> DataFrame:

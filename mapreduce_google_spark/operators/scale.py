@@ -340,6 +340,12 @@ def event_pairs_within_minute(
     bounded by events-per-user-per-minute — per-key skew, not corpus
     size — while the join forms' exchange grows with the corpus.
     """
+    # ADVICE r16: window_s=0 fails differently per form (rangeframe
+    # builds an inverted rangeBetween(1, 0) frame; bucket_join divides
+    # by zero) — reject the degenerate window up front so every form
+    # fails identically and loudly.
+    if window_s < 1:
+        raise ValueError(f"window_s must be >= 1 second, got {window_s}")
     form = form or "rangeframe"
     from mapreduce_google_spark.io import bucketed_fact_table
 
@@ -2600,8 +2606,7 @@ def _indexed_events_path(spark: SparkSession, sf_dir: str) -> str:
     size the ndv doubled the cold path (VERDICT r15 wrong #2). The
     count() fallback survives only for sources whose footers are
     unreadable."""
-    from mapreduce_google_spark.io import write_parquet_bloom
-    from mapreduce_google_spark.operators.relational import _parquet_rows
+    from mapreduce_google_spark.io import parquet_rows, write_parquet_bloom
 
     tag = _tag(sf_dir, "events")
     path = f"/tmp/mgs_events_lookup_{tag}"
@@ -2609,7 +2614,7 @@ def _indexed_events_path(spark: SparkSession, sf_dir: str) -> str:
         src = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        n = _parquet_rows(sf_dir, "events")
+        n = parquet_rows(sf_dir, "events")
         if n is None:  # unreadable footers — pay the job, don't crash
             n = src.count()
         write_parquet_bloom(

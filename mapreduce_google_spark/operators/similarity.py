@@ -500,13 +500,26 @@ def ivf_topk_from_index(
         .where(F.col("rn") <= n_probe_cells)
         .select("probe_id", "probe_vec", "cell_id")
     )
+    # checked cosine (ADVICE r16): the fused kernel this form is
+    # equality-pinned against raises on any non-finite candidate
+    # cosine, so the JVM scoring expression must fail identically on a
+    # zero-norm embedding instead of silently ordering NaN rows
+    from mapreduce_google_spark.functions.vectors import (
+        cosine_similarity_checked,
+    )
+
     scored = (
         probe_cells.join(assigned, "cell_id")
         .where(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine_similarity("probe_vec", "embedding"), 6).alias("cosine"),
+            F.round(
+                cosine_similarity_checked(
+                    "probe_vec", "embedding", "ivf_topk_from_index"
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     # map-side combine for the rank stage (VERDICT r13 "What's wrong

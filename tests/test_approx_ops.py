@@ -207,6 +207,39 @@ def test_ivf_fused_kernel_equality_at_degenerate_params(spark, sf_dir):
         assert a == b and len(a) > 0, kwargs
 
 
+def test_cosine_checked_raises_on_zero_norm(spark):
+    """ADVICE r16: the fused Arrow kernel raises on any non-finite
+    cosine, so the JVM scoring expression its reference form uses must
+    fail identically on a degenerate (zero-norm) embedding — loudly,
+    via raise_error inside the expression, not by silently ordering
+    NaN rows. On non-degenerate rows the checked expression must equal
+    the unchecked one exactly (the equality chain to the fused kernel
+    rests on it)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_google_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_checked,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 2.0]), (2, [1.0, 3.0], [1.0, 2.0])],
+        "id long, a array<float>, b array<float>",
+    )
+    ok = (
+        df.where("id = 2")
+        .select(
+            F.round(cosine_similarity_checked("a", "b"), 6).alias("c"),
+            F.round(cosine_similarity("a", "b"), 6).alias("u"),
+        )
+        .collect()[0]
+    )
+    assert ok.c == ok.u and ok.c is not None
+    with pytest.raises(Exception, match="zero-norm"):
+        df.select(cosine_similarity_checked("a", "b", "test")).collect()
+
+
 def test_ivf_scans_fraction_of_vectors(spark, sf_dir):
     """The point of IVF: the candidate set is a strict subset of the
     corpus (here ≤ n_probe_cells/n_cells plus skew)."""

@@ -615,3 +615,32 @@ def test_write_parquet_bloom_materializes_and_serves_lookups(spark, tmp_path):
     )
     # xxhash64 % 1_000_000 is non-negative -> -5 cannot exist
     assert spark.read.parquet(bloom).where(F.col("k") == -5).count() == 0
+
+
+def test_parquet_rows_matches_spark_path_filter_semantics(tmp_path):
+    """io.parquet_rows (ADVICE r16): the footer-metadata row count must
+    skip files Spark's reader ignores — basenames starting with '_' or
+    '.' (e.g. _committed_* sidecars, hidden .part files) — so the count
+    it feeds into bloom ndv sizing equals what a Spark scan of the same
+    directory would count; and it must return None (never raise) when a
+    listed data file has an unreadable footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_google_spark.io import parquet_rows
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    tbl = pa.table({"event_id": list(range(7))})
+    pq.write_table(tbl, d / "part-000.parquet")
+    pq.write_table(tbl, d / "part-001.parquet")
+    # files Spark ignores: must not inflate the count
+    pq.write_table(tbl, d / "_committed_123.parquet")
+    pq.write_table(tbl, d / ".hidden.parquet")
+    (d / "_SUCCESS").write_text("")
+    assert parquet_rows(str(tmp_path), "events") == 14
+    # a corrupt DATA file → None (fall back to the safe form)
+    (d / "part-002.parquet").write_bytes(b"not a parquet footer")
+    assert parquet_rows(str(tmp_path), "events") is None
+    # missing table → None
+    assert parquet_rows(str(tmp_path), "nosuch") is None

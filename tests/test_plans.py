@@ -257,6 +257,21 @@ def test_t45_rangeframe_default_equals_forced_forms(spark, sf_dir):
         )
 
 
+def test_t45_rejects_degenerate_window(spark, sf_dir):
+    """ADVICE r16: window_s=0 used to fail differently per form (an
+    inverted rangeBetween(1, 0) frame on the default; a division by
+    zero on bucket_join) — every form must now reject it up front with
+    the same ValueError, before any store or scan work."""
+    import pytest
+
+    from mapreduce_google_spark.operators.scale import event_pairs_within_minute
+
+    for form in (None, "rangeframe", "bucket_join", "raw_join"):
+        for bad in (0, -5):
+            with pytest.raises(ValueError, match="window_s"):
+                event_pairs_within_minute(spark, sf_dir, window_s=bad, form=form)
+
+
 def test_t40_bucketed_join_has_no_join_exchange(spark, sf_dir):
     """Bucketed orders⋈customer: the only exchanges are the final agg +
     order-by — the join itself reads co-located buckets."""

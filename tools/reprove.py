@@ -114,14 +114,31 @@ def _referenced(fn: types.FunctionType) -> list[tuple[str, object]]:
     #: makes "codecs" an IMPORT_FROM operand — NOT excluded — even
     #: though stdlib ``codecs`` exists, so a sys.modules check would
     #: reopen the r15 blind spot that skip avoids.
+    #:
+    #: Tracked PER CODE OBJECT (ADVICE r16): the exclusion only holds
+    #: inside code objects that themselves import the bare name — in
+    #: the importing code the name is a local binding, so its co_names
+    #: entry comes from the import instruction alone. A DIFFERENT code
+    #: object of the same function (the body vs a nested lambda) that
+    #: references the name WITHOUT importing it can only mean a package
+    #: submodule reached as a module attribute, and excluding it
+    #: function-wide would silently drop that submodule from the
+    #: fingerprint (under-coverage — worse than the over-coverage the
+    #: r15 fix removed). A name is excluded iff every code object that
+    #: mentions it also imports it.
     toplevel_imports: set[str] = set()
+    referenced_without_import: set[str] = set()
     for code in _iter_codes(fn.__code__):
         names.update(code.co_names)
+        bare_here: set[str] = set()
         for ins in dis.get_instructions(code):
             if ins.opname == "IMPORT_NAME":
                 operand = str(ins.argval)
                 if "." not in operand and operand.split(".")[0] != PKG:
-                    toplevel_imports.add(operand)
+                    bare_here.add(operand)
+        toplevel_imports.update(bare_here)
+        referenced_without_import.update(set(code.co_names) - bare_here)
+    toplevel_imports -= referenced_without_import
     # sorted: set iteration is hash-seed-dependent across processes, and
     # pkg_mods ORDER decides which module wins an ambiguous attribute
     # resolution below — the fingerprint must not depend on the seed
