@@ -227,3 +227,77 @@ def test_t12_forms_agree_on_ragged_corpus(spark, tmp_path):
     assert_matches_oracle(
         revenue_rollup(spark, sf_dir), con, _T12_ORACLE, "t12_ragged"
     )
+
+
+# --- t22: counted guard vs agg-antijoin guard on a boilerplate corpus -------
+
+
+def _boilerplate_documents(seed: int = 1701) -> pd.DataFrame:
+    """70 documents: 30 exact-copy boilerplate pages (identical MinHash
+    signatures -> one size-30 bucket in EVERY band: the degenerate shape
+    the max_bucket guard exists for) + 40 normal docs from a closed
+    vocabulary with a few genuine near-dup pairs."""
+    rng = random.Random(seed)
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    ]
+    boiler = "terms of service apply to all pages on this site please read carefully before use"
+    rows = [{"doc_id": i, "text": boiler} for i in range(30)]
+    for i in range(30, 70):
+        words = [rng.choice(vocab) for _ in range(rng.randint(8, 20))]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+        # plant a near-dup twin for every 8th doc: same words, one swap
+        if i % 8 == 0:
+            twin = list(words)
+            twin[len(twin) // 2] = rng.choice(vocab)
+            rows.append({"doc_id": 1000 + i, "text": " ".join(twin)})
+    return pd.DataFrame(rows)
+
+
+def test_t22_guard_forms_agree_on_boilerplate_corpus(spark, tmp_path):
+    """The r17 flip gate, fuzzed where the guard actually FIRES: on a
+    corpus with a planted 30-copy boilerplate cluster, the counted
+    table's pushed ``bucket_n <= max_bucket`` filter must drop exactly
+    the rows the per-query aggregation + broadcast anti-join drops — at
+    a cap the cluster exceeds (5: all its pairs vanish, non-vacuity
+    asserted both ways), at a cap above it (1000: guard passes
+    everything), and with the guard OFF (None: both forms emit the
+    boilerplate's 435 pairs). Both store builds (counted and v1) run
+    fresh on this corpus, so build-time bucket_n stamping is exercised
+    on the degenerate shape too."""
+    from mapreduce_google_spark.operators.dedup import (
+        minhash_lsh_pairs_from_bands,
+    )
+
+    pdf = _boilerplate_documents()
+    _write_parquet(tmp_path, "documents", pdf)
+    sf_dir = str(tmp_path)
+    by_cap = {}
+    for cap in (5, 1000, None):
+        counted = sorted(
+            tuple(r)
+            for r in minhash_lsh_pairs_from_bands(
+                spark, sf_dir, max_bucket=cap
+            ).collect()
+        )
+        anti = sorted(
+            tuple(r)
+            for r in minhash_lsh_pairs_from_bands(
+                spark, sf_dir, max_bucket=cap, guard="agg_antijoin"
+            ).collect()
+        )
+        assert counted == anti, (cap, len(counted), len(anti))
+        by_cap[cap] = counted
+    boiler_pairs = {
+        (a, b) for a in range(30) for b in range(30) if a < b
+    }
+    got_none = {(r[0], r[1]) for r in by_cap[None]}
+    got_small = {(r[0], r[1]) for r in by_cap[5]}
+    # guard off: the boilerplate cluster's 435 identical-pair edges emit
+    assert boiler_pairs <= got_none
+    # cap=5: the size-30 bucket is pruned in every band -> none survive,
+    # but the guard must NOT eat the normal near-dup twins
+    assert not (boiler_pairs & got_small)
+    assert got_small, "guard wiped the whole result - cap semantics broken"
+    assert by_cap[1000] == by_cap[None]
