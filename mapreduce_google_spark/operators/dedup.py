@@ -987,6 +987,93 @@ def simhash_near_dup_pairs(
     return cand.orderBy("doc_a", "doc_b")
 
 
+def simhash_near_dup_pairs_guarded(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """t77's pipeline WITH the bucket-size guard its docstring promises —
+    the r18 flip candidate, staged in r17 (closure-disjoint from the
+    registered builder until its REPROVE slot lands; the t22
+    counted-guard staging precedent).
+
+    The registered :func:`simhash_near_dup_pairs` has NO ``max_bucket``
+    guard despite documenting one, and on the closed-vocabulary corpus
+    the simhash band values concentrate brutally: measured at the 10×
+    replica, the hottest (band, band_val) bucket holds 13,380 of 50k
+    docs and the candidate self-join's upper bound is 282 MILLION pairs
+    (241 s wall in the r17 registry sweep) — the quadratic product the
+    banding exists to avoid, reconstructed through bucket collapse.
+    Trip profile on the shipped corpora (r17 diagnosis): sf0.01 max
+    bucket 128 (cap 1000 never fires — the brute-force oracle is
+    untouched), sf0.1 max 1,338 (fires marginally), sf1 max 13,380
+    (fires massively — this is what it exists for).
+
+    Semantics with the guard ON: pairs whose EVERY shared band bucket
+    is oversized are dropped — the documented contract ("cap or
+    pre-dedup exact copies first with T17"): an oversized band bucket
+    means a near-identical corpus slice, which exact dedup should have
+    removed upstream. ``max_bucket=None`` keeps the exact pigeonhole
+    recall guarantee (and the quadratic exposure). One-side filtering
+    suffices (a candidate needs the bucket on BOTH sides, and the
+    bucket is the same row group), mirroring
+    :func:`minhash_lsh_pairs`'s in-session guard shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _simhash_fp(docs, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width).bitwiseAND(mask)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    ).repartition("band", "band_val")
+    # cache: the guard profile and BOTH self-join sides read the banded
+    # set; pre-partitioning on the join key means the cached layout
+    # serves all three without further exchange (the t22 in-session
+    # recipe, minhash_lsh_pairs)
+    banded = banded.cache()
+    left = banded
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("band", "band_val")
+        )
+        left = banded.join(
+            F.broadcast(oversized), ["band", "band_val"], "left_anti"
+        )
+    a, b = left.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand.orderBy("doc_a", "doc_b")
+
+
 def decontamination_report(
     spark: SparkSession,
     sf_dir: str,

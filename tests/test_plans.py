@@ -510,6 +510,65 @@ def test_t22_counted_guard_equals_agg_antijoin(spark, sf_dir):
     )
 
 
+def test_t77_guarded_candidate_equals_registered(spark, sf_dir):
+    """The r18 staged candidate for t77 (BENCH_simhash_guard_probe.json):
+    the registered simhash banded join documents a max_bucket guard it
+    does not implement, and the 10× replica measures the consequence —
+    a 13,380-doc band bucket and a 282M-pair candidate bound (241 s).
+    The staged form must (a) equal the registered pair set exactly with
+    the guard off AND at a cap no bucket reaches (1000 at this scale —
+    max bucket here is ~128), (b) only ever REMOVE pairs at a cap that
+    actively fires (50), with the oversized-bucket profile non-empty so
+    the pruning branch really executes, and (c) carry the broadcast
+    anti-join in its plan only when the guard is on."""
+    from mapreduce_google_spark.io import load_table
+    from mapreduce_google_spark.operators.dedup import (
+        _simhash_fp,
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_guarded,
+    )
+
+    from pyspark.sql import functions as F
+
+    registered = [
+        tuple(r) for r in simhash_near_dup_pairs(spark, sf_dir).collect()
+    ]
+    for cap in (None, 1000):
+        got = [
+            tuple(r)
+            for r in simhash_near_dup_pairs_guarded(
+                spark, sf_dir, max_bucket=cap
+            ).collect()
+        ]
+        assert got == registered, (cap, len(got), len(registered))
+    # the cap that fires: prove it fires, then pin subset semantics
+    fp = _simhash_fp(load_table(spark, sf_dir, "documents"), 32)
+    banded = fp.select(
+        F.posexplode(
+            F.array(
+                *[F.shiftright("simhash", b * 8).bitwiseAND(255) for b in range(4)]
+            )
+        ).alias("band", "band_val")
+    )
+    oversized_n = (
+        banded.groupBy("band", "band_val").count().where(F.col("count") > 50).count()
+    )
+    assert oversized_n > 0, "cap=50 does not fire at this scale - test vacuous"
+    guarded_small = {
+        tuple(r)
+        for r in simhash_near_dup_pairs_guarded(
+            spark, sf_dir, max_bucket=50
+        ).collect()
+    }
+    assert guarded_small <= set(registered)
+    plan_on = formatted_plan(simhash_near_dup_pairs_guarded(spark, sf_dir))
+    plan_off = formatted_plan(
+        simhash_near_dup_pairs_guarded(spark, sf_dir, max_bucket=None)
+    )
+    assert "LeftAnti" in plan_on, plan_on
+    assert "LeftAnti" not in plan_off, plan_off
+
+
 def test_t12_orderkey_stores_form_removes_fact_exchanges(spark, sf_dir):
     """The r13–r15 default, kept as a forced reference
     (form="orderkey_stores"): both fact scans must report the bucketed
