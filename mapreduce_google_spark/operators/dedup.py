@@ -928,9 +928,10 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """T78 — near-dup pairs by SimHash Hamming distance, via banded
-    equi-join (never an all-pairs product).
+    """T77 — near-dup pairs by SimHash Hamming distance, via banded
+    equi-join (never an all-pairs product) WITH a bucket-size guard.
 
     The 32-bit fingerprint splits into ``bands`` = 4 contiguous 8-bit
     bands. Two fingerprints within Hamming distance ``max_hamming`` = 3
@@ -943,84 +944,31 @@ def simhash_near_dup_pairs(
     pair, so no re-join against the fingerprint table is needed), then
     filtered by ``bit_count(xor)`` — all JVM-side.
 
-    Scale shape: |bands|·|docs| exploded rows shuffle on an 8-bit band
-    value + band index; per-bucket fan-out is the usual LSH k²/2, kept
-    honest at 100 TB by the same ``max_bucket``-style guard as MinHash
-    (hot band values mean near-identical corpora slices — cap or
-    pre-dedup exact copies first with T17, which removes the Hamming-0
-    mass that creates degenerate buckets).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    fp = _simhash_fp(docs, bits)
-    width = bits // bands
-    mask = (1 << width) - 1
-    banded = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * width).bitwiseAND(mask)
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
-    return cand.orderBy("doc_a", "doc_b")
-
-
-def simhash_near_dup_pairs_guarded(
-    spark: SparkSession,
-    sf_dir: str,
-    bits: int = 32,
-    bands: int = 4,
-    max_hamming: int = 3,
-    max_bucket: int | None = 1000,
-) -> DataFrame:
-    """t77's pipeline WITH the bucket-size guard its docstring promises —
-    the r18 flip candidate, staged in r17 (closure-disjoint from the
-    registered builder until its REPROVE slot lands; the t22
-    counted-guard staging precedent).
-
-    The registered :func:`simhash_near_dup_pairs` has NO ``max_bucket``
-    guard despite documenting one, and on the closed-vocabulary corpus
-    the simhash band values concentrate brutally: measured at the 10×
-    replica, the hottest (band, band_val) bucket holds 13,380 of 50k
-    docs and the candidate self-join's upper bound is 282 MILLION pairs
-    (241 s wall in the r17 registry sweep) — the quadratic product the
-    banding exists to avoid, reconstructed through bucket collapse.
-    Trip profile on the shipped corpora (r17 diagnosis): sf0.01 max
-    bucket 128 (cap 1000 never fires — the brute-force oracle is
-    untouched), sf0.1 max 1,338 (fires marginally), sf1 max 13,380
-    (fires massively — this is what it exists for).
-
-    Semantics with the guard ON: pairs whose EVERY shared band bucket
-    is oversized are dropped — the documented contract ("cap or
-    pre-dedup exact copies first with T17"): an oversized band bucket
-    means a near-identical corpus slice, which exact dedup should have
+    Guard (r18 flip; staged r17 as ``simhash_near_dup_pairs_guarded``,
+    merged back per the t22 staging precedent): on a closed-vocabulary
+    corpus the band values concentrate brutally — at the 10× replica the
+    hottest (band, band_val) bucket holds 13,380 of 50k docs and the
+    candidate self-join's upper bound is 282 MILLION pairs (241 s wall
+    in the r17 registry sweep) — the quadratic product the banding
+    exists to avoid, reconstructed through bucket collapse. Buckets
+    larger than ``max_bucket`` are therefore pruned from the LEFT side
+    of the self-join (one-side filtering suffices: a candidate needs the
+    bucket on BOTH sides, and the bucket is the same row group),
+    mirroring :func:`minhash_lsh_pairs`'s in-session guard shape.
+    Semantics with the guard ON: pairs whose EVERY shared band bucket is
+    oversized are dropped — an oversized band bucket means a
+    near-identical corpus slice, which exact dedup (T17) should have
     removed upstream. ``max_bucket=None`` keeps the exact pigeonhole
-    recall guarantee (and the quadratic exposure). One-side filtering
-    suffices (a candidate needs the bucket on BOTH sides, and the
-    bucket is the same row group), mirroring
-    :func:`minhash_lsh_pairs`'s in-session guard shape."""
+    recall guarantee (and the quadratic exposure). Trip profile on the
+    shipped corpora (r17 diagnosis, BENCH_simhash_guard_probe.json):
+    sf0.01 max bucket 128 (the default cap never fires — the brute-force
+    oracle is untouched), sf0.1 max 1,338 (fires marginally), sf1 max
+    13,380 (fires massively; 186 → 9.9 s). The banded set is cached
+    because the guard profile and both self-join sides read it; the
+    cache is deliberately left to executor LRU eviction in-session
+    (the :func:`minhash_lsh_pairs` recipe) — loops over this builder
+    should ``spark.catalog.clearCache()`` between reps, as
+    ``tools/simhash_guard_shootout.py`` does."""
     docs = load_table(spark, sf_dir, "documents")
     fp = _simhash_fp(docs, bits)
     width = bits // bands

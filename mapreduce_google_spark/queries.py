@@ -7361,6 +7361,18 @@ REPROVE: dict[str, int] = {
     # rows-only; its oracle-bearing invariant twin t120 certifies the
     # shared pipeline, so the re-prove slot goes to the twin.
     "t120_lsh_precision_invariants": 17,
+    # r18 landed the staged t77 simhash guard flip: the registered
+    # builder gained max_bucket=1000 (pruning oversized band buckets
+    # from the left self-join side) plus the repartition+cache plan
+    # repair (BENCH_simhash_guard_probe.json: nocap result-identical
+    # 186→33 s at sf1; cap → 9.9 s; the cap NEVER fires at sf0.01
+    # oracle scale, max bucket 128). t170_ensemble_dup_pairs and
+    # t179_edit_distance_pairs compose this pipeline and inherit the
+    # change transitively — per VERDICT r17 next-round item 1 the one
+    # free r18 slot goes to t77 itself; t170/t179 take their REPROVE
+    # slots in r19 (r14 cohort = 43 due → 4 free slots) alongside any
+    # staged flips of their own.
+    "t77_simhash_near_dup": 18,
 }
 
 

@@ -1,4 +1,4 @@
-"""Adversarial-corpus equality fuzz for the r16 default flips.
+"""Adversarial-corpus equality fuzz for the r16–r18 default flips.
 
 The r16 flips (t12 → pre-joined custkey line store, t45 → range-frame
 window) were equality-gated on the TPC-H-shaped test corpora at three
@@ -301,3 +301,102 @@ def test_t22_guard_forms_agree_on_boilerplate_corpus(spark, tmp_path):
     assert not (boiler_pairs & got_small)
     assert got_small, "guard wiped the whole result - cap semantics broken"
     assert by_cap[1000] == by_cap[None]
+
+
+# --- t77: simhash bucket guard vs independent brute force -------------------
+
+
+def _simhash_boilerplate_documents(seed: int = 1801) -> pd.DataFrame:
+    """30 exact-copy boilerplate pages (identical simhash -> one size-30
+    bucket in EVERY band: the degenerate shape the max_bucket guard
+    exists for) + a 4-copy mini-cluster (bucket size 4: survives cap=5,
+    pruned at cap=3 -> deterministic non-vacuity both ways) + 40 normal
+    closed-vocabulary docs."""
+    rng = random.Random(seed)
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    ]
+    boiler = "terms of service apply to all pages on this site please read carefully before use"
+    mini = "quarterly shareholder disclosure statement pursuant to section eleven"
+    rows = [{"doc_id": i, "text": boiler} for i in range(30)]
+    rows += [{"doc_id": 2000 + i, "text": mini} for i in range(4)]
+    for i in range(30, 70):
+        words = [rng.choice(vocab) for _ in range(rng.randint(8, 20))]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    return pd.DataFrame(rows)
+
+
+def _simhash_guard_brute(
+    fps: dict, cap, max_hamming: int = 3, bands: int = 4, width: int = 8
+) -> dict:
+    """Independent pure-Python replica of the banded join + one-side
+    bucket guard: pair (a<b) emits iff hamming <= max_hamming AND some
+    shared (band, band_val) bucket has size <= cap."""
+    buckets: Counter = Counter()
+    bandvals = {}
+    mask = (1 << width) - 1
+    for d, h in fps.items():
+        vals = [(h >> (width * j)) & mask for j in range(bands)]
+        bandvals[d] = vals
+        for j, v in enumerate(vals):
+            buckets[(j, v)] += 1
+    pairs = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham > max_hamming:
+                continue
+            if any(
+                bandvals[a][j] == bandvals[b][j]
+                and (cap is None or buckets[(j, bandvals[a][j])] <= cap)
+                for j in range(bands)
+            ):
+                pairs[(a, b)] = ham
+    return pairs
+
+
+def test_t77_guard_agrees_with_brute_force_on_boilerplate_corpus(spark, tmp_path):
+    """The r18 flip gate, fuzzed where the guard actually FIRES: on a
+    corpus with a planted 30-copy boilerplate cluster and a 4-copy
+    mini-cluster, the registered builder must equal an independent
+    pure-Python replica of the banded-join + one-side-guard semantics at
+    every cap — guard off (exact pigeonhole recall: all 435 + 6
+    identical-pair edges emit), cap=1000 (never fires, equals off),
+    cap=5 (30-bucket pruned in every band -> boilerplate pairs vanish;
+    4-bucket passes -> mini-cluster's 6 pairs survive), and cap=3
+    (mini-cluster pruned too). Non-vacuity is structural: the planted
+    cluster sizes bracket the caps."""
+    from mapreduce_google_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+
+    pdf = _simhash_boilerplate_documents()
+    _write_parquet(tmp_path, "documents", pdf)
+    sf_dir = str(tmp_path)
+    fps = {
+        r["doc_id"]: int(r["simhash"]) & 0xFFFFFFFF
+        for r in simhash_fingerprints(spark, sf_dir).collect()
+    }
+    assert len(fps) == len(pdf)
+    boiler_pairs = {(a, b) for a in range(30) for b in range(30) if a < b}
+    mini_pairs = {
+        (2000 + a, 2000 + b) for a in range(4) for b in range(4) if a < b
+    }
+    by_cap = {}
+    for cap in (None, 1000, 5, 3):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_dup_pairs(spark, sf_dir, max_bucket=cap).collect()
+        }
+        expected = _simhash_guard_brute(fps, cap)
+        assert got == expected, (cap, len(got), len(expected))
+        by_cap[cap] = got
+    assert boiler_pairs <= set(by_cap[None])
+    assert mini_pairs <= set(by_cap[None])
+    assert by_cap[1000] == by_cap[None]
+    assert not (boiler_pairs & set(by_cap[5]))
+    assert mini_pairs <= set(by_cap[5])
+    assert not (mini_pairs & set(by_cap[3]))

@@ -510,37 +510,32 @@ def test_t22_counted_guard_equals_agg_antijoin(spark, sf_dir):
     )
 
 
-def test_t77_guarded_candidate_equals_registered(spark, sf_dir):
-    """The r18 staged candidate for t77 (BENCH_simhash_guard_probe.json):
-    the registered simhash banded join documents a max_bucket guard it
-    does not implement, and the 10× replica measures the consequence —
-    a 13,380-doc band bucket and a 282M-pair candidate bound (241 s).
-    The staged form must (a) equal the registered pair set exactly with
-    the guard off AND at a cap no bucket reaches (1000 at this scale —
-    max bucket here is ~128), (b) only ever REMOVE pairs at a cap that
-    actively fires (50), with the oversized-bucket profile non-empty so
-    the pruning branch really executes, and (c) carry the broadcast
-    anti-join in its plan only when the guard is on."""
+def test_t77_guard_semantics_and_plan(spark, sf_dir):
+    """Post-flip pins for t77's r18 guard (landed from the r17 staging,
+    BENCH_simhash_guard_probe.json): (a) the default cap (1000) and the
+    guard-off form (max_bucket=None) produce the IDENTICAL pair set at
+    oracle scale — sf0.01's max band bucket is ~128, so the brute-force
+    all-pairs oracle is untouched by the flip; (b) a cap that actively
+    fires (50) only ever REMOVES pairs, with the oversized-bucket
+    profile non-empty so the pruning branch really executes; (c) the
+    broadcast anti-join appears in the plan exactly when the guard is
+    on. The guard exists for the closed-vocabulary band collapse the
+    r17 sweep measured at sf1 (13,380-doc bucket, 282M candidate
+    bound, 241 s → 9.9 s)."""
     from mapreduce_google_spark.io import load_table
     from mapreduce_google_spark.operators.dedup import (
         _simhash_fp,
         simhash_near_dup_pairs,
-        simhash_near_dup_pairs_guarded,
     )
 
     from pyspark.sql import functions as F
 
-    registered = [
-        tuple(r) for r in simhash_near_dup_pairs(spark, sf_dir).collect()
+    default = [tuple(r) for r in simhash_near_dup_pairs(spark, sf_dir).collect()]
+    unguarded = [
+        tuple(r)
+        for r in simhash_near_dup_pairs(spark, sf_dir, max_bucket=None).collect()
     ]
-    for cap in (None, 1000):
-        got = [
-            tuple(r)
-            for r in simhash_near_dup_pairs_guarded(
-                spark, sf_dir, max_bucket=cap
-            ).collect()
-        ]
-        assert got == registered, (cap, len(got), len(registered))
+    assert default == unguarded, (len(default), len(unguarded))
     # the cap that fires: prove it fires, then pin subset semantics
     fp = _simhash_fp(load_table(spark, sf_dir, "documents"), 32)
     banded = fp.select(
@@ -556,14 +551,13 @@ def test_t77_guarded_candidate_equals_registered(spark, sf_dir):
     assert oversized_n > 0, "cap=50 does not fire at this scale - test vacuous"
     guarded_small = {
         tuple(r)
-        for r in simhash_near_dup_pairs_guarded(
-            spark, sf_dir, max_bucket=50
-        ).collect()
+        for r in simhash_near_dup_pairs(spark, sf_dir, max_bucket=50).collect()
     }
-    assert guarded_small <= set(registered)
-    plan_on = formatted_plan(simhash_near_dup_pairs_guarded(spark, sf_dir))
+    assert guarded_small <= set(default)
+    assert len(guarded_small) < len(default), "cap=50 removed nothing - vacuous"
+    plan_on = formatted_plan(simhash_near_dup_pairs(spark, sf_dir))
     plan_off = formatted_plan(
-        simhash_near_dup_pairs_guarded(spark, sf_dir, max_bucket=None)
+        simhash_near_dup_pairs(spark, sf_dir, max_bucket=None)
     )
     assert "LeftAnti" in plan_on, plan_on
     assert "LeftAnti" not in plan_off, plan_off

@@ -1,20 +1,19 @@
-"""Measure t77's missing bucket-size guard: the registered simhash
-banded join (NO guard, despite its docstring documenting one) vs the
-staged guarded form (``simhash_near_dup_pairs_guarded``) — the r18 flip
-candidate staged by the r17 registry sweep, which caught t77 at 241 s
-at sf1 (the closed-vocabulary corpus collapses simhash band values:
-13,380 of 50k docs in ONE (band, band_val) bucket, 282M candidate-pair
-upper bound — the quadratic product the banding exists to avoid).
+"""Measure t77's bucket-size guard (LANDED r18; staged r17 by the
+registry sweep, which caught the then-unguarded builder at 241 s at sf1
+— the closed-vocabulary corpus collapses simhash band values: 13,380 of
+50k docs in ONE (band, band_val) bucket, 282M candidate-pair upper
+bound, the quadratic product the banding exists to avoid).
 
-Three forms so the two differences attribute separately:
-* ``registered``      — the registered builder, untouched.
-* ``guarded_nocap``   — staged form, max_bucket=None: isolates the
-  repartition+cache recipe (the banded set feeds the profile and both
-  join sides); MUST equal registered exactly (gated in-tool).
-* ``guarded_1000``    — staged form at the default cap. Equality is NOT
-  gated at tiers where the cap fires (sf0.1: one 1,338 bucket; sf1:
-  massively) — result rows are reported instead, because dropping
-  oversized-bucket pairs is the documented semantics, not a bug.
+Both remaining forms of the ONE registered builder (the pre-guard
+builder was merged away in the flip; its numbers live in
+BENCH_simhash_guard_probe.json):
+* ``guarded_nocap``   — registered builder, max_bucket=None: the exact
+  pigeonhole-recall form (plan repair only: repartition+cache).
+* ``guarded_1000``    — registered builder at the default cap. Equality
+  vs nocap is NOT gated at tiers where the cap fires (sf0.1: one 1,338
+  bucket; sf1: massively) — result rows are reported instead, because
+  dropping oversized-bucket pairs is the documented semantics, not a
+  bug.
 
 Interleaved reps — the only measurement shape this repo accepts as
 flip evidence (BENCH_asof_tail_decomposition.json is the lesson).
@@ -35,16 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mapreduce_google_spark.operators.dedup import (  # noqa: E402
     simhash_near_dup_pairs,
-    simhash_near_dup_pairs_guarded,
 )
 from mapreduce_google_spark.session import get_spark  # noqa: E402
 
 FORMS = {
-    "registered": simhash_near_dup_pairs,
     "guarded_nocap": functools.partial(
-        simhash_near_dup_pairs_guarded, max_bucket=None
+        simhash_near_dup_pairs, max_bucket=None
     ),
-    "guarded_1000": simhash_near_dup_pairs_guarded,
+    "guarded_1000": simhash_near_dup_pairs,
 }
 
 
@@ -73,8 +70,7 @@ def main() -> int:
             vals[name] = sorted(map(tuple, df.itertuples(index=False)))
             rows[name] = len(df)
             spark.catalog.clearCache()
-        assert vals["guarded_nocap"] == vals["registered"], "nocap diverged"
-        assert set(vals["guarded_1000"]) <= set(vals["registered"]), (
+        assert set(vals["guarded_1000"]) <= set(vals["guarded_nocap"]), (
             "guard added pairs"
         )
         samples: dict[str, list[float]] = {n: [] for n in FORMS}
