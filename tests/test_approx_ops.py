@@ -238,6 +238,16 @@ def test_cosine_checked_raises_on_zero_norm(spark):
     assert ok.c == ok.u and ok.c is not None
     with pytest.raises(Exception, match="zero-norm"):
         df.select(cosine_similarity_checked("a", "b", "test")).collect()
+    # ADVICE r17: the contract is the FULL non-finite set, not just
+    # zero norms — a NaN or Inf component must raise identically
+    # (the Arrow kernel raises on any non-finite cosine).
+    for bad_component in (float("nan"), float("inf"), float("-inf")):
+        bad = spark.createDataFrame(
+            [(1, [bad_component, 1.0], [1.0, 2.0])],
+            "id long, a array<float>, b array<float>",
+        )
+        with pytest.raises(Exception, match="zero-norm or non-finite"):
+            bad.select(cosine_similarity_checked("a", "b", "test")).collect()
 
 
 def test_ivf_scans_fraction_of_vectors(spark, sf_dir):
