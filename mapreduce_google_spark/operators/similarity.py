@@ -295,6 +295,134 @@ def embedding_near_dup_pairs(
     )
 
 
+def _auto_lsh_near_dup_params(
+    n_vecs: int,
+    threshold: float,
+    target_bucket: int = 64,
+    max_tables: int = 256,
+    delta: float = 1e-3,
+) -> tuple[int, int]:
+    """Derive (n_bits, n_tables) for :func:`embedding_near_dup_pairs_auto`
+    from the corpus size — the tables/recall re-derivation VERDICT r17
+    item 4 asked for (the registered t24 fixes n_bits=3, whose 8
+    buckets/table over 200k vectors reconstruct ~1.6e11 candidates and
+    HANG at sf1).
+
+    Math (Charikar 2002 sign-random-projection): a pair at cosine θ
+    agrees on one sign bit w.p. p = 1 − arccos(θ)/π, on a b-bit bucket
+    w.p. p^b, and misses all T tables w.p. (1 − p^b)^T.
+
+    * ``n_bits``: ceil(log2(N / target_bucket)) so the EXPECTED bucket
+      holds ~target_bucket vectors regardless of N — candidate volume
+      is then T·N·target_bucket/2 (linear in N), never quadratic.
+      Floored at 3 = the certified oracle-scale regime (N = 500 ≤
+      8·target_bucket keeps 3 bits, so sf0.01 results are bit-identical
+      to the registered builder).
+    * ``n_tables``: ceil(ln(1/δ)/p^b) for per-pair miss rate δ at the
+      THRESHOLD boundary (pairs further above θ recall strictly
+      better), floored at the certified 64 and capped at ``max_tables``
+      — the cap is the honest LSH tradeoff: at θ = 0.4 (p = 0.631) and
+      b = 12 the δ=1e-3 table count is ~1,740, so the capped detector's
+      boundary recall degrades to 1−(1−p^b)^256 ≈ 0.64 while cos ≥ 0.7
+      pairs still recall ≥ 0.9996. Low-threshold exhaustiveness at
+      scale is a job for the exact/oracle path on samples, not for
+      more LSH tables.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    n_bits = 3
+    if n_vecs > 8 * target_bucket:
+        n_bits = max(3, math.ceil(math.log2(n_vecs / target_bucket)))
+    need = math.ceil(math.log(1.0 / delta) / (p**n_bits))
+    n_tables = max(64, min(max_tables, need))
+    return n_bits, n_tables
+
+
+def embedding_near_dup_pairs_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    target_bucket: int = 64,
+    max_tables: int = 256,
+    delta: float = 1e-3,
+    max_bucket: int | None = 10_000,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """t24's pipeline with corpus-sized LSH parameters — the r19 flip
+    candidate, STAGED r18 (closure-disjoint from the registered builder
+    until its REPROVE slot lands; the t22/t77 staging precedent).
+
+    Identical candidate→verify dataflow to
+    :func:`embedding_near_dup_pairs`; the two changes are (1)
+    ``(n_bits, n_tables)`` derived from the parquet-footer row count by
+    :func:`_auto_lsh_near_dup_params` (metadata-only — no Spark job;
+    N = 500 at oracle scale resolves to exactly the certified (3, 64),
+    so sf0.01 results are bit-identical), and (2) the family-contract
+    ``max_bucket`` guard: (tbl, bucket) groups larger than the cap are
+    pruned from the left self-join side (duplicate-heavy corpora
+    collapse LSH buckets exactly like simhash bands — exact dedup
+    should run upstream; the cap documents that contract). The default
+    cap is ~150× the target bucket size, so it fires only on true
+    collapse, never on Poisson skew.
+    """
+    from mapreduce_google_spark.io import parquet_rows
+
+    n_vecs = parquet_rows(sf_dir, "embeddings")
+    n_bits, n_tables = _auto_lsh_near_dup_params(
+        n_vecs if n_vecs is not None else 0,
+        threshold,
+        target_bucket=target_bucket,
+        max_tables=max_tables,
+        delta=delta,
+    )
+    lsh_buckets = _lsh_bucket_udf(dim, n_tables, n_bits, seed)
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        F.posexplode(lsh_buckets("embedding")).alias("tbl", "bucket"),
+    ).repartition("tbl", "bucket")
+    # cache: the guard profile and both self-join sides read the banded
+    # set (the t77 recipe); left to in-session LRU like its siblings
+    banded = banded.cache()
+    left = banded
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("tbl", "bucket")
+        )
+        left = banded.join(
+            F.broadcast(oversized), ["tbl", "bucket"], "left_anti"
+        )
+    a, b = left.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("vec_a", "vec_b"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ivf_assignments(
     emb: DataFrame, n_cells: int = 8
 ) -> tuple[DataFrame, DataFrame]:
@@ -1279,6 +1407,49 @@ def semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+def _auto_semantic_cells(n_vecs: int, target_cell: int = 500) -> int:
+    """Cell count for :func:`semantic_dedup_auto`: N/target_cell clamped
+    to [8, 4096]. The within-cell self-join costs Σ|cell|² ≈ N·|cell|,
+    so a FIXED cell count makes |cell| (and the join) grow linearly
+    with the corpus — the r17-sweep defect that put t145 at 629 s at
+    sf1 (8 cells over 200k vectors = 25k-vector cells = 2.5e9 pair
+    cosines). Holding |cell| ≈ target_cell instead makes the join
+    linear in N; the k-means assignment GEMM (N × cells) grows, but at
+    N/target_cell cells it is N²/500 multiply-adds × dim — still dwarfed
+    by the join it saves. Floor 8 = the certified oracle-scale regime
+    (N = 500 → max(1, …) → clamp to 8: sf0.01 results bit-identical to
+    the registered builder); cap 4096 bounds the broadcast centroid
+    table (4096 × 64 doubles ≈ 2 MB)."""
+    return max(8, min(4096, n_vecs // target_cell if target_cell else 8))
+
+
+def semantic_dedup_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    target_cell: int = 500,
+    iters: int = 3,
+    tau: float = 0.4,
+) -> DataFrame:
+    """t145's SemDeDup pipeline with the cell count sized from the
+    corpus — the r19 flip candidate, STAGED r18 (closure-disjoint from
+    the registered builder until its REPROVE slot lands; the t22/t77
+    staging precedent). Identical dataflow to :func:`semantic_dedup`;
+    the one change is ``n_cells = _auto_semantic_cells(N)`` with N from
+    the parquet footer (metadata-only, no Spark job). At oracle scale
+    this resolves to the certified 8 cells, so sf0.01 results are
+    bit-identical; at sf1 it yields 400 cells and the within-cell join
+    drops from 2.5e9 to ~1e8 pair cosines. NOTE the flip changes
+    RESULTS at sf ≥ 0.1: SemDeDup's output is clustering-dependent by
+    design (Abbas et al. 2023 §3 — the cluster count is a quality/cost
+    knob, not an implementation detail), which is exactly why this is
+    a staged REPROVE flip and not a plan-only repair."""
+    from mapreduce_google_spark.io import parquet_rows
+
+    n_vecs = parquet_rows(sf_dir, "embeddings")
+    n_cells = _auto_semantic_cells(n_vecs if n_vecs is not None else 0)
+    return semantic_dedup(spark, sf_dir, n_cells=n_cells, iters=iters, tau=tau)
 
 
 def semantic_dedup_invariants(

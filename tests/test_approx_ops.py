@@ -778,3 +778,87 @@ def test_bucket_count_is_part_of_table_identity(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {n4}")
         spark.sql(f"DROP TABLE IF EXISTS {n8}")
+
+
+def test_t24_auto_param_derivation():
+    """The r18-staged auto-sizing (VERDICT r17 item 4): oracle scale
+    must resolve to EXACTLY the certified (3, 64); bigger corpora get
+    log-scaled bits with the table count re-derived from the collision
+    probability at the threshold boundary, floored at 64 and capped at
+    256 (at theta=0.4 / b=12 the delta=1e-3 count is ~1,740 — the cap
+    is the documented recall tradeoff, while theta=0.7 fits under it)."""
+    import math
+
+    from mapreduce_google_spark.operators.similarity import (
+        _auto_lsh_near_dup_params,
+    )
+
+    assert _auto_lsh_near_dup_params(500, 0.4) == (3, 64)
+    assert _auto_lsh_near_dup_params(0, 0.4) == (3, 64)  # missing table
+    b_01, t_01 = _auto_lsh_near_dup_params(5_000, 0.4)
+    assert (b_01, t_01) == (7, 174)
+    b_1, t_1 = _auto_lsh_near_dup_params(200_000, 0.4)
+    assert (b_1, t_1) == (12, 256)  # capped: low-threshold tradeoff
+    # expected bucket stays ~target regardless of N
+    for n in (5_000, 200_000, 20_000_000):
+        b, _ = _auto_lsh_near_dup_params(n, 0.4)
+        assert 32 <= n / 2**b <= 128, (n, b)
+    # at a true near-dup threshold the re-derived table count fits the
+    # cap with delta honored
+    b7, t7 = _auto_lsh_near_dup_params(200_000, 0.7)
+    p7 = 1 - math.acos(0.7) / math.pi
+    assert t7 < 256 and (1 - p7**b7) ** t7 <= 1e-3
+
+
+def test_t24_auto_equals_registered_at_oracle_scale(spark, sf_dir):
+    """Staging gate (t22/t77 precedent): at oracle scale the auto form
+    resolves to (3, 64) and its result must be IDENTICAL to the
+    registered builder (which equals the exact all-pairs form); the
+    max_bucket guard never fires at N=500 (cap 10,000) and must appear
+    in the plan exactly when on."""
+    from mapreduce_google_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_auto,
+    )
+    from mapreduce_google_spark.plans import formatted_plan
+
+    registered = [
+        tuple(r) for r in embedding_near_dup_pairs(spark, sf_dir).collect()
+    ]
+    auto = [
+        tuple(r) for r in embedding_near_dup_pairs_auto(spark, sf_dir).collect()
+    ]
+    assert auto == registered and len(auto) > 0
+    nocap = [
+        tuple(r)
+        for r in embedding_near_dup_pairs_auto(
+            spark, sf_dir, max_bucket=None
+        ).collect()
+    ]
+    assert nocap == registered
+    plan_on = formatted_plan(embedding_near_dup_pairs_auto(spark, sf_dir))
+    plan_off = formatted_plan(
+        embedding_near_dup_pairs_auto(spark, sf_dir, max_bucket=None)
+    )
+    assert "LeftAnti" in plan_on, plan_on
+    assert "LeftAnti" not in plan_off, plan_off
+
+
+def test_t145_auto_cells_derivation_and_oracle_equality(spark, sf_dir):
+    """Staging gate for the t145 auto-cells form: the derivation clamps
+    to the certified 8 cells at oracle scale (bit-identical output) and
+    scales the cell count linearly with N in between the clamps."""
+    from mapreduce_google_spark.operators.similarity import (
+        _auto_semantic_cells,
+        semantic_dedup,
+        semantic_dedup_auto,
+    )
+
+    assert _auto_semantic_cells(500) == 8
+    assert _auto_semantic_cells(0) == 8
+    assert _auto_semantic_cells(5_000) == 10
+    assert _auto_semantic_cells(200_000) == 400
+    assert _auto_semantic_cells(10_000_000) == 4096  # broadcast cap
+    registered = [tuple(r) for r in semantic_dedup(spark, sf_dir).collect()]
+    auto = [tuple(r) for r in semantic_dedup_auto(spark, sf_dir).collect()]
+    assert auto == registered and len(auto) > 0

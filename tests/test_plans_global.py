@@ -74,3 +74,134 @@ def test_plan_has_no_scale_antipatterns(name, spark, sf_dir):
         "(single-row totals and dimension tables must build a "
         "BroadcastNestedLoopJoin)"
     )
+
+
+# --- banded-join guard contract (VERDICT r17 next-round item 7) -------------
+#
+# The r17 registry sweep proved that BANDING ALONE IS NOT A SCALE
+# GUARANTEE: on low-entropy corpora the (band, band_val) buckets
+# collapse and the equi-join reconstructs the quadratic product the
+# banding exists to avoid (t77: one 13,380-doc bucket -> 282M candidate
+# bound -> 241 s at sf1). The t22/t77 fix shape — a max_bucket-style
+# candidate cap, ON by default — must therefore be a FAMILY-WIDE
+# contract, not a per-entry patch. Enforced in two layers:
+#
+#   1. DETECTION: every module-level function in operators.dedup /
+#      operators.similarity whose source matches a candidate-generating
+#      self-join idiom must appear in _BANDED_INVENTORY — a new banded
+#      op cannot slip in unlisted.
+#   2. GUARD: every inventory entry must either carry its declared
+#      guard parameter with a non-None default (guard ON), or be in an
+#      explicit exception dict with the reason and (for pending
+#      default-flips) the scheduled round.
+
+#: builder -> guard parameter whose default must be ON (not None)
+_BANDED_GUARDED = {
+    "minhash_lsh_pairs": "max_bucket",
+    "minhash_lsh_pairs_from_bands": "max_bucket",
+    "simhash_near_dup_pairs": "max_bucket",
+    "embedding_near_dup_pairs_auto": "max_bucket",
+}
+
+#: builder -> (guard param that EXISTS, reason the default is still
+#: None / the fix is elsewhere). Pending entries name their flip round;
+#: by-design entries say why a cap would be wrong. Moving an entry OUT
+#: of this dict and into _BANDED_GUARDED is what "landing the flip"
+#: means for this gate.
+_BANDED_EXCEPTIONS = {
+    "ngram_jaccard_pairs": (
+        "max_df",
+        "BY-DESIGN: t21 is the exact-Jaccard oracle anchor "
+        "(BENCH_registry_sweep_r17.json by_design) — at 100 TB it runs "
+        "on samples; capping it would change what 'exact' means",
+    ),
+    "containment_pairs": (
+        "max_df",
+        "PENDING r19 default flip (t134): guard param exists, default "
+        "None; staged evidence BENCH_banded_tail_r18.json",
+    ),
+    "embedding_near_dup_pairs": (
+        "n_bits",
+        "PENDING r19 flip onto the auto-sized form (t24): fixed "
+        "n_bits=3 collapses at scale; staged as "
+        "embedding_near_dup_pairs_auto with tables/recall re-derivation",
+    ),
+    "embedding_near_dup_pairs_exact": (
+        None,
+        "BY-DESIGN: the brute-force verification baseline tests and "
+        "the DuckDB oracle mirror — never a registered default",
+    ),
+    "semantic_dedup": (
+        "n_cells",
+        "PENDING r19 flip onto auto-sized cells (t145): fixed n_cells=8 "
+        "makes within-cell joins quadratic at scale; staged as "
+        "semantic_dedup_auto",
+    ),
+}
+
+
+def test_banded_builders_carry_guard():
+    """Layer 1+2 of the banded-guard contract (see block comment)."""
+    import inspect
+
+    from mapreduce_google_spark.operators import dedup, similarity
+
+    detected = set()
+    for mod in (dedup, similarity):
+        for name, fn in vars(mod).items():
+            if not (
+                inspect.isfunction(fn) and fn.__module__ == mod.__name__
+            ):
+                continue
+            src = inspect.getsource(fn)
+            # the repo's candidate self-join idioms: aliased a/b band
+            # join, or the SemDeDup keep/drop within-cell join
+            if ('.alias("a")' in src and '.alias("b")' in src) or (
+                '"keep_emb"' in src and '"drop_emb"' in src
+            ):
+                detected.add((mod, name))
+    assert detected, "detection pattern matched nothing — idiom drifted?"
+    inventory = set(_BANDED_GUARDED) | set(_BANDED_EXCEPTIONS)
+    unlisted = {n for _, n in detected} - inventory
+    assert not unlisted, (
+        f"new banded candidate-join builder(s) {sorted(unlisted)} not in "
+        "the guard inventory — add a max_bucket-style guard (ON by "
+        "default) or register an explicit exception with its reason"
+    )
+    for mod, name in detected:
+        fn = vars(mod)[name]
+        params = inspect.signature(fn).parameters
+        if name in _BANDED_GUARDED:
+            g = _BANDED_GUARDED[name]
+            assert g in params, (name, g, "guard param missing")
+            assert params[g].default is not None, (
+                f"{name}: guard {g} exists but default is None — the "
+                "r17 t77 lesson is that an OFF guard is a missing guard"
+            )
+        else:
+            g, _reason = _BANDED_EXCEPTIONS[name]
+            if g is not None:
+                assert g in params, (name, g, "declared guard param gone")
+
+
+def test_banded_compositions_inherit_guarded_pipelines():
+    """The composing builders (ensemble / cross-source / edit-distance)
+    must generate candidates THROUGH the inventoried pipelines, never
+    with a private self-join of their own — inheritance is their guard."""
+    import inspect
+
+    from mapreduce_google_spark.operators import dedup
+
+    for name in (
+        "ensemble_dup_pairs",
+        "cross_source_dup_matrix",
+        "edit_distance_pairs",
+    ):
+        src = inspect.getsource(vars(dedup)[name])
+        assert (
+            "simhash_near_dup_pairs" in src or "ngram_jaccard_pairs" in src
+        ), (name, "no inventoried candidate source")
+        assert '.alias("a")' not in src, (
+            name,
+            "private self-join — must compose an inventoried pipeline",
+        )
