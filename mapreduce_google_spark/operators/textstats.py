@@ -622,15 +622,25 @@ def bpe_pair_counts(
 
     Total order: count desc, then pair asc — stable under any
     partitioning.
+
+    Plan note (r18 repair, results-identical): the split MUST be
+    projected to a named column before the transform references it —
+    the lambda reads the array twice per element (``chars[i]``,
+    ``chars[i+1]``), and inlining the unnamed ``split(lower(text),'')``
+    there makes Catalyst re-evaluate the full split per element access:
+    O(len²) per row, measured 11.7× at sf0.01 and 477 s at sf1 in the
+    r17 registry sweep (BENCH_bpe_split_probe.json — the named column
+    is evaluated once per row; CollapseProject does not re-inline a
+    non-cheap expression referenced 3×).
     """
     docs = load_table(spark, sf_dir, "documents")
-    chars = F.split(F.lower("text"), "")
     pairs = F.transform(
-        F.sequence(F.lit(0), F.size(chars) - 2),
-        lambda i: F.concat(chars[i], chars[i + 1]),
+        F.sequence(F.lit(0), F.size("chars") - 2),
+        lambda i: F.concat(F.col("chars")[i], F.col("chars")[i + 1]),
     )
     return (
         docs.where(F.length("text") >= 2)
+        .select(F.split(F.lower("text"), "").alias("chars"))
         .select(F.explode(pairs).alias("pair"))
         .where(~F.col("pair").contains(" "))
         .groupBy("pair")
