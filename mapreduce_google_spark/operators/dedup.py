@@ -1347,7 +1347,11 @@ def containment_pairs(
 
 
 def cross_source_dup_matrix(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """T135 — provenance leakage matrix: near-dup pair counts grouped by
     the (source, source) pair of the two documents.
@@ -1357,9 +1361,14 @@ def cross_source_dup_matrix(
     to each side's ``source``, sources ordered within the pair so (A,B)
     and (B,A) land in one cell. The matrix is |sources|² at most —
     tiny — so the only real cost is the pair computation itself.
+    ``max_df`` passes through to that pair computation (r18, default
+    None = unchanged behavior; the r19 default decision rides on
+    BENCH_banded_tail_r18.json).
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+    pairs = ngram_jaccard_pairs(
+        spark, sf_dir, n=n, threshold=threshold, max_df=max_df
+    )
     src = docs.select("doc_id", "source")
     labeled = (
         pairs.join(
@@ -1436,7 +1445,9 @@ def duplicate_span_coverage(
     )
 
 
-def ensemble_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ensemble_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
     """T170 — ensemble near-dup: pairs flagged by BOTH the exact n-gram
     Jaccard operator (t21) AND the SimHash band operator (t77) — the
     high-confidence set a pipeline deletes without human review, while
@@ -1448,8 +1459,14 @@ def ensemble_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     One equi-join of the two detectors' outputs on the (doc_a, doc_b)
     pair key — both sides are already pair-scale (candidates, not the
     corpus), so this costs nothing at any corpus size.
+
+    ``max_df`` passes through to the Jaccard side's shingle machinery
+    (r18, default None = unchanged behavior): the SimHash side carries
+    its own bucket guard since the r18 flip, and the family contract
+    wants the lexical side cappable the same way — the r19 default
+    decision rides on BENCH_banded_tail_r18.json.
     """
-    jacc = ngram_jaccard_pairs(spark, sf_dir)
+    jacc = ngram_jaccard_pairs(spark, sf_dir, max_df=max_df)
     sim = simhash_near_dup_pairs(spark, sf_dir)
     return (
         jacc.join(sim, ["doc_a", "doc_b"])
@@ -1501,6 +1518,18 @@ def edit_distance_pairs(
     runs ONLY on band-join candidates (pair-scale), JVM-side via the
     built-in ``levenshtein`` — an integer DP both engines implement
     identically, so the similarity is one IEEE division of exact ints.
+
+    Plan note (r18 repair, results-identical): the candidate set is
+    explicitly repartitioned to 2× parallelism before the text joins.
+    Without it, AQE coalesces the pair exchange by BYTES (1.45M bare
+    (id, id, hamming) rows ≈ one 64 MB advisory partition) and the
+    Levenshtein DP — the one expensive-per-row expression in the plan —
+    runs on a single core (observed via thread dump: one busy executor
+    in ``UTF8String.levenshteinDistance``, 21 min at sf1 where the
+    parallel form takes ~1 min). Bytes-based coalescing is the wrong
+    heuristic whenever downstream cost is CPU-per-row, not bytes; the
+    explicit numbered repartition is exempt from AQE coalescing by
+    contract (BENCH_editdist_repartition_probe.json).
     """
     cands = simhash_near_dup_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
@@ -1508,8 +1537,10 @@ def edit_distance_pairs(
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     lev = F.levenshtein(F.col("text_a"), F.col("text_b"))
     max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    n_parts = spark.sparkContext.defaultParallelism * 2
     return (
-        cands.join(ta, "doc_a")
+        cands.repartition(n_parts, "doc_a", "doc_b")
+        .join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
