@@ -117,8 +117,11 @@ _BANDED_EXCEPTIONS = {
     ),
     "containment_pairs": (
         "max_df",
-        "PENDING r19 default flip (t134): guard param exists, default "
-        "None; staged evidence BENCH_banded_tail_r18.json",
+        "MEASURED r18, default stays None (BENCH_banded_tail_r18.json): "
+        "3-gram shingle document frequencies do not collapse like 8-bit "
+        "band values — the 1000 cap never fires at sf1 (rows identical) "
+        "and only adds the df-profile pass (~5-8%). The guard stays "
+        "available for degenerate/boilerplate corpora",
     ),
     "embedding_near_dup_pairs": (
         "n_bits",
