@@ -253,12 +253,32 @@ class _KVTextWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, f))
 
 
-_REGISTERED: set[int] = set()
+_REGISTERED: set[tuple] = set()
 
 
 def ensure_registered(spark) -> None:
-    """Register the source once per SparkSession (idempotent)."""
-    key = id(spark)
+    """Register the source once per underlying JVM session (idempotent).
+
+    The memo key is (applicationId, JVM-session identity hash), NOT
+    ``id(spark)``: PySpark hands out ephemeral Python wrapper objects
+    around the one JVM session (``df.sparkSession`` etc.), and CPython
+    reuses a garbage-collected wrapper's ``id()`` for new objects — so
+    an id-keyed memo can return a false "already registered" and the
+    next ``format("kvtext")`` call dies with DATA_SOURCE_NOT_FOUND.
+    Registration itself is idempotent (re-register warns and replaces),
+    so a memo MISS is always safe; only a false HIT is fatal — key on
+    the JVM object, whose identity is what the registration actually
+    lives on.
+
+    SEPARATE thread caveat (diagnosed r18): Python DataSource LOOKUP
+    resolves through the JVM's thread-local active session, so calls
+    issued from a non-main driver thread fail with
+    DATA_SOURCE_NOT_FOUND regardless of registration (reproduced
+    minimally; this is Spark's session-threading contract, not a
+    registration bug). Drive kvtext reads/writes from the thread that
+    owns the session — tools/registry_sweep.py inverted its
+    watchdog for exactly this reason."""
+    key = (spark.sparkContext.applicationId, spark._jsparkSession.hashCode())
     if key not in _REGISTERED:
         spark.dataSource.register(KVTextDataSource)
         _REGISTERED.add(key)

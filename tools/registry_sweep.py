@@ -15,9 +15,14 @@ Usage:
 
 ``--after NAME`` starts the sweep at the entry AFTER the given name in
 registration order (resume support: the r17 sweep stopped at t179).
-``--timeout SEC`` (default 600) kills a single entry's run via a worker
-thread join and records it as a timeout instead of hanging the sweep —
-the entry's Spark jobs are cancelled through the job group.
+``--timeout SEC`` (default 600) arms a WATCHDOG TIMER that cancels the
+entry's job group; the builder itself always runs on the MAIN thread.
+The inversion matters: Python DataSource lookup resolves through the
+JVM's thread-local active session, so driving a builder from a worker
+thread fails any ``format("kvtext")`` entry with DATA_SOURCE_NOT_FOUND
+(diagnosed r18 — see ``kvtext.ensure_registered``'s thread caveat).
+A cancelled entry surfaces as the Py4J cancellation error and is
+recorded as a timeout.
 """
 
 from __future__ import annotations
@@ -65,27 +70,29 @@ def main() -> int:
     results: dict[str, dict] = {}
     for n in names:
         rec: dict = {}
-        done = threading.Event()
+        timed_out = threading.Event()
 
-        def run(name=n, rec=rec, done=done):
-            try:
-                sc.setJobGroup(f"sweep-{name}", name, interruptOnCancel=True)
-                t0 = time.perf_counter()
-                df = REGISTRY[name].builder(spark, sf_dir)
-                rec["rows"] = len(df.toPandas())
-                rec["sec"] = round(time.perf_counter() - t0, 1)
-            except Exception as e:  # noqa: BLE001 - recorded, not raised
+        def cancel(name=n, timed_out=timed_out):
+            timed_out.set()
+            sc.cancelJobGroup(f"sweep-{name}")
+
+        watchdog = threading.Timer(timeout_s, cancel)
+        watchdog.daemon = True
+        watchdog.start()
+        try:
+            sc.setJobGroup(f"sweep-{n}", n, interruptOnCancel=True)
+            t0 = time.perf_counter()
+            df = REGISTRY[n].builder(spark, sf_dir)
+            rec["rows"] = len(df.toPandas())
+            rec["sec"] = round(time.perf_counter() - t0, 1)
+        except Exception as e:  # noqa: BLE001 - recorded, not raised
+            if timed_out.is_set():
+                rec["error"] = f"TIMEOUT >{timeout_s:.0f}s (jobs cancelled)"
+                rec["sec"] = round(timeout_s, 1)
+            else:
                 rec["error"] = f"{type(e).__name__}: {e}"[:300]
-            finally:
-                done.set()
-
-        t = threading.Thread(target=run, daemon=True)
-        t.start()
-        if not done.wait(timeout_s):
-            sc.cancelJobGroup(f"sweep-{n}")
-            done.wait(30)
-            rec.setdefault("error", f"TIMEOUT >{timeout_s:.0f}s (jobs cancelled)")
-            rec["sec"] = round(timeout_s, 1)
+        finally:
+            watchdog.cancel()
         results[n] = rec
         print(json.dumps({n: rec}), flush=True)
         spark.catalog.clearCache()
