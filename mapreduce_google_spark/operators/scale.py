@@ -883,39 +883,45 @@ def cardinality_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a within-3·rsd bound flag — the audit that decides whether sketches
     can replace exact counts in the planner's statistics.
 
-    One scan computes every approx+exact pair in a single aggregate
-    (the t152 multi-statistic recipe); the long-form output means
-    adding columns never changes the schema. Exact counts are
-    hash-checked by the oracle; the bound flag is the t164 invariant
-    per column.
+    Plan note (r18 repair, results-identical): each column's
+    (approx, exact) pair is its OWN single-distinct aggregation over a
+    scan pruned to that one column, and the three 1-row results are
+    unioned. The original single-aggregate form put THREE
+    ``countDistinct`` columns in one agg, which Spark's
+    RewriteDistinctAggregates rewrites into an EXPAND — every input row
+    replicated once per distinct group plus once for the regular
+    aggregates — so the 60M-row sf1 fact shuffled as ~240M rows twice
+    (277 s measured, BENCH_registry_sweep_r18.json); the per-column
+    form is a plain partial-aggregated distinct per pruned column. The
+    output carries no raw estimate, so it is plan-shape-independent:
+    exact counts are hash-checked by the oracle and the bound flag is
+    the t164 invariant per column (HLL++ at a fixed rsd is
+    deterministic on identical input data).
     """
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_orderkey", "l_partkey", "l_suppkey"]
-    aggs = []
+    per_col = []
     for c in cols:
-        aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"a_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"e_{c}"))
-    row = li.agg(*aggs)
-    entries = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col(f"e_{c}").cast("long").alias("exact_distinct"),
-            F.when(
-                F.abs(F.col(f"a_{c}") - F.col(f"e_{c}"))
-                <= 3 * 0.01 * F.col(f"e_{c}"),
-                0,
-            )
-            .otherwise(1)
-            .cast("long")
-            .alias("bound_violations"),
+        row = li.select(c).agg(
+            F.approx_count_distinct(c, rsd=0.01).alias("a"),
+            F.countDistinct(c).alias("e"),
         )
-        for c in cols
-    ]
-    return (
-        row.select(F.explode(F.array(*entries)).alias("r"))
-        .select("r.column", "r.exact_distinct", "r.bound_violations")
-        .orderBy("column")
-    )
+        per_col.append(
+            row.select(
+                F.lit(c).alias("column"),
+                F.col("e").cast("long").alias("exact_distinct"),
+                F.when(
+                    F.abs(F.col("a") - F.col("e")) <= 3 * 0.01 * F.col("e"), 0
+                )
+                .otherwise(1)
+                .cast("long")
+                .alias("bound_violations"),
+            )
+        )
+    out = per_col[0]
+    for df in per_col[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("column")
 
 
 # --------------------------------------------------------------------------
