@@ -1530,6 +1530,21 @@ def edit_distance_pairs(
     heuristic whenever downstream cost is CPU-per-row, not bytes; the
     explicit numbered repartition is exempt from AQE coalescing by
     contract (BENCH_editdist_repartition_probe.json).
+
+    Length pre-filter (r18, results-identical): ``lev(a, b) >=
+    |len(a) − len(b)|``, so a pair whose length gap exceeds
+    ``(1 − threshold) · max(len_a, len_b)`` cannot clear the final
+    ``edit_sim >= threshold`` filter no matter what the DP computes —
+    it is dropped BEFORE ``levenshtein`` runs. On the shipped corpus
+    56% of the band-join candidates are prunable this way (the bit
+    signature matches token distribution, not length, so
+    excerpt/expansion pairs flood the verify stage with doomed DP
+    work): 130 → 73 s at sf1, −36% at sf0.1, row-identical at every
+    tier (BENCH_editdist_lenfilter_probe.json). The pre-filter
+    threshold carries a +1e-6 relative margin so the 6-decimal
+    rounding of ``edit_sim`` at the final filter cannot disagree with
+    the exact-length predicate at the boundary (round(x, 6) >= th only
+    requires x >= th − 5e-7).
     """
     cands = simhash_near_dup_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
@@ -1537,11 +1552,16 @@ def edit_distance_pairs(
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     lev = F.levenshtein(F.col("text_a"), F.col("text_b"))
     max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    len_gap = F.abs(F.length("text_a") - F.length("text_b"))
     n_parts = spark.sparkContext.defaultParallelism * 2
     return (
         cands.repartition(n_parts, "doc_a", "doc_b")
         .join(ta, "doc_a")
         .join(tb, "doc_b")
+        .where(
+            len_gap.cast("double")
+            <= F.lit(1.0 - threshold + 1e-6) * max_len.cast("double")
+        )
         .select(
             "doc_a",
             "doc_b",
