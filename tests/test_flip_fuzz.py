@@ -400,3 +400,177 @@ def test_t77_guard_agrees_with_brute_force_on_boilerplate_corpus(spark, tmp_path
     assert not (boiler_pairs & set(by_cap[5]))
     assert mini_pairs <= set(by_cap[5])
     assert not (mini_pairs & set(by_cap[3]))
+
+
+# --- t179: banded thresholded DP + length pre-filter vs full DP -------------
+
+
+def _py_lev(a: str, b: str) -> int:
+    """Textbook full-table Levenshtein — the independent reference."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's round(double, 6): HALF_UP on the shortest decimal repr."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _editdist_corpus(seed: int = 1901) -> pd.DataFrame:
+    """Permutation clusters: docs over the SAME token multiset have the
+    same simhash (the fingerprint is order-invariant), so every pair in
+    a cluster is a guaranteed hamming-0 candidate while the character-
+    level edit distance ranges from 0 (exact dup) through small
+    (adjacent token swap) to large (full shuffle) — exactly the spread
+    the verify stage must keep/drop correctly. A doubled-text member
+    (base+base: same multiset ratios -> same signs -> same fingerprint)
+    plants a candidate whose LENGTH GAP alone dooms it, exercising the
+    pre-filter's no-false-prune contract."""
+    rng = random.Random(seed)
+    base = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima",
+    ]
+    rows = []
+    rows.append({"doc_id": 0, "text": " ".join(base)})
+    rows.append({"doc_id": 1, "text": " ".join(base)})  # exact dup: kept
+    swap = base[:]
+    swap[3], swap[4] = swap[4], swap[3]  # small edit: likely kept
+    rows.append({"doc_id": 2, "text": " ".join(swap)})
+    for i in range(3, 7):  # full shuffles: large lev, same multiset
+        sh = base[:]
+        rng.shuffle(sh)
+        rows.append({"doc_id": i, "text": " ".join(sh)})
+    doubled = " ".join(base) + " " + " ".join(base)
+    rows.append({"doc_id": 7, "text": doubled})  # length-gap candidate
+    vocab = ["mike", "november", "oscar", "papa", "quebec", "romeo"]
+    for i in range(8, 24):  # background noise docs
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(8, 20))
+                ),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_t179_registered_agrees_with_full_dp_reference(spark, tmp_path):
+    """The r18 t179 repairs (length pre-filter + banded thresholded DP)
+    claim results-identity with the original contract: full Levenshtein
+    over every simhash candidate, sim = round(1 - lev/max_len, 6),
+    filter sim >= threshold. Pin the registered builder against an
+    independent pure-Python implementation of THAT contract (no length
+    filter, no band) over the actual candidate set, on a corpus that
+    plants guaranteed candidates across the keep/drop/length-gap
+    spectrum."""
+    from mapreduce_google_spark.operators.dedup import (
+        edit_distance_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    pdf = _editdist_corpus()
+    _write_parquet(tmp_path, "documents", pdf)
+    sf_dir = str(tmp_path)
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    cands = [
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(spark, sf_dir).collect()
+    ]
+    cluster = {0, 1, 2, 3, 4, 5, 6, 7}
+    got_cluster = {p for p in cands if set(p) <= cluster}
+    assert {(0, 1), (0, 2), (0, 7)} <= got_cluster, got_cluster
+    expected = []
+    for a, b in cands:
+        ta, tb = texts[a], texts[b]
+        lev = _py_lev(ta, tb)
+        m = max(len(ta), len(tb))
+        sim = _round6_half_up(1.0 - lev / m)
+        if sim >= 0.8:
+            expected.append((a, b, lev, sim))
+    got = [
+        (r["doc_a"], r["doc_b"], r["edit_distance"], r["edit_sim"])
+        for r in edit_distance_pairs(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+    kept = {(a, b) for a, b, _, _ in got}
+    assert (0, 1) in kept and (0, 2) in kept  # exact dup + token swap
+    assert (0, 7) not in kept  # doubled text: length-gap prune is no-op
+    dropped = set(cands) - kept
+    assert dropped, "no dropped candidate — verify stage untested"
+
+
+def test_t179_banded_threshold_expression_is_exact_at_the_boundary(spark):
+    """The banded-DP margin math, probed AT the rounding boundary: for
+    constructed pairs spanning lev/max_len across the 0.2 threshold
+    (including lev = 0.2*len exactly, empty strings, and length-gap
+    pairs), the per-row k = ceil((1-th+1e-6)*max_len) thresholded
+    levenshtein must return the exact distance whenever the full DP is
+    within k (in particular for EVERY row the final filter keeps) and
+    -1 only for rows the filter drops anyway — keep/drop identical to
+    the full DP at every row."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    threshold, rel = 0.8, 1.0 - 0.8 + 1e-6
+    pairs = []
+    for L in (10, 25, 50, 120):
+        base = "".join(chr(ord("a") + (i * 7) % 26) for i in range(L))
+        repl = "0123456789"
+        step = max(1, L // (int(0.2 * L) + 3))
+        for c in range(0, int(0.2 * L) + 3):
+            chars = list(base)
+            for n in range(c):
+                pos = (n * step + n) % L
+                chars[pos] = repl[n % 10]
+            pairs.append((base, "".join(chars)))
+    # ("", "") is unrepresentable: max_len 0 raises DIVIDE_BY_ZERO under
+    # ANSI in BOTH forms (same division) — parity holds by construction
+    pairs += [("abc", ""), ("abc", "abcdefghij")]
+    df = spark.createDataFrame(pairs, "text_a string, text_b string")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    full = F.levenshtein("text_a", "text_b")
+    banded = F.expr(
+        "levenshtein(text_a, text_b, cast(ceil({rel} * cast(greatest("
+        "length(text_a), length(text_b)) as double)) as int))".format(rel=rel)
+    )
+    sim_of = lambda d: F.round(  # noqa: E731
+        F.lit(1.0) - d.cast("double") / max_len.cast("double"), 6
+    )
+    rows = df.select(
+        "text_a",
+        "text_b",
+        max_len.alias("m"),
+        full.alias("lev"),
+        banded.alias("d"),
+        (sim_of(full) >= threshold).alias("keep_full"),
+        ((banded >= 0) & (sim_of(banded) >= threshold)).alias("keep_banded"),
+    ).collect()
+    boundary_kept = 0
+    for r in rows:
+        k = math.ceil(rel * r["m"])
+        if r["d"] >= 0:
+            assert r["d"] == r["lev"], (r["text_a"], r["text_b"])
+        else:
+            assert r["lev"] > k, (r["lev"], k)
+        assert bool(r["keep_full"]) == bool(r["keep_banded"]), (
+            r["text_a"], r["text_b"], r["lev"], r["d"], k,
+        )
+        if r["m"] and r["keep_full"] and r["lev"] * 5 == r["m"]:
+            boundary_kept += 1
+    assert boundary_kept, "no pair landed exactly ON the 0.8 boundary"
+    assert any(not r["keep_full"] and r["d"] == -1 for r in rows)
+    assert any(not r["keep_full"] and r["d"] >= 0 for r in rows)
