@@ -1727,16 +1727,153 @@ def ivf_topk_invariants(
     )
 
 
+_VELTKAMP = 134217729.0  # 2^27 + 1
+_Q12 = 1e12
+_Q12C = _Q12 * _VELTKAMP
+_Q12H = _Q12C - (_Q12C - _Q12)
+_Q12L = _Q12 - _Q12H
+
+
+def _quantize12_scaled(P: "np.ndarray") -> "np.ndarray":
+    """int64 of ``cast(P as decimal(20,12))`` scaled by 1e12 — the exact
+    Spark semantics, vectorized: Spark's double→decimal cast is HALF_UP
+    on the SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf →
+    Double.toString), which Python's ``Decimal(repr(x))`` reproduces but
+    at ~µs/element. The vectorized path rounds the exact BINARY value
+    ``P·1e12`` instead (Dekker two-product gives p + e == P·1e12
+    exactly; 1e12 is dyadic), which agrees with the shortest-repr
+    rounding everywhere except when a 12-dp rounding boundary falls in
+    the ≤ ulp/2 gap between the double and its repr — those elements
+    (and exact .5 ties, where binary HALF_UP must beat numpy's
+    half-even) are detected by a window of ``|f−0.5| < |S|·2.3e-16 +
+    1e-9`` and repaired per-element through Decimal. On the shipped
+    float32-valued corpora the risky set is ~1e-4 of elements; exact
+    ties (products like odd/8192, whose decimal expansion ends …5 at
+    the 13th place) are covered by the same repair and pinned in
+    tests/test_flip_fuzz.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    P = np.asarray(P, dtype=np.float64)
+    p = P * _Q12
+    ac = P * _VELTKAMP
+    ah = ac - (ac - P)
+    al = P - ah
+    e = ((ah * _Q12H - p) + ah * _Q12L + al * _Q12H) + al * _Q12L
+    sign = np.where(p < 0, -1.0, 1.0)
+    ps = np.abs(p)
+    # domain guard: above 2^53 the scaled value exceeds exact-double
+    # range (and above 2^63 astype(int64) would wrap SILENTLY); the
+    # embedding contract is |x| = O(1), so fail loudly instead of wrong
+    if not np.all(ps < 9007199254740992.0):
+        raise ValueError(
+            "quantize12 domain: |x| must be < 9007 (x*1e12 must stay "
+            "within exact-double range 2^53)"
+        )
+    es = e * sign
+    n0 = np.floor(ps)
+    f = (ps - n0) + es
+    adj = f >= 1.0
+    n0 += adj
+    f -= adj
+    adj = f < 0.0
+    n0 -= adj
+    f += adj
+    out = (sign * (n0 + (f >= 0.5))).astype(np.int64)
+    risky = np.abs(f - 0.5) < (ps * 2.3e-16 + 1e-9)
+    if risky.any():
+        q = Decimal("1e-12")
+        flat_p = P.ravel()
+        flat_o = out.ravel()
+        for i in np.flatnonzero(risky.ravel()):
+            flat_o[i] = int(
+                Decimal(repr(float(flat_p[i])))
+                .quantize(q, ROUND_HALF_UP)
+                .scaleb(12)
+            )
+        out = flat_o.reshape(P.shape)
+    return out
+
+
+def _cov_moments_arrow(spark: SparkSession, sf_dir: str):
+    """One Arrow pass over the embeddings: per-partition scaled-int64
+    partial sums of the quantized products / values (the exact
+    ``sum(cast(x as decimal(20,12)))`` arithmetic, carried as integers
+    at 1e-12 scale), combined by ONE metadata-sized long aggregation —
+    no N·d² row explosion, no d²-keyed shuffle of 82M rows. Returns
+    ``(n, {i: Σx_scaled}, {(i,j): Σxy_scaled})``; partial magnitudes
+    are bounded by rows·1e12 per partition and 64-bit exact through the
+    JVM long sum (decimal(20,12) itself caps |x| < 1e8, so overflow
+    would need 9e6 rows × 1e20 — out of the type's own domain)."""
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(it):
+        import numpy as np  # noqa: F811 — executor-side import
+        import pyarrow as pa
+
+        sxy = None
+        sx = None
+        n = 0
+        d = None
+        for batch in it:
+            col = batch.column(0)
+            rows = len(col)
+            if rows == 0:
+                continue
+            arr = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            d_ = len(arr) // rows
+            assert len(arr) == rows * d_, "ragged embedding batch"
+            X = arr.reshape(rows, d_)
+            if sxy is None:
+                d = d_
+                sxy = np.zeros((d, d), dtype=np.int64)
+                sx = np.zeros(d, dtype=np.int64)
+            assert d_ == d, "embedding width drifted within a partition"
+            for s in range(0, rows, 512):
+                xc = X[s : s + 512]
+                P = np.einsum("bi,bj->bij", xc, xc)
+                sxy += _quantize12_scaled(P).sum(axis=0)
+            sx += _quantize12_scaled(X).sum(axis=0)
+            n += rows
+        if sxy is None:
+            return
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        out_i = np.concatenate([ii.ravel(), np.arange(d), [-1]]).astype(np.int32)
+        out_j = np.concatenate([jj.ravel(), np.full(d, -1), [-1]]).astype(np.int32)
+        out_s = np.concatenate([sxy.ravel(), sx, [n]]).astype(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_i), pa.array(out_j), pa.array(out_s)],
+            names=["i", "j", "part"],
+        )
+
+    agg = (
+        emb.mapInArrow(partials, "i int, j int, part long")
+        .groupBy("i", "j")
+        .agg(F.sum("part").alias("s"))
+    )
+    n = None
+    sx = {}
+    sxy = {}
+    for r in agg.collect():
+        if r.i == -1:
+            n = int(r.s)
+        elif r.j == -1:
+            sx[r.i] = int(r.s)
+        else:
+            sxy[(r.i, r.j)] = int(r.s)
+    return n, sx, sxy
+
+
 def top_principal_component(
-    spark: SparkSession, sf_dir: str, iters: int = 20
+    spark: SparkSession, sf_dir: str, iters: int = 20, moments: str = "arrow"
 ) -> DataFrame:
     """T189 — distributed PCA, the scalable way: the d×d covariance
-    matrix is ONE pass over the embeddings (outer-product partial sums,
-    shuffle keyed on (i, j) — 4096 cells for d=64, metadata-sized
-    regardless of corpus size), then the top eigenvector comes from 20
-    power iterations on the DRIVER over that tiny matrix — exactly how
-    PCA/whitening statistics are computed over a 100 TB embedding
-    corpus (cf. k-means' k×dim and PageRank's k² driver state).
+    matrix is ONE pass over the embeddings (outer-product partial sums
+    — 4096 cells for d=64, metadata-sized regardless of corpus size),
+    then the top eigenvector comes from 20 power iterations on the
+    DRIVER over that tiny matrix — exactly how PCA/whitening statistics
+    are computed over a 100 TB embedding corpus (cf. k-means' k×dim and
+    PageRank's k² driver state).
 
     Bit-exact with the unrolled SQL oracle: covariance entries are
     exact-decimal sums of quantized products with a fixed closed form;
@@ -1744,49 +1881,80 @@ def top_principal_component(
     its exact sum; the per-iteration normalization is one IEEE
     sqrt/division chain from deterministic operands. Start vector is
     the uniform unit vector (1/√d exact for d=64).
-    """
+
+    ``moments`` (r18, results-identical — BIT-identical, cell by cell):
+    the default ``"arrow"`` computes the quantized sums in one
+    :func:`_cov_moments_arrow` pass — scaled-int64 partials per
+    partition, one long aggregation — instead of the ``"sql"``
+    reference's N·d² row explosion (posexplode self-join + d²-keyed
+    decimal aggregation over 82M rows at sf1). The r17 covariance
+    shootout refuted the JOIN as the cost (join-free generator form was
+    within 1.5%); the cost was the 82M per-row decimal quantize+sum
+    operations themselves, which the kernel performs as vectorized
+    exact binary rounding with per-element Decimal repair inside the
+    repr-divergence window (see :func:`_quantize12_scaled`). All 4096
+    covariance cells bit-identical at sf0.01/sf0.1/sf1; 128.8 → 9.1 s
+    at sf1 (−93%, BENCH_covariance_kernel_probe.json). ``"sql"`` keeps
+    the reference pipeline verbatim."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
-    a = exploded.select("vec_id", F.col("i"), F.col("x").cast("double").alias("xa"))
-    b = exploded.select(
-        "vec_id", F.col("i").alias("j"), F.col("x").cast("double").alias("xb")
-    )
-    moments = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(
-            F.sum((F.col("xa") * F.col("xb")).cast("decimal(20,12)"))
-            .cast("double")
-            .alias("sxy"),
-            F.count("*").cast("double").alias("n"),
+    if moments == "arrow":
+        n, sx, sxy = _cov_moments_arrow(spark, sf_dir)
+        nf = float(n)
+        means_k = {i: float(Decimal(v).scaleb(-12)) / nf for i, v in sx.items()}
+        C = {
+            (i, j): float(Decimal(v).scaleb(-12)) / nf
+            - means_k[i] * means_k[j]
+            for (i, j), v in sxy.items()
+        }
+        d = max(i for i, _ in C) + 1
+    else:
+        emb = load_table(spark, sf_dir, "embeddings")
+        exploded = emb.select(
+            "vec_id", F.posexplode("embedding").alias("i", "x")
         )
-    )
-    means = (
-        exploded.groupBy("i")
-        .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(20,12)")).cast(
-                    "double"
-                )
-                / F.count("*")
-            ).alias("m")
+        a = exploded.select(
+            "vec_id", F.col("i"), F.col("x").cast("double").alias("xa")
         )
-    )
-    cov = (
-        moments.join(means.select(F.col("i"), F.col("m").alias("mi")), "i")
-        .join(means.select(F.col("i").alias("j"), F.col("m").alias("mj")), "j")
-        .select(
-            "i",
-            "j",
-            (F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj")).alias("cov"),
+        b = exploded.select(
+            "vec_id", F.col("i").alias("j"), F.col("x").cast("double").alias("xb")
         )
-    )
-    rows = cov.collect()
-    d = max(r.i for r in rows) + 1
-    C = {(r.i, r.j): r.cov for r in rows}
+        moments_df = (
+            a.join(b, "vec_id")
+            .groupBy("i", "j")
+            .agg(
+                F.sum((F.col("xa") * F.col("xb")).cast("decimal(20,12)"))
+                .cast("double")
+                .alias("sxy"),
+                F.count("*").cast("double").alias("n"),
+            )
+        )
+        means = (
+            exploded.groupBy("i")
+            .agg(
+                (
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(20,12)")
+                    ).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        cov = (
+            moments_df.join(means.select(F.col("i"), F.col("m").alias("mi")), "i")
+            .join(means.select(F.col("i").alias("j"), F.col("m").alias("mj")), "j")
+            .select(
+                "i",
+                "j",
+                (F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj")).alias(
+                    "cov"
+                ),
+            )
+        )
+        rows = cov.collect()
+        d = max(r.i for r in rows) + 1
+        C = {(r.i, r.j): r.cov for r in rows}
     q12 = Decimal(1).scaleb(-12)
     v = [1.0 / (d ** 0.5)] * d
     for _ in range(iters):

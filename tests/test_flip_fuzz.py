@@ -574,3 +574,134 @@ def test_t179_banded_threshold_expression_is_exact_at_the_boundary(spark):
     assert boundary_kept, "no pair landed exactly ON the 0.8 boundary"
     assert any(not r["keep_full"] and r["d"] == -1 for r in rows)
     assert any(not r["keep_full"] and r["d"] >= 0 for r in rows)
+
+
+# --- t189: Arrow scaled-int64 covariance kernel vs exact decimal ------------
+
+
+def _decimal_quantize12_scaled(x: float) -> int:
+    """The contract: Spark's cast(double as decimal(20,12)) == HALF_UP
+    on the double's shortest decimal repr, as a scaled integer."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x))).quantize(Decimal("1e-12"), ROUND_HALF_UP).scaleb(12)
+    )
+
+
+def test_quantize12_scaled_matches_decimal_on_adversarial_values():
+    """The vectorized exact-binary-rounding path must agree with the
+    per-element Decimal reference EVERYWHERE — exact decimal ties
+    (odd/8192: binary-exact products whose decimal expansion ends …5
+    at the 13th place, where numpy's half-even rounding would be
+    wrong), repr-divergence candidates (1.5e-12 and friends, where the
+    double and its shortest repr straddle the rounding boundary),
+    signs, zeros, subnormals, huge-within-domain values, and a seeded
+    random float32-product sweep."""
+    import numpy as np
+
+    from mapreduce_google_spark.operators.similarity import _quantize12_scaled
+
+    adversarial = [
+        1.0 / 8192,          # exact tie: …312.5 -> HALF_UP 313
+        -1.0 / 8192,         # away-from-zero: -> -313
+        3.0 / 8192, -5.0 / 8192, 12345.0 / 8192,
+        1.5e-12, -1.5e-12, 2.5e-13, 0.5e-12, 4.9999999999995e-1,
+        0.0, -0.0, 5e-324, -5e-324, 1e-13, -1e-13,
+        1.0, -1.0, 0.1, 0.2, 0.3, 9000.000000000123, -8999.9999999999995,
+        0.0001220703125,     # 1/8192 written out
+    ]
+    rng = random.Random(777)
+    f32 = [
+        float(np.float32(rng.uniform(-0.5, 0.5))) for _ in range(2000)
+    ]
+    prods = [a * b for a, b in zip(f32[::2], f32[1::2])]
+    xs = np.array(adversarial + f32 + prods, dtype=np.float64)
+    got = _quantize12_scaled(xs)
+    for x, g in zip(xs.tolist(), got.tolist()):
+        assert g == _decimal_quantize12_scaled(x), (repr(x), g)
+    # the tie really is a tie: numpy's half-even disagrees here
+    assert got[0] == 122070313 and got[1] == -122070313
+    assert int(round((1.0 / 8192) * 1e12)) == 122070312  # half-even
+    # out-of-domain values fail loudly instead of wrapping silently
+    import pytest
+
+    with pytest.raises(ValueError, match="quantize12 domain"):
+        _quantize12_scaled(np.array([1e7]))
+
+
+def test_t189_kernel_agrees_with_sql_and_pure_decimal_reference(
+    spark, tmp_path
+):
+    """On a planted float32 corpus whose products include exact
+    decimal-tie values (1/64 · 1/128 = 1/8192), the registered arrow
+    kernel must produce the SAME final rows as the verbatim SQL
+    reference (moments='sql') and the SAME covariance cells as an
+    independent pure-Python Decimal implementation of the SQL
+    semantics — bit-for-bit."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_google_spark.operators.similarity import (
+        _cov_moments_arrow,
+        top_principal_component,
+    )
+
+    rng = random.Random(1907)
+    d = 4
+    vecs = [
+        [1.0 / 64, 1.0 / 128, -1.0 / 64, 0.25],   # products hit ±1/8192
+        [1.0 / 128, -1.0 / 64, 1.0 / 64, -0.125],
+        [0.0, 1.0 / 8192, -1.0 / 8192, 1.0],
+    ]
+    for _ in range(17):
+        vecs.append([float(np.float32(rng.uniform(-0.5, 0.5))) for _ in range(d)])
+    vecs = [[float(np.float32(v)) for v in vec] for vec in vecs]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[np.float32(v) for v in vec] for vec in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    sf_dir = str(tmp_path)
+    # independent pure-Python reference of the SQL decimal semantics
+    from decimal import Decimal
+
+    n = len(vecs)
+    sx = [sum(_decimal_quantize12_scaled(v[i]) for v in vecs) for i in range(d)]
+    m = [float(Decimal(sx[i]).scaleb(-12)) / float(n) for i in range(d)]
+    expected = {}
+    for i in range(d):
+        for j in range(d):
+            s = sum(_decimal_quantize12_scaled(v[i] * v[j]) for v in vecs)
+            expected[(i, j)] = float(Decimal(s).scaleb(-12)) / float(n) - m[i] * m[j]
+    kn, ksx, ksxy = _cov_moments_arrow(spark, sf_dir)
+    assert kn == n and {i: v for i, v in ksx.items()} == dict(enumerate(sx))
+    km = {i: float(Decimal(v).scaleb(-12)) / float(kn) for i, v in ksx.items()}
+    got = {
+        k: float(Decimal(v).scaleb(-12)) / float(kn) - km[k[0]] * km[k[1]]
+        for k, v in ksxy.items()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert struct.pack("<d", got[k]) == struct.pack("<d", expected[k]), (
+            k, repr(got[k]), repr(expected[k]),
+        )
+    # and the registered builder == the verbatim SQL reference, row-wise
+    arrow_rows = sorted(
+        tuple(r) for r in top_principal_component(spark, sf_dir).collect()
+    )
+    sql_rows = sorted(
+        tuple(r)
+        for r in top_principal_component(spark, sf_dir, moments="sql").collect()
+    )
+    assert arrow_rows == sql_rows
+    assert len(arrow_rows) == d
