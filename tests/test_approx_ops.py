@@ -821,7 +821,15 @@ def test_t24_auto_equals_registered_at_oracle_scale(spark, sf_dir):
         embedding_near_dup_pairs_auto,
     )
     from mapreduce_google_spark.plans import formatted_plan
+    from mapreduce_google_spark.queries import REGISTRY
 
+    # the r19 flip: the auto form IS the registered default now, and
+    # the fixed-(3,64) form below is the certified reference it must
+    # equal at oracle scale
+    assert (
+        REGISTRY["t24_embedding_near_dup"].builder
+        is embedding_near_dup_pairs_auto
+    )
     registered = [
         tuple(r) for r in embedding_near_dup_pairs(spark, sf_dir).collect()
     ]
@@ -852,8 +860,16 @@ def test_t145_auto_cells_derivation_and_oracle_equality(spark, sf_dir):
         _auto_semantic_cells,
         semantic_dedup,
         semantic_dedup_auto,
+        semantic_dedup_invariants_auto,
     )
+    from mapreduce_google_spark.queries import REGISTRY
 
+    # the r19 flip: the registered t145 builder derives its cell count
+    # through the same _auto_semantic_cells pinned below
+    assert (
+        REGISTRY["t145_semantic_dedup_invariants"].builder
+        is semantic_dedup_invariants_auto
+    )
     assert _auto_semantic_cells(500) == 8
     assert _auto_semantic_cells(0) == 8
     assert _auto_semantic_cells(5_000) == 10

@@ -125,9 +125,11 @@ _BANDED_EXCEPTIONS = {
     ),
     "embedding_near_dup_pairs": (
         "n_bits",
-        "PENDING r19 flip onto the auto-sized form (t24): fixed "
-        "n_bits=3 collapses at scale; staged as "
-        "embedding_near_dup_pairs_auto with tables/recall re-derivation",
+        "SUPERSEDED r19: the t24 default flipped onto the guarded "
+        "embedding_near_dup_pairs_auto (REPROVE[t24]=19). This fixed-"
+        "param form stays only as the certified-(3,64) reference the "
+        "auto derivation resolves to at oracle scale — shootout and "
+        "equality-test substrate, never a registered default again",
     ),
     "embedding_near_dup_pairs_exact": (
         None,
@@ -136,9 +138,12 @@ _BANDED_EXCEPTIONS = {
     ),
     "semantic_dedup": (
         "n_cells",
-        "PENDING r19 flip onto auto-sized cells (t145): fixed n_cells=8 "
-        "makes within-cell joins quadratic at scale; staged as "
-        "semantic_dedup_auto",
+        "RESOLVED r19 at the registration layer: t145's registered "
+        "builder is semantic_dedup_invariants_auto, which derives "
+        "n_cells from the corpus size (REPROVE[t145]=19) — the fixed "
+        "default here is the certified oracle-scale value the auto "
+        "derivation clamps to, reached only through explicit callers "
+        "(tests, shootouts, the auto wrapper itself)",
     ),
 }
 
