@@ -883,28 +883,42 @@ def cardinality_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a within-3·rsd bound flag — the audit that decides whether sketches
     can replace exact counts in the planner's statistics.
 
-    Plan note (r18 repair, results-identical): each column's
-    (approx, exact) pair is its OWN single-distinct aggregation over a
-    scan pruned to that one column, and the three 1-row results are
-    unioned. The original single-aggregate form put THREE
-    ``countDistinct`` columns in one agg, which Spark's
-    RewriteDistinctAggregates rewrites into an EXPAND — every input row
-    replicated once per distinct group plus once for the regular
-    aggregates — so the 60M-row sf1 fact shuffled as ~240M rows twice
-    (277 s measured, BENCH_registry_sweep_r18.json); the per-column
-    form is a plain partial-aggregated distinct per pruned column. The
-    output carries no raw estimate, so it is plan-shape-independent:
-    exact counts are hash-checked by the oracle and the bound flag is
-    the t164 invariant per column (HLL++ at a fixed rsd is
-    deterministic on identical input data).
+    Plan note (r18 repair + r19 repair, both results-identical): each
+    column's (approx, exact) pair is its OWN aggregation over a scan
+    pruned to that one column, and the three 1-row results are unioned
+    — the r18 repair, which removed the EXPAND of the original
+    three-``countDistinct``-in-one-agg form (60M rows shuffled as
+    ~240M, 277 s at sf1). The r19 repair removes the cost that was
+    STILL left per column — and the plan names a sharper mechanism
+    than row doubling: mixing one ``countDistinct`` with one regular
+    aggregate makes RewriteDistinctAggregates key the FIRST partial
+    aggregation by the column while carrying a partial
+    ``approx_count_distinct`` per key, i.e. a full 1,639-long HLL++
+    sketch buffer (``MS[0..1638]``) attached to EVERY distinct key
+    through the first HashAggregate and Exchange
+    (plans/r19/t207_..._before.txt node (2): Results [1640]) — ~13 KB
+    of aggregation state per distinct orderkey, ~200 GB of transient
+    state at sf1's 15M keys, all spill/GC. Dedup FIRST instead:
+    ``select(c).distinct()`` is a plain partial-aggregated group-by
+    (map-side dedup, one exchange of the per-partition DISTINCT values
+    only), and over the deduped set ``count(*)`` IS the exact distinct
+    count by definition while ``approx_count_distinct`` is bit-
+    identical to the raw-multiset sketch (HLL register state is a max
+    over per-value hashes — duplicate-idempotent). Measured
+    (BENCH_t207_dedup_first_probe.json, interleaved + equality-gated):
+    11.5 → 1.7 s at sf0.1, 62.5 → 4.8 s at sf1 (−92%). The output
+    carries no raw estimate, so it is plan-shape-independent: exact
+    counts are hash-checked by the oracle and the bound flag is the
+    t164 invariant per column (HLL++ at a fixed rsd is deterministic
+    on identical input data).
     """
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_orderkey", "l_partkey", "l_suppkey"]
     per_col = []
     for c in cols:
-        row = li.select(c).agg(
+        row = li.select(c).distinct().agg(
             F.approx_count_distinct(c, rsd=0.01).alias("a"),
-            F.countDistinct(c).alias("e"),
+            F.count("*").alias("e"),
         )
         per_col.append(
             row.select(
