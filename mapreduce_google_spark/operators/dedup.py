@@ -198,6 +198,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     warn_df: int | None = 1000,
+    use_shingle_store: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word-3-gram shingle sets.
 
@@ -206,6 +207,24 @@ def ngram_jaccard_pairs(
     (this one is O(pairs sharing a shingle) — ``max_df`` caps the
     per-shingle fan-out so boilerplate can't make it quadratic; Jaccard
     is then computed over the CAPPED sets on both engine and oracle).
+
+    ``use_shingle_store`` (r19, default ON — guide §2.3 narrower types
+    + §6 build-once substrate; BENCH_shingle_hashjoin_probe.json): the
+    inverted index is served from the persisted
+    :func:`shingle_store_table` — each doc's sorted distinct
+    ``xxhash64`` shingle values plus ``set_size``, the SAME store the
+    t22 verify stage reads — so tokenize + n-gram assembly (the most
+    expensive expression in the dedup family) is paid once per corpus
+    version, the self-join key shrinks from a ~20-char string to 8
+    bytes, and the per-doc sizes aggregation disappears into a store
+    column. Pair counts over hashes equal pair counts over strings
+    absent an xxhash64 collision inside a document pair (~2^-64 per
+    distinct shingle pair — the bound the t22 verify stage has shipped
+    on since r14; in-tool sorted-rows equality gated at sf0.1 AND sf1,
+    oracle-green at sf0.01). −65% at sf0.1, −36% at sf1 for t21;
+    composes into t120's exact side, t135 and t170.
+    ``use_shingle_store=False`` forces the string-keyed retokenizing
+    form for one-shot corpora (the from_bands escape-hatch precedent).
 
     ``warn_df`` (ON by default at 1000, the t22 ``max_bucket`` analog
     for the exact detector): a NON-semantic skew guard. Dropping
@@ -227,11 +246,19 @@ def ngram_jaccard_pairs(
     plan audits) are memoized dict hits, i.e. fully lazy; pass
     ``warn_df=None`` for a strictly lazy plan.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, n, max_df=max_df)
+    if use_shingle_store:
+        sets = spark.table(shingle_store_table(spark, sf_dir, n, max_df))
+        # the hash column keeps the name "shingle" so the join/agg body
+        # below is identical on both paths — the join only needs key
+        # EQUALITY, which xxhash64 preserves (collision bound above)
+        sh = sets.select("doc_id", F.explode("xh").alias("shingle"))
+        sizes = sets.select("doc_id", "set_size")
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = _doc_shingles(docs, n, max_df=max_df)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     if warn_df is not None:
         _warn_on_shingle_skew(sh, sf_dir, n, max_df, warn_df)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -1305,6 +1332,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    use_shingle_store: bool = True,
 ) -> DataFrame:
     """T134 — asymmetric containment near-dup: pairs where
     ``|A∩B| / |A|`` ≥ threshold (doc_a mostly contained in doc_b).
@@ -1317,10 +1345,26 @@ def containment_pairs(
     both directions when both containments clear the threshold.
     Excludes identical sets (containment 1.0 both ways is T17/T21's
     business) only by threshold, not specially.
+
+    ``use_shingle_store`` (r19, default ON): the inverted index is
+    served from the persisted :func:`shingle_store_table` exactly as in
+    :func:`ngram_jaccard_pairs` — see the collision-bound and
+    measurement notes there (BENCH_shingle_hashjoin_probe.json: −58%
+    at sf0.1, −23% at sf1 for t134; the residual 250M-row pair shuffle
+    at sf1 is the EXACT operator's irreducible Σdf² volume on the
+    closed-vocabulary corpus — measured join_rows ≈ distinct pairs ≈
+    2.5e8, avg 1.1 shared shingles per candidate pair, so per-pair
+    array intersection has no headroom either; the production path at
+    scale is the LSH family).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, n, max_df=max_df)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    if use_shingle_store:
+        sets = spark.table(shingle_store_table(spark, sf_dir, n, max_df))
+        sh = sets.select("doc_id", F.explode("xh").alias("shingle"))
+        sizes = sets.select("doc_id", "set_size")
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = _doc_shingles(docs, n, max_df=max_df)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(

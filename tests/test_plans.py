@@ -1038,3 +1038,67 @@ def test_t207_distinct_aggs_carry_no_per_key_sketch(spark, sf_dir):
             assert m.group(1) == "0", (
                 "per-key partial HLL sketch is back:\n" + block[:400]
             )
+
+
+def test_exact_jaccard_family_reads_shingle_store(spark, sf_dir):
+    """r19 (BENCH_shingle_hashjoin_probe.json): the registered t21/t134
+    builders serve their inverted index from the persisted shingle-hash
+    store — the plan must scan the store table and must NOT scan (or
+    retokenize) the raw documents; the string-keyed legacy path stays
+    reachable behind use_shingle_store=False and must show the inverse."""
+    from mapreduce_google_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_google_spark.queries import REGISTRY
+
+    for name in ("t21_ngram_jaccard_pairs", "t134_containment_pairs"):
+        plan = formatted_plan(REGISTRY[name].builder(spark, sf_dir))
+        assert "mgs_shingle_hashes_" in plan, name
+        assert "documents" not in plan, name
+    for fn in (ngram_jaccard_pairs, containment_pairs):
+        legacy = formatted_plan(
+            fn(spark, sf_dir, use_shingle_store=False, warn_df=None)
+            if fn is ngram_jaccard_pairs
+            else fn(spark, sf_dir, use_shingle_store=False)
+        )
+        assert "mgs_shingle_hashes_" not in legacy
+        assert "documents" in legacy
+
+
+def test_exact_jaccard_store_form_equals_string_form(spark, sf_dir):
+    """The hash-vs-string equality the r19 store flip ships on (the t22
+    verify-stage bound, ~2^-64 per distinct shingle pair): on the real
+    corpus the store-served builders must produce row-identical output
+    to the string-keyed legacy forms — for t21 AND t134, including a
+    max_df-capped parameterization (the store identity includes
+    max_df, so the capped store must reproduce the capped stop-set)."""
+    from mapreduce_google_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    for kwargs in ({}, {"max_df": 100}):
+        a = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                spark, sf_dir, warn_df=None, **kwargs
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                spark, sf_dir, warn_df=None, use_shingle_store=False, **kwargs
+            ).collect()
+        )
+        assert a == b and (len(a) > 0 or kwargs), kwargs
+    ca = sorted(
+        tuple(r) for r in containment_pairs(spark, sf_dir).collect()
+    )
+    cb = sorted(
+        tuple(r)
+        for r in containment_pairs(
+            spark, sf_dir, use_shingle_store=False
+        ).collect()
+    )
+    assert ca == cb and len(ca) > 0
