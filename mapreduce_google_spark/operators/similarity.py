@@ -1824,18 +1824,53 @@ def _quantize12_scaled(P: "np.ndarray") -> "np.ndarray":
     return out
 
 
-def _cov_moments_arrow(spark: SparkSession, sf_dir: str):
+#: conservative per-row domain bound for the quarantine pre-filter: a
+#: row is certainly quantizable iff every element AND every pairwise
+#: product stays under the 2^53/1e12 ≈ 9007.199 exact-double ceiling —
+#: i.e. max|x| and max|x|² both below it. The (1 − 1e-9) margin absorbs
+#: the ≤2-ulp gap between max|x|² and an individual float product, so a
+#: row the filter KEEPS can never trip the kernel's exact in-chunk
+#: raise; rows inside the margin are quarantined although a few might
+#: be exactly representable (a degradation mode is allowed to be
+#: conservative at the domain edge — clean embedding corpora are O(1),
+#: three orders of magnitude away).
+_Q12_DOMAIN = 9007199254740992.0 / 1e12
+_Q12_ROW_BOUND = min(_Q12_DOMAIN, _Q12_DOMAIN**0.5) * (1.0 - 1e-9)
+
+
+def _cov_moments_arrow(
+    spark: SparkSession, sf_dir: str, bad_rows: str = "quarantine"
+):
     """One Arrow pass over the embeddings: per-partition scaled-int64
     partial sums of the quantized products / values (the exact
     ``sum(cast(x as decimal(20,12)))`` arithmetic, carried as integers
     at 1e-12 scale), combined by ONE metadata-sized long aggregation —
     no N·d² row explosion, no d²-keyed shuffle of 82M rows. Returns
-    ``(n, {i: Σx_scaled}, {(i,j): Σxy_scaled})``; partial magnitudes
-    are bounded by rows·1e12 per partition and 64-bit exact through the
-    JVM long sum (decimal(20,12) itself caps |x| < 1e8, so overflow
-    would need 9e6 rows × 1e20 — out of the type's own domain)."""
+    ``(n, {i: Σx_scaled}, {(i,j): Σxy_scaled}, n_bad)``; partial
+    magnitudes are bounded by rows·1e12 per partition and 64-bit exact
+    through the JVM long sum (decimal(20,12) itself caps |x| < 1e8, so
+    overflow would need 9e6 rows × 1e20 — out of the type's own
+    domain).
+
+    ``bad_rows`` (r19, VERDICT r18 item 7): with the default
+    ``"quarantine"``, rows containing any element outside the exact
+    quantization domain (|x| or |x·y| ≥ 2^53·1e-12 — see
+    ``_Q12_ROW_BOUND``) are EXCLUDED from every moment and counted
+    per-partition, so one poisoned embedding at 100 TB degrades the
+    statistic by one row instead of killing the job after four task
+    retries; the caller decides how loud to be with ``n_bad``. On a
+    clean corpus the filter drops nothing and the moments are
+    bit-identical to the unfiltered pass (pinned in
+    tests/test_flip_fuzz.py). ``"raise"`` keeps the r18 fail-fast
+    contract: no pre-filter, the kernel's exact in-chunk domain check
+    kills the task loudly (that check remains as the backstop on the
+    quarantine path too — the conservative row bound makes it
+    unreachable there)."""
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    quarantine = bad_rows == "quarantine"
+    if not quarantine and bad_rows != "raise":
+        raise ValueError(f"bad_rows must be 'quarantine' or 'raise': {bad_rows!r}")
 
     def partials(it):
         import numpy as np  # noqa: F811 — executor-side import
@@ -1844,6 +1879,7 @@ def _cov_moments_arrow(spark: SparkSession, sf_dir: str):
         sxy = None
         sx = None
         n = 0
+        n_bad = 0
         d = None
         for batch in it:
             col = batch.column(0)
@@ -1854,6 +1890,16 @@ def _cov_moments_arrow(spark: SparkSession, sf_dir: str):
             d_ = len(arr) // rows
             assert len(arr) == rows * d_, "ragged embedding batch"
             X = arr.reshape(rows, d_)
+            if quarantine:
+                m = np.max(np.abs(X), axis=1)
+                # NaN/Inf rows are out of every decimal domain too
+                bad = ~(m < _Q12_ROW_BOUND)
+                if bad.any():
+                    n_bad += int(bad.sum())
+                    X = X[~bad]
+                    rows = X.shape[0]
+                    if rows == 0:
+                        continue
             if sxy is None:
                 d = d_
                 sxy = np.zeros((d, d), dtype=np.int64)
@@ -1865,12 +1911,27 @@ def _cov_moments_arrow(spark: SparkSession, sf_dir: str):
                 sxy += _quantize12_scaled(P).sum(axis=0)
             sx += _quantize12_scaled(X).sum(axis=0)
             n += rows
-        if sxy is None:
+        if sxy is None and n_bad == 0:
+            return
+        if sxy is None:  # partition of ONLY quarantined rows
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.array([-2], dtype=np.int32)),
+                    pa.array(np.array([-1], dtype=np.int32)),
+                    pa.array(np.array([n_bad], dtype=np.int64)),
+                ],
+                names=["i", "j", "part"],
+            )
             return
         ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-        out_i = np.concatenate([ii.ravel(), np.arange(d), [-1]]).astype(np.int32)
-        out_j = np.concatenate([jj.ravel(), np.full(d, -1), [-1]]).astype(np.int32)
-        out_s = np.concatenate([sxy.ravel(), sx, [n]]).astype(np.int64)
+        tail_i, tail_j, tail_s = [-1], [-1], [n]
+        if n_bad:
+            tail_i.append(-2)
+            tail_j.append(-1)
+            tail_s.append(n_bad)
+        out_i = np.concatenate([ii.ravel(), np.arange(d), tail_i]).astype(np.int32)
+        out_j = np.concatenate([jj.ravel(), np.full(d, -1), tail_j]).astype(np.int32)
+        out_s = np.concatenate([sxy.ravel(), sx, tail_s]).astype(np.int64)
         yield pa.RecordBatch.from_arrays(
             [pa.array(out_i), pa.array(out_j), pa.array(out_s)],
             names=["i", "j", "part"],
@@ -1882,16 +1943,25 @@ def _cov_moments_arrow(spark: SparkSession, sf_dir: str):
         .agg(F.sum("part").alias("s"))
     )
     n = None
+    n_bad = 0
     sx = {}
     sxy = {}
     for r in agg.collect():
-        if r.i == -1:
+        if r.i == -2:
+            n_bad = int(r.s)
+        elif r.i == -1:
             n = int(r.s)
         elif r.j == -1:
             sx[r.i] = int(r.s)
         else:
             sxy[(r.i, r.j)] = int(r.s)
-    return n, sx, sxy
+    if n is None or n == 0:
+        raise ValueError(
+            "covariance moments: no in-domain embedding rows at all "
+            f"({n_bad} quarantined) — the corpus is empty or entirely "
+            "out of the decimal(20,12) exact domain"
+        )
+    return n, sx, sxy, n_bad
 
 
 def top_principal_component(
@@ -1930,7 +2000,20 @@ def top_principal_component(
     from decimal import ROUND_HALF_UP, Decimal
 
     if moments == "arrow":
-        n, sx, sxy = _cov_moments_arrow(spark, sf_dir)
+        n, sx, sxy, n_bad = _cov_moments_arrow(spark, sf_dir)
+        if n_bad:
+            import warnings
+
+            warnings.warn(
+                f"top_principal_component: QUARANTINED {n_bad} embedding "
+                f"row(s) outside the decimal(20,12) exact quantization "
+                f"domain (|x| or |x*y| >= 2^53*1e-12); the covariance is "
+                f"computed over the remaining {n} rows. Clean the corpus "
+                "or pass moments='sql' to reproduce the reference "
+                "pipeline's own overflow behavior.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         nf = float(n)
         means_k = {i: float(Decimal(v).scaleb(-12)) / nf for i, v in sx.items()}
         C = {

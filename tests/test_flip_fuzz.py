@@ -683,7 +683,8 @@ def test_t189_kernel_agrees_with_sql_and_pure_decimal_reference(
         for j in range(d):
             s = sum(_decimal_quantize12_scaled(v[i] * v[j]) for v in vecs)
             expected[(i, j)] = float(Decimal(s).scaleb(-12)) / float(n) - m[i] * m[j]
-    kn, ksx, ksxy = _cov_moments_arrow(spark, sf_dir)
+    kn, ksx, ksxy, kbad = _cov_moments_arrow(spark, sf_dir)
+    assert kbad == 0  # the quarantine pre-filter drops NOTHING in-domain
     assert kn == n and {i: v for i, v in ksx.items()} == dict(enumerate(sx))
     km = {i: float(Decimal(v).scaleb(-12)) / float(kn) for i, v in ksx.items()}
     got = {
@@ -705,3 +706,81 @@ def test_t189_kernel_agrees_with_sql_and_pure_decimal_reference(
     )
     assert arrow_rows == sql_rows
     assert len(arrow_rows) == d
+
+
+def test_cov_moments_quarantine_degrades_not_kills(spark, tmp_path):
+    """VERDICT r18 item 7: one out-of-domain embedding must degrade the
+    t189 kernel (counted quarantine + loud warning), not kill the job —
+    while the default path stays bit-identical on clean corpora (the
+    test above pins kbad == 0 there) and bad_rows='raise' keeps the r18
+    fail-fast contract. The quarantined moments must equal the clean
+    subset's moments exactly."""
+    import warnings
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mapreduce_google_spark.operators.similarity import (
+        _cov_moments_arrow,
+        top_principal_component,
+    )
+
+    d = 4
+    clean = [
+        [0.25, -0.5, 0.125, 1.0],
+        [1.5, 0.75, -0.25, -1.0],
+        [-0.125, 2.0, 0.5, 0.0625],
+    ]
+    poisoned = clean + [
+        [1e5, 0.1, 0.2, 0.3],          # element AND products out of domain
+        [100.0, 100.0, 0.0, 0.0],      # elements fine, product 1e4 >= 9007
+        [float("nan"), 0.0, 0.0, 0.0], # non-finite
+    ]
+
+    def write(rows, path):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(rows)), pa.int64()),
+                    "embedding": pa.array(
+                        [[np.float32(v) for v in r] for r in rows],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(
+                        [i % 3 for i in range(len(rows))], pa.int32()
+                    ),
+                }
+            ),
+            path,
+        )
+
+    clean_dir = tmp_path / "clean"
+    bad_dir = tmp_path / "bad"
+    clean_dir.mkdir()
+    bad_dir.mkdir()
+    write(clean, str(clean_dir / "embeddings.parquet"))
+    write(poisoned, str(bad_dir / "embeddings.parquet"))
+
+    n_c, sx_c, sxy_c, bad_c = _cov_moments_arrow(spark, str(clean_dir))
+    assert (n_c, bad_c) == (len(clean), 0)
+    n_q, sx_q, sxy_q, bad_q = _cov_moments_arrow(spark, str(bad_dir))
+    assert (n_q, bad_q) == (len(clean), 3)  # all three planted rows counted
+    assert sx_q == sx_c and sxy_q == sxy_c  # moments == clean subset, exactly
+
+    with pytest.raises(Exception, match="quantize12 domain|exceed"):
+        _cov_moments_arrow(spark, str(bad_dir), bad_rows="raise")
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = top_principal_component(spark, str(bad_dir)).collect()
+    assert len(rows) == d
+    assert any("QUARANTINED 3" in str(x.message) for x in w)
+
+    # an entirely out-of-domain corpus must fail loudly, not divide by 0
+    allbad_dir = tmp_path / "allbad"
+    allbad_dir.mkdir()
+    write([[1e5, 1e5, 1e5, 1e5]], str(allbad_dir / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="no in-domain"):
+        _cov_moments_arrow(spark, str(allbad_dir))

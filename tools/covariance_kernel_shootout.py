@@ -82,7 +82,7 @@ def _sql_cov_cells(spark, sf_dir):
 def _kernel_cov_cells(spark, sf_dir):
     from decimal import Decimal
 
-    n, sx, sxy = _cov_moments_arrow(spark, sf_dir)
+    n, sx, sxy, _n_bad = _cov_moments_arrow(spark, sf_dir)
     nf = float(n)
     m = {i: float(Decimal(v).scaleb(-12)) / nf for i, v in sx.items()}
     return {
