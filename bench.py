@@ -147,6 +147,46 @@ def main() -> int:
     }
     total = round(sum(timings.values()), 3)
 
+    # Scaling probe (r19, VERDICT r18 item 6 — ADDITIONS-ONLY): the 16
+    # headliners all run in 0.2–1.5 s at sf0.1, where JVM/scheduler
+    # fixed overhead dominates and the driver's low-core/high-core
+    # ratio block reads ~1.0 for every query — it cannot resolve
+    # parallelism at this SF. t179 (banded Levenshtein DP over band
+    # candidates) is the most CPU-bound entry in the registry and the
+    # best resolver available at this SF: measured 2.8 s at 32 cores
+    # vs 4.7 s at 8 on a quiet host (ratio ~1.7, vs ~1.0 for every
+    # headliner). Honest bound, measured while choosing the probe: the
+    # ~0.5 s session floor plus the candidate pipeline's shuffle
+    # portion cap the observable ratio at sf0.1 well below the 4×
+    # core ratio — candidates tried and rejected: t129/t120/t145 read
+    # ~1.0 (overhead/driver-bound), the brute-force cosine baseline
+    # reads 96 s at 32 cores (too heavy for a bench rep). The
+    # full-resolution scaling evidence remains the sf1 instrument
+    # (BENCH_sf1.json: 10×/30×/100× points). Timed with the same
+    # methodology (same SF_DIR, same toPandas materialization, median
+    # of reps) and ADDED to the ``queries`` dict; NOT part of
+    # ``value`` (which stays the 16-headliner total, comparable to
+    # every prior round); existing keys untouched per the driver
+    # contract.
+    scaling_probe_names = [
+        "t179_edit_distance_pairs",
+    ]
+    scaling_reps = int(os.environ.get("SPARK_GRAFT_SCALING_N", "3"))
+    scaling_timings: dict[str, float] = {}
+    for name in scaling_probe_names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        len(spec.builder(spark, SF_DIR).toPandas())  # warm (cache/codegen)
+        warmup[name] = round(time.perf_counter() - t0, 3)
+        xs = []
+        for _rep in range(scaling_reps):
+            t0 = time.perf_counter()
+            n = len(spec.builder(spark, SF_DIR).toPandas())
+            xs.append(time.perf_counter() - t0)
+            assert n >= 0
+        scaling_timings[name] = round(median(xs), 3)
+        spread[name] = [round(min(xs), 3), round(max(xs), 3)]
+
     # BASELINE.md's only quantitative bar is >=0.5 MB/s/core on the text
     # path with bounded memory; report t01's wall-clock throughput over
     # the raw corpus bytes directly so the comparison needs no hand math.
@@ -223,10 +263,14 @@ def main() -> int:
                 # back-to-back on ONE host — read this next to the raw
                 # total to separate code delta from host drift
                 "host_reference": _latest_host_reference(),
+                # the CPU-bound scaling probe added in r19 (its key
+                # also appears in ``queries``; value excludes it like
+                # it excludes t25 — see scaling_probe_names above)
+                "added_in_r19_scaling_probes": scaling_probe_names,
                 # tail-critical fields LAST (see comment above payload)
                 "spread_min_max": spread,
                 "warmup_s": warmup,
-                "queries": timings,
+                "queries": {**timings, **scaling_timings},
                 "value_r5_comparable": round(
                     total - timings.get("t25_ivf_topk", 0.0), 3
                 ),
