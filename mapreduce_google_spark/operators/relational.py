@@ -2342,18 +2342,33 @@ def discount_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan of the fact joined to the broadcast part dimension, one
     map-side-combined hash-agg per brand — the grouped-regression
     template (t142's Zipf fit, per group).
+
+    Moment arithmetic (r19, results-identical — guide §2.3 narrower
+    types; BENCH_t180_intmoments_probe.json: −25% steady-state at both
+    tiers, equality-gated): the 2-decimal regressors are carried as
+    SCALED LONGS (x·100, y·100) so the per-row multiply-adds are
+    integer codegen instead of five JVM-Decimal chains, with ONE
+    correctly-rounded division per aggregate at the end. Bit-exact with
+    the decimal form: the decimal path rounds the exact rational
+    v/10^s to double once at the final cast; the long path holds v
+    exactly (TPC-H domain: x·100 ≤ 10, y·100 ≤ 5000 ⇒ Σ(x·y·10⁴) ≤
+    3e12 at sf1), converts exactly (< 2^53) and divides by the exact
+    power of ten — the same single rounding. The paths could diverge
+    by 1 ulp only once a scaled sum exceeds 2^53 (~2e11 worst-case
+    rows per brand); at that volume re-shard the group or return to
+    the decimal form (kept verbatim in the shootout tool).
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
     j = li.join(part, li.l_partkey == F.col("p_partkey"))
-    x = F.col("l_discount").cast("decimal(12,2)")
-    y = F.col("l_quantity").cast("decimal(12,2)")
+    x100 = (F.col("l_discount").cast("decimal(12,2)") * 100).cast("long")
+    y100 = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
     m = j.groupBy("p_brand").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(x * x).cast("double").alias("sxx"),
+        (F.sum(x100).cast("double") / 100.0).alias("sx"),
+        (F.sum(y100).cast("double") / 100.0).alias("sy"),
+        (F.sum(x100 * y100).cast("double") / 10000.0).alias("sxy"),
+        (F.sum(x100 * x100).cast("double") / 10000.0).alias("sxx"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
