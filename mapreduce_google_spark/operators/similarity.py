@@ -339,6 +339,50 @@ def _auto_lsh_near_dup_params(
     return n_bits, n_tables
 
 
+def _pairwise_cosine_verify(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Arrow-batched exact-cosine verify for candidate pairs: one
+    vectorized ``einsum`` per batch over the attached (vec_a, vec_b)
+    columns, rounded HALF_UP to 6 decimals exactly like ``F.round``
+    (:func:`_round_half_up_6` — the t18/t25 GEMM parity treatment),
+    thresholded INSIDE the kernel so only passing rows re-enter the JVM.
+
+    Why (r19, guide §4.2 — BENCH_t24_verify_kernel_probe.json): the
+    higher-order-function cosine is interpreted per element
+    (StringSplit/t129 lesson applies to ``aggregate``/``zip_with``
+    too), so a verify stage over tens of millions of candidates costs
+    ~190 interpreted lambda frames per pair; the kernel pays one Arrow
+    transfer of exactly the four needed columns and scores the whole
+    batch at NumPy speed. Rounding parity with the HOF form carries the
+    same pinned contract as the t18/t25 kernels (equality on real
+    corpora; the pre-round last-ulp BLAS-vs-codegen difference is
+    absorbed by the 6-decimal round away from sub-ulp boundary
+    coincidences)."""
+    import pandas as _pd
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(pdf["vec_a"].to_numpy()).astype(np.float64)
+            B = np.vstack(pdf["vec_b"].to_numpy()).astype(np.float64)
+            dots = np.einsum("bi,bi->b", A, B)
+            na = np.sqrt(np.einsum("bi,bi->b", A, A))
+            nb = np.sqrt(np.einsum("bi,bi->b", B, B))
+            cos = _round_half_up_6(dots / (na * nb))
+            keep = cos >= threshold
+            yield _pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return pairs.select("id_a", "id_b", "vec_a", "vec_b").mapInPandas(
+        score, "id_a bigint, id_b bigint, cosine double"
+    )
+
+
 def embedding_near_dup_pairs_auto(
     spark: SparkSession,
     sf_dir: str,
@@ -349,6 +393,7 @@ def embedding_near_dup_pairs_auto(
     max_bucket: int | None = 10_000,
     dim: int = 64,
     seed: int = 42,
+    verify: str = "arrow",
 ) -> DataFrame:
     """t24's pipeline with corpus-sized LSH parameters — the r19 flip
     candidate, STAGED r18 (closure-disjoint from the registered builder
@@ -410,10 +455,18 @@ def embedding_near_dup_pairs_auto(
     )
     va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
     vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pairs = candidates.join(va, "id_a").join(vb, "id_b")
+    if verify == "arrow":
+        # r19 (BENCH_t24_verify_kernel_probe.json): the verify stage
+        # dominated the sf1 cost — 83M surviving candidate pairs each
+        # paying ~190 interpreted HOF lambda frames (~85 of 133 s).
+        # The Arrow kernel scores whole batches vectorized; the HOF
+        # form stays reachable below (shootout/equality substrate).
+        return _pairwise_cosine_verify(pairs, threshold).orderBy(
+            "id_a", "id_b"
+        )
     return (
-        candidates.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             F.round(cosine_similarity("vec_a", "vec_b"), 6).alias("cosine"),

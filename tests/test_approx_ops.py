@@ -844,6 +844,16 @@ def test_t24_auto_equals_registered_at_oracle_scale(spark, sf_dir):
         ).collect()
     ]
     assert nocap == registered
+    # r19 verify kernel: the Arrow einsum verify (default) must equal
+    # the interpreted HOF verify row-for-row — the rounding-parity
+    # contract the t18/t25 kernels ship on (_round_half_up_6)
+    hof = [
+        tuple(r)
+        for r in embedding_near_dup_pairs_auto(
+            spark, sf_dir, verify="hof"
+        ).collect()
+    ]
+    assert hof == auto
     plan_on = formatted_plan(embedding_near_dup_pairs_auto(spark, sf_dir))
     plan_off = formatted_plan(
         embedding_near_dup_pairs_auto(spark, sf_dir, max_bucket=None)
